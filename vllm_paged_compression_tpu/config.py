@@ -1,0 +1,252 @@
+"""Typed configuration tree for the TPU-native paged-compression serving engine.
+
+This is the TPU-first re-design of the reference's layered config system
+(reference: vllm/config.py — ModelConfig/CacheConfig/ParallelConfig/SchedulerConfig,
+PagedEvictConfig at vllm/config.py:933-991).  Unlike the reference we keep the
+tree small and dataclass-first: no HF-download logic lives here, and everything
+is hashable/serializable so jitted step functions can key their compile caches
+on it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+EVICT_METHODS = (
+    "streamingLLM",
+    "streamingLLM-1",
+    "inverse_key_l2",
+    "local",
+    "global",
+)
+
+CACHE_PRUNE_TYPES = ("budget", "percentage")
+
+KV_CACHE_DTYPES = ("auto", "bfloat16", "float32", "int8", "fp8", "fp8_e4m3")
+
+
+def cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+@dataclass
+class PagedEvictConfig:
+    """Online paged KV-cache eviction configuration.
+
+    Mirrors the semantics of the reference `PagedEvictConfig`
+    (vllm/config.py:933-991):
+
+    - ``cache_budget``: max KV tokens kept per sequence (physical slots).
+    - ``evict_method``: one of
+        * ``streamingLLM``    — sink block + rolling window; at each block
+          boundary past the budget, the block right after the sink is dropped.
+        * ``streamingLLM-1``  — like streamingLLM but between block boundaries
+          the corresponding slot of the post-sink block is zeroed each step
+          (vllm/attention/backends/torch_cuda_sdpa.py:1395-1401).
+        * ``inverse_key_l2``  — zero one random slot in a random middle block
+          every step past the budget; no pages are freed
+          (torch_cuda_sdpa.py:1435-1475).
+        * ``local``           — at block boundaries evict the lowest-scoring
+          block among the ``topk_blocks`` blocks following the sink.
+        * ``global``          — same but candidates are every middle block.
+    - ``disable_evict_prefill``: if True, prefill attends the *full* prompt and
+      only the stored KV is pruned; if False (reference default) the prompt is
+      pruned before attention so even prefill sees the compressed context
+      (vllm/engine/arg_utils.py:979-985).
+    - ``topk_blocks``: candidate-window size for ``local`` (> 1 required);
+      forced to -1 for ``global`` (vllm/config.py:977-985).
+    - ``initial_blocks``: number of sink blocks kept verbatim (reference
+      hardwires 1, vllm/config.py:989).
+
+    TPU-native extensions over the reference:
+
+    - ``selection``: ``"l2"`` picks the victim block by argmin of per-block
+      value-L2 scores computed on device (the reference's *disabled* path,
+      torch_cuda_sdpa.py:1517-1544); ``"random"`` reproduces the reference's
+      shipped behavior (`enable_random_evict = True`, torch_cuda_sdpa.py:802)
+      with a host-side seeded RNG.
+    - ``sub_evict_method``: token/block scoring statistic; reference fixes
+      ``value_l2`` (vllm/attention/kvcache_prunner.py:13).
+    """
+
+    enabled: bool = True
+    disable_evict_prefill: bool = False
+    cache_prune_type: str = "budget"
+    evict_method: str = "streamingLLM"
+    cache_budget: int = 1024
+    topk_blocks: int = -1
+    initial_blocks: int = 1
+    # TPU-native extensions
+    selection: str = "l2"  # "l2" | "random"
+    sub_evict_method: str = "value_l2"
+    random_seed: int = 1234
+
+    def verify(self, block_size: int) -> None:
+        if self.cache_prune_type not in CACHE_PRUNE_TYPES:
+            raise ValueError(f"cache_prune_type must be one of {CACHE_PRUNE_TYPES}")
+        if self.cache_prune_type != "budget":
+            raise NotImplementedError(
+                "Only budget-based pruning is implemented (matches the "
+                "reference's asserted surface, vllm/config.py:969)")
+        if self.evict_method not in EVICT_METHODS:
+            raise ValueError(
+                f"evict_method {self.evict_method!r} not in {EVICT_METHODS}")
+        if self.cache_budget < 128:
+            raise ValueError("cache_budget must be >= 128 "
+                             "(reference vllm/config.py:971)")
+        # Reference kvcache_prunner.py:15 requires budget >= 3 blocks so the
+        # sink block, >=1 middle block, and the tail block all fit.
+        if self.cache_budget < 3 * block_size:
+            raise ValueError(
+                f"cache_budget ({self.cache_budget}) must be at least 3x the "
+                f"block size ({block_size})")
+        if self.cache_budget % block_size != 0:
+            # Keeps logical and physical lengths congruent mod block_size so
+            # decode boundary checks line up with full physical pages.  All
+            # reference sweep configs satisfy this (scripts/diff_methods_full.sh).
+            raise ValueError("cache_budget must be a multiple of block_size")
+        if self.evict_method == "local" and self.topk_blocks <= 1:
+            raise ValueError("local eviction requires topk_blocks > 1 "
+                             "(reference vllm/config.py:977-981)")
+        if self.evict_method == "global":
+            self.topk_blocks = -1
+        if self.initial_blocks != 1:
+            raise ValueError("initial_blocks must be 1 "
+                             "(reference hardwires it, vllm/config.py:989)")
+        if self.selection not in ("l2", "random"):
+            raise ValueError("selection must be 'l2' or 'random'")
+
+    @property
+    def frees_pages(self) -> bool:
+        """Whether this method ever returns physical pages to the allocator."""
+        return self.evict_method in ("streamingLLM", "streamingLLM-1",
+                                     "local", "global")
+
+
+@dataclass
+class ModelConfig:
+    """Model architecture + dtype.
+
+    Either ``model`` points at a local HF checkpoint directory (config.json +
+    safetensors), or ``hf_config`` carries an in-memory architecture dict (used
+    by tests and synthetic benchmarks).  The reference resolves this through
+    transformers_utils/config.py; we keep it offline-only.
+    """
+
+    model: str = ""
+    hf_config: Optional[dict] = None
+    tokenizer: Optional[str] = None
+    dtype: str = "bfloat16"
+    weight_dtype: Optional[str] = None  # e.g. "int8" for quantized weights
+    seed: int = 0
+    max_model_len: int = 8192
+    # Filled in after architecture resolution:
+    architecture: str = "llama"
+
+    def verify(self) -> None:
+        if self.dtype not in ("bfloat16", "float32", "float16"):
+            raise ValueError(f"Unsupported dtype {self.dtype}")
+
+
+@dataclass
+class CacheConfig:
+    """KV-cache pool configuration (reference vllm/config.py CacheConfig +
+    the fork's embedded PagedEvictConfig, vllm/config.py:1040-1051)."""
+
+    block_size: int = 16
+    gpu_memory_utilization: float = 0.9
+    num_device_blocks: Optional[int] = None  # None => profile to size
+    cache_dtype: str = "auto"
+    paged_evict: Optional[PagedEvictConfig] = None
+
+    def verify(self) -> None:
+        if self.block_size < 1:
+            raise ValueError("block_size must be >= 1")
+        if self.cache_dtype not in KV_CACHE_DTYPES:
+            raise ValueError(f"cache_dtype must be one of {KV_CACHE_DTYPES}")
+        if self.paged_evict is not None and self.paged_evict.enabled:
+            self.paged_evict.verify(self.block_size)
+
+    @property
+    def evict_enabled(self) -> bool:
+        return self.paged_evict is not None and self.paged_evict.enabled
+
+
+@dataclass
+class SchedulerConfig:
+    """Continuous-batching scheduler knobs (reference core/scheduler.py:322,
+    SchedulingBudget :45)."""
+
+    max_num_seqs: int = 64
+    max_num_batched_tokens: int = 8192
+    max_model_len: int = 8192
+    policy: str = "fcfs"  # "fcfs" | "priority"
+    watermark: float = 0.01
+    enable_chunked_prefill: bool = False
+    max_prefill_seqs: int = 16
+
+    def verify(self) -> None:
+        if self.policy not in ("fcfs", "priority"):
+            raise ValueError("policy must be 'fcfs' or 'priority'")
+        if self.max_num_batched_tokens < self.max_model_len \
+                and not self.enable_chunked_prefill:
+            # Without chunked prefill a whole prompt must fit in one batch.
+            self.max_num_batched_tokens = max(self.max_num_batched_tokens,
+                                              self.max_model_len)
+
+
+@dataclass
+class ParallelConfig:
+    """Mesh-based parallelism.  The reference's TP/PP process groups
+    (vllm/distributed/parallel_state.py:893-915) become named mesh axes;
+    GSPMD inserts the collectives."""
+
+    tensor_parallel_size: int = 1
+    data_parallel_size: int = 1
+
+    @property
+    def world_size(self) -> int:
+        return self.tensor_parallel_size * self.data_parallel_size
+
+
+@dataclass
+class ObservabilityConfig:
+    collect_detailed_metrics: bool = False
+    otlp_traces_endpoint: Optional[str] = None
+
+
+@dataclass
+class EngineConfig:
+    """Aggregate of all sub-configs (reference VllmConfig, vllm/config.py)."""
+
+    model: ModelConfig = field(default_factory=ModelConfig)
+    cache: CacheConfig = field(default_factory=CacheConfig)
+    scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    observability: ObservabilityConfig = field(default_factory=ObservabilityConfig)
+
+    def verify(self) -> None:
+        self.model.verify()
+        self.cache.verify()
+        self.scheduler.verify()
+        self.scheduler.max_model_len = min(self.scheduler.max_model_len,
+                                           self.model.max_model_len)
+        if self.cache.evict_enabled and self.scheduler.enable_chunked_prefill:
+            # The reference asserts this combination away
+            # (torch_cuda_sdpa.py:877, arg_utils.py:1185).
+            raise ValueError(
+                "chunked prefill is not supported with paged eviction")
+
+    def compute_hash(self) -> str:
+        def enc(o: Any):
+            if dataclasses.is_dataclass(o):
+                return {f.name: enc(getattr(o, f.name))
+                        for f in dataclasses.fields(o)}
+            return o
+        return hashlib.sha256(
+            json.dumps(enc(self), sort_keys=True, default=str).encode()
+        ).hexdigest()[:16]

@@ -1,0 +1,112 @@
+"""Request/sequence lifecycle state.
+
+Host-side analog of the reference's Sequence/SequenceGroup machinery
+(vllm/sequence.py).  One request == one sequence in round 1 (the fork's
+eviction feedback loop also assumes 1 seq/group, SURVEY F9); parallel
+sampling (n>1) forks sequences that share a prompt but each own a block
+table.
+"""
+
+from __future__ import annotations
+
+import enum
+import time
+from typing import Optional
+
+from ..sampling_params import SamplingParams
+from .block_table import BlockTable
+
+
+class SequenceStatus(enum.Enum):
+    WAITING = enum.auto()
+    RUNNING = enum.auto()
+    PREEMPTED = enum.auto()
+    FINISHED_STOPPED = enum.auto()
+    FINISHED_LENGTH = enum.auto()
+    FINISHED_ABORTED = enum.auto()
+
+    @property
+    def is_finished(self) -> bool:
+        return self in (SequenceStatus.FINISHED_STOPPED,
+                        SequenceStatus.FINISHED_LENGTH,
+                        SequenceStatus.FINISHED_ABORTED)
+
+
+FINISH_REASON = {
+    SequenceStatus.FINISHED_STOPPED: "stop",
+    SequenceStatus.FINISHED_LENGTH: "length",
+    SequenceStatus.FINISHED_ABORTED: "abort",
+}
+
+
+class Sequence:
+    def __init__(self, request_id: str, prompt_token_ids: list[int],
+                 sampling_params: SamplingParams,
+                 arrival_time: Optional[float] = None,
+                 priority: int = 0,
+                 eos_token_id: Optional[int] = None):
+        self.request_id = request_id
+        self.prompt_token_ids = list(prompt_token_ids)
+        self.output_token_ids: list[int] = []
+        self.params = sampling_params
+        self.arrival_time = arrival_time if arrival_time is not None \
+            else time.monotonic()
+        self.priority = priority
+        self.eos_token_id = eos_token_id
+        self.status = SequenceStatus.WAITING
+        self.block_table: Optional[BlockTable] = None
+        # Timing for metrics (TTFT/TPOT, reference engine/metrics.py).
+        self.first_token_time: Optional[float] = None
+        self.finish_time: Optional[float] = None
+        self.num_preemptions = 0
+        # Incremental detokenization state (offset into decoded text).
+        self.output_text = ""
+        self._detok_prefix_len = 0
+
+    # ---- lengths --------------------------------------------------------
+
+    @property
+    def num_prompt_tokens(self) -> int:
+        return len(self.prompt_token_ids)
+
+    @property
+    def num_output_tokens(self) -> int:
+        return len(self.output_token_ids)
+
+    def get_len(self) -> int:
+        """Logical length (prompt + generated)."""
+        return len(self.prompt_token_ids) + len(self.output_token_ids)
+
+    @property
+    def last_token_id(self) -> int:
+        if self.output_token_ids:
+            return self.output_token_ids[-1]
+        return self.prompt_token_ids[-1]
+
+    @property
+    def kv_len(self) -> int:
+        """Physical KV slots currently held (shrinks under eviction)."""
+        assert self.block_table is not None
+        return self.block_table.num_kv_slots
+
+    # ---- lifecycle ------------------------------------------------------
+
+    def append_token(self, token_id: int) -> None:
+        self.output_token_ids.append(token_id)
+        if self.first_token_time is None:
+            self.first_token_time = time.monotonic()
+
+    def reset_for_recompute(self) -> None:
+        """Preemption by recompute: drop the KV, fold generated tokens into
+        the prompt so the next prefill replays everything (reference
+        scheduler preemption, core/scheduler.py:1572-1625)."""
+        if self.block_table is not None:
+            self.block_table.free()
+            self.block_table = None
+        self.prompt_token_ids = self.prompt_token_ids + self.output_token_ids
+        self.output_token_ids = []
+        self.status = SequenceStatus.PREEMPTED
+        self.num_preemptions += 1
+
+    def is_finished(self) -> bool:
+        return self.status.is_finished

@@ -9,11 +9,16 @@ multi-device sharding tests use xla_force_host_platform_device_count).
 import os
 
 if os.environ.get("VPC_TEST_REAL_DEVICE") != "1":
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # Force, don't setdefault: the machine environment pre-sets
+    # JAX_PLATFORMS to the TPU platform, and sitecustomize may import jax
+    # before this file runs — so set both the env var and the live config.
+    os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8").strip()
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,237 @@
+"""Llama-family decoder in functional JAX.
+
+TPU-native re-design of the reference Llama implementation
+(vllm/model_executor/models/llama.py:98,210,288,469).  Key differences:
+
+- Pure functions over a params pytree — no module state; the whole model is
+  one traced graph under jit, letting XLA fuse norms/rope/elementwise into
+  the projection matmuls.
+- QKV and gate/up projections are pre-fused at load time (the megatron
+  QKVParallelLinear / MergedColumnParallelLinear pattern,
+  vllm/model_executor/layers/linear.py:391,635, realized as plain weight
+  concatenation + one matmul).
+- Attention itself is injected as a callback ``attn_fn(layer_idx, q, k, v)
+  -> [T, H, d]`` so the same model code serves prefill, paged decode, and
+  eviction variants; the runner owns cache semantics (the reference routes
+  this through the Attention layer + backend registry,
+  vllm/attention/layer.py:130-168).
+- Per-layer weights are stacked along a leading layer axis: one pytree leaf
+  per parameter kind keeps compile time flat and makes TP sharding specs
+  uniform.
+
+Weight layout convention: all projection matrices are stored transposed for
+right-multiplication (``y = x @ W``), i.e. ``[in_features, out_features]``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.rope import apply_rope, rope_cos_sin
+
+
+@dataclass
+class LlamaArch:
+    """Architecture hyperparameters (subset of HF LlamaConfig)."""
+
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 32
+    head_dim: int = 128
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    rope_scaling: Optional[dict] = None
+    tie_word_embeddings: bool = False
+    max_position_embeddings: int = 8192
+
+    @classmethod
+    def from_hf_config(cls, cfg: dict) -> "LlamaArch":
+        num_heads = cfg["num_attention_heads"]
+        return cls(
+            vocab_size=cfg["vocab_size"],
+            hidden_size=cfg["hidden_size"],
+            intermediate_size=cfg["intermediate_size"],
+            num_layers=cfg["num_hidden_layers"],
+            num_heads=num_heads,
+            num_kv_heads=cfg.get("num_key_value_heads", num_heads),
+            head_dim=cfg.get("head_dim") or
+            cfg["hidden_size"] // num_heads,
+            rms_norm_eps=cfg.get("rms_norm_eps", 1e-5),
+            rope_theta=cfg.get("rope_theta", 10000.0),
+            rope_scaling=cfg.get("rope_scaling"),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            max_position_embeddings=cfg.get("max_position_embeddings", 8192),
+        )
+
+
+def rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """HF-compatible RMSNorm: fp32 variance, weight applied in model dtype."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    xf = xf * jax.lax.rsqrt(var + eps)
+    return (w * xf.astype(dtype)).astype(dtype)
+
+
+class LlamaModel:
+    """Stateless model: holds only the arch + dtype; params travel as a
+    pytree argument so jit/pjit own their placement."""
+
+    architecture = "llama"
+
+    def __init__(self, arch: LlamaArch, dtype=jnp.bfloat16):
+        self.arch = arch
+        self.dtype = dtype
+
+    # ---- parameter construction ----------------------------------------
+
+    def init_params(self, seed: int = 0) -> dict:
+        """Random init (benchmark/synthetic use; real serving loads HF
+        weights).  Scaled-normal like HF's default init."""
+        a = self.arch
+        rng = np.random.default_rng(seed)
+        std = 0.02
+
+        def w(*shape):
+            return jnp.asarray(
+                rng.standard_normal(shape, dtype=np.float32) * std,
+                self.dtype)
+
+        qkv_out = (a.num_heads + 2 * a.num_kv_heads) * a.head_dim
+        layers = {
+            "wqkv": w(a.num_layers, a.hidden_size, qkv_out),
+            "wo": w(a.num_layers, a.num_heads * a.head_dim, a.hidden_size),
+            "w_gate_up": w(a.num_layers, a.hidden_size,
+                           2 * a.intermediate_size),
+            "w_down": w(a.num_layers, a.intermediate_size, a.hidden_size),
+            "input_norm": jnp.ones((a.num_layers, a.hidden_size),
+                                   self.dtype),
+            "post_norm": jnp.ones((a.num_layers, a.hidden_size), self.dtype),
+        }
+        params = {
+            "embed": w(a.vocab_size, a.hidden_size),
+            "layers": layers,
+            "final_norm": jnp.ones((a.hidden_size,), self.dtype),
+        }
+        if not a.tie_word_embeddings:
+            params["lm_head"] = w(a.hidden_size, a.vocab_size)
+        return params
+
+    def load_hf_state_dict(self, tensors: dict[str, np.ndarray]) -> dict:
+        """Convert an HF Llama state dict (numpy arrays) into our fused,
+        transposed layout."""
+        a = self.arch
+
+        def t(name):
+            return np.asarray(tensors[name])
+
+        def proj(name):
+            # HF stores [out, in]; we want [in, out].
+            return t(name).T
+
+        wqkv, wo, gate_up, down, in_n, post_n = [], [], [], [], [], []
+        for i in range(a.num_layers):
+            p = f"model.layers.{i}."
+            wqkv.append(np.concatenate([
+                proj(p + "self_attn.q_proj.weight"),
+                proj(p + "self_attn.k_proj.weight"),
+                proj(p + "self_attn.v_proj.weight")], axis=1))
+            wo.append(proj(p + "self_attn.o_proj.weight"))
+            gate_up.append(np.concatenate([
+                proj(p + "mlp.gate_proj.weight"),
+                proj(p + "mlp.up_proj.weight")], axis=1))
+            down.append(proj(p + "mlp.down_proj.weight"))
+            in_n.append(t(p + "input_layernorm.weight"))
+            post_n.append(t(p + "post_attention_layernorm.weight"))
+
+        def stack(xs):
+            return jnp.asarray(np.stack(xs), self.dtype)
+
+        params = {
+            "embed": jnp.asarray(t("model.embed_tokens.weight"), self.dtype),
+            "layers": {
+                "wqkv": stack(wqkv),
+                "wo": stack(wo),
+                "w_gate_up": stack(gate_up),
+                "w_down": stack(down),
+                "input_norm": stack(in_n),
+                "post_norm": stack(post_n),
+            },
+            "final_norm": jnp.asarray(t("model.norm.weight"), self.dtype),
+        }
+        if not a.tie_word_embeddings:
+            params["lm_head"] = jnp.asarray(
+                t("lm_head.weight").T, self.dtype)
+        return params
+
+    # ---- forward --------------------------------------------------------
+
+    def forward_hidden(
+        self, params: dict, token_ids: jnp.ndarray,
+        positions: jnp.ndarray,
+        attn_fn: Callable[[int, jnp.ndarray, jnp.ndarray, jnp.ndarray],
+                          jnp.ndarray],
+    ) -> jnp.ndarray:
+        """token_ids/positions [T] -> hidden [T, D].
+
+        ``attn_fn(layer_idx, q, k, v)`` receives post-rope q [T, H, d] and
+        k/v [T, Hkv, d] and returns the attention output [T, H, d].
+        """
+        a = self.arch
+        h = params["embed"][token_ids]
+        cos, sin = rope_cos_sin(positions, a.head_dim, a.rope_theta,
+                                scaling=a.rope_scaling)
+        L = params["layers"]
+        q_sz = a.num_heads * a.head_dim
+        kv_sz = a.num_kv_heads * a.head_dim
+        t = token_ids.shape[0]
+        for i in range(a.num_layers):
+            x = rms_norm(h, L["input_norm"][i], a.rms_norm_eps)
+            qkv = x @ L["wqkv"][i]
+            q = qkv[:, :q_sz].reshape(t, a.num_heads, a.head_dim)
+            k = qkv[:, q_sz:q_sz + kv_sz].reshape(t, a.num_kv_heads,
+                                                  a.head_dim)
+            v = qkv[:, q_sz + kv_sz:].reshape(t, a.num_kv_heads, a.head_dim)
+            q, k = apply_rope(q, k, cos, sin)
+            attn_out = attn_fn(i, q, k, v)
+            h = h + attn_out.reshape(t, q_sz) @ L["wo"][i]
+
+            x = rms_norm(h, L["post_norm"][i], a.rms_norm_eps)
+            gate_up = x @ L["w_gate_up"][i]
+            gate = gate_up[:, :a.intermediate_size]
+            up = gate_up[:, a.intermediate_size:]
+            h = h + (jax.nn.silu(gate) * up) @ L["w_down"][i]
+        return rms_norm(h, params["final_norm"], a.rms_norm_eps)
+
+    def logits(self, params: dict, hidden: jnp.ndarray) -> jnp.ndarray:
+        if self.arch.tie_word_embeddings:
+            return hidden @ params["embed"].T
+        return hidden @ params["lm_head"]
+
+    # ---- sizing ---------------------------------------------------------
+
+    def param_bytes(self) -> int:
+        a = self.arch
+        itemsize = jnp.dtype(self.dtype).itemsize
+        per_layer = (a.hidden_size * (a.num_heads + 2 * a.num_kv_heads)
+                     * a.head_dim
+                     + a.num_heads * a.head_dim * a.hidden_size
+                     + 3 * a.hidden_size * a.intermediate_size
+                     + 2 * a.hidden_size)
+        emb = a.vocab_size * a.hidden_size
+        total = emb * (1 if a.tie_word_embeddings else 2) \
+            + a.num_layers * per_layer + a.hidden_size
+        return total * itemsize
+
+    def kv_bytes_per_token(self, kv_dtype=jnp.bfloat16) -> int:
+        a = self.arch
+        return (2 * a.num_kv_heads * a.head_dim * a.num_layers
+                * jnp.dtype(kv_dtype).itemsize)

@@ -1,0 +1,204 @@
+"""OPT-family decoder in functional JAX.
+
+TPU-native re-design of the reference OPT implementation
+(vllm/model_executor/models/opt.py).  Same injected-attention design as
+LlamaModel; differences from Llama: learned positional embeddings (with the
+OPT +2 offset), LayerNorm (with bias) instead of RMSNorm, biased projections,
+ReLU MLP, tied lm_head.  Covers BASELINE config #1 (opt-125m parity).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass
+class OPTArch:
+    vocab_size: int = 50272
+    hidden_size: int = 768
+    ffn_dim: int = 3072
+    num_layers: int = 12
+    num_heads: int = 12
+    max_position_embeddings: int = 2048
+    do_layer_norm_before: bool = True
+    tie_word_embeddings: bool = True
+
+    # OPT uses MHA only.
+    @property
+    def num_kv_heads(self) -> int:
+        return self.num_heads
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @classmethod
+    def from_hf_config(cls, cfg: dict) -> "OPTArch":
+        return cls(
+            vocab_size=cfg["vocab_size"],
+            hidden_size=cfg["hidden_size"],
+            ffn_dim=cfg["ffn_dim"],
+            num_layers=cfg["num_hidden_layers"],
+            num_heads=cfg["num_attention_heads"],
+            max_position_embeddings=cfg.get("max_position_embeddings", 2048),
+            do_layer_norm_before=cfg.get("do_layer_norm_before", True),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", True),
+        )
+
+
+def layer_norm(x, w, b, eps=1e-5):
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(axis=-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(axis=-1, keepdims=True)
+    out = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (out * w.astype(jnp.float32)
+            + b.astype(jnp.float32)).astype(x.dtype)
+
+
+class OPTModel:
+    architecture = "opt"
+
+    def __init__(self, arch: OPTArch, dtype=jnp.float32):
+        self.arch = arch
+        self.dtype = dtype
+
+    def init_params(self, seed: int = 0) -> dict:
+        a = self.arch
+        rng = np.random.default_rng(seed)
+
+        def w(*shape):
+            return jnp.asarray(
+                rng.standard_normal(shape, dtype=np.float32) * 0.02,
+                self.dtype)
+
+        def zeros(*shape):
+            return jnp.zeros(shape, self.dtype)
+
+        layers = {
+            "wqkv": w(a.num_layers, a.hidden_size, 3 * a.hidden_size),
+            "bqkv": zeros(a.num_layers, 3 * a.hidden_size),
+            "wo": w(a.num_layers, a.hidden_size, a.hidden_size),
+            "bo": zeros(a.num_layers, a.hidden_size),
+            "attn_ln_w": jnp.ones((a.num_layers, a.hidden_size), self.dtype),
+            "attn_ln_b": zeros(a.num_layers, a.hidden_size),
+            "fc1_w": w(a.num_layers, a.hidden_size, a.ffn_dim),
+            "fc1_b": zeros(a.num_layers, a.ffn_dim),
+            "fc2_w": w(a.num_layers, a.ffn_dim, a.hidden_size),
+            "fc2_b": zeros(a.num_layers, a.hidden_size),
+            "final_ln_w": jnp.ones((a.num_layers, a.hidden_size),
+                                   self.dtype),
+            "final_ln_b": zeros(a.num_layers, a.hidden_size),
+        }
+        return {
+            "embed": w(a.vocab_size, a.hidden_size),
+            "embed_pos": w(a.max_position_embeddings + 2, a.hidden_size),
+            "layers": layers,
+            "final_ln_w": jnp.ones((a.hidden_size,), self.dtype),
+            "final_ln_b": zeros(a.hidden_size),
+        }
+
+    def load_hf_state_dict(self, tensors: dict[str, np.ndarray]) -> dict:
+        a = self.arch
+
+        def t(name):
+            # transformers prefixes with model.decoder. for OPTForCausalLM
+            for cand in (name, "model.decoder." + name, "decoder." + name):
+                if cand in tensors:
+                    return np.asarray(tensors[cand])
+            raise KeyError(name)
+
+        wqkv, bqkv, wo, bo = [], [], [], []
+        alw, alb, f1w, f1b, f2w, f2b, flw, flb = ([] for _ in range(8))
+        for i in range(a.num_layers):
+            p = f"layers.{i}."
+            wqkv.append(np.concatenate(
+                [t(p + f"self_attn.{x}_proj.weight").T
+                 for x in ("q", "k", "v")], axis=1))
+            bqkv.append(np.concatenate(
+                [t(p + f"self_attn.{x}_proj.bias") for x in ("q", "k", "v")]))
+            wo.append(t(p + "self_attn.out_proj.weight").T)
+            bo.append(t(p + "self_attn.out_proj.bias"))
+            alw.append(t(p + "self_attn_layer_norm.weight"))
+            alb.append(t(p + "self_attn_layer_norm.bias"))
+            f1w.append(t(p + "fc1.weight").T)
+            f1b.append(t(p + "fc1.bias"))
+            f2w.append(t(p + "fc2.weight").T)
+            f2b.append(t(p + "fc2.bias"))
+            flw.append(t(p + "final_layer_norm.weight"))
+            flb.append(t(p + "final_layer_norm.bias"))
+
+        def stack(xs):
+            return jnp.asarray(np.stack(xs), self.dtype)
+
+        return {
+            "embed": jnp.asarray(t("embed_tokens.weight"), self.dtype),
+            "embed_pos": jnp.asarray(t("embed_positions.weight"),
+                                     self.dtype),
+            "layers": {
+                "wqkv": stack(wqkv), "bqkv": stack(bqkv),
+                "wo": stack(wo), "bo": stack(bo),
+                "attn_ln_w": stack(alw), "attn_ln_b": stack(alb),
+                "fc1_w": stack(f1w), "fc1_b": stack(f1b),
+                "fc2_w": stack(f2w), "fc2_b": stack(f2b),
+                "final_ln_w": stack(flw), "final_ln_b": stack(flb),
+            },
+            "final_ln_w": jnp.asarray(t("final_layer_norm.weight"),
+                                      self.dtype),
+            "final_ln_b": jnp.asarray(t("final_layer_norm.bias"),
+                                      self.dtype),
+        }
+
+    def forward_hidden(self, params, token_ids, positions,
+                       attn_fn: Callable) -> jnp.ndarray:
+        a = self.arch
+        t = token_ids.shape[0]
+        # OPT's learned positional table is offset by 2 (HF
+        # OPTLearnedPositionalEmbedding).
+        h = params["embed"][token_ids] + params["embed_pos"][positions + 2]
+        L = params["layers"]
+        for i in range(a.num_layers):
+            res = h
+            x = layer_norm(h, L["attn_ln_w"][i], L["attn_ln_b"][i]) \
+                if a.do_layer_norm_before else h
+            qkv = x @ L["wqkv"][i] + L["bqkv"][i]
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q = q.reshape(t, a.num_heads, a.head_dim)
+            k = k.reshape(t, a.num_heads, a.head_dim)
+            v = v.reshape(t, a.num_heads, a.head_dim)
+            attn = attn_fn(i, q, k, v).reshape(t, a.hidden_size)
+            h = res + attn @ L["wo"][i] + L["bo"][i]
+            if not a.do_layer_norm_before:
+                h = layer_norm(h, L["attn_ln_w"][i], L["attn_ln_b"][i])
+
+            res = h
+            x = layer_norm(h, L["final_ln_w"][i], L["final_ln_b"][i]) \
+                if a.do_layer_norm_before else h
+            x = jax.nn.relu(x @ L["fc1_w"][i] + L["fc1_b"][i])
+            h = res + x @ L["fc2_w"][i] + L["fc2_b"][i]
+            if not a.do_layer_norm_before:
+                h = layer_norm(h, L["final_ln_w"][i], L["final_ln_b"][i])
+        if a.do_layer_norm_before:
+            h = layer_norm(h, params["final_ln_w"], params["final_ln_b"])
+        return h
+
+    def logits(self, params, hidden):
+        return hidden @ params["embed"].T
+
+    def param_bytes(self) -> int:
+        a = self.arch
+        itemsize = jnp.dtype(self.dtype).itemsize
+        per_layer = (4 * a.hidden_size ** 2 + 2 * a.hidden_size * a.ffn_dim
+                     + 8 * a.hidden_size + a.ffn_dim)
+        total = (a.vocab_size + a.max_position_embeddings + 2) \
+            * a.hidden_size + a.num_layers * per_layer
+        return total * itemsize
+
+    def kv_bytes_per_token(self, kv_dtype=jnp.bfloat16) -> int:
+        a = self.arch
+        return (2 * a.hidden_size * a.num_layers
+                * jnp.dtype(kv_dtype).itemsize)

@@ -1,0 +1,48 @@
+"""Model registry: HF architecture string -> model class
+(reference: vllm/model_executor/models/registry.py, lazy-load pattern)."""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+
+_REGISTRY: dict[str, Any] = {}
+
+
+def register_model(hf_arch: str):
+    def deco(cls):
+        _REGISTRY[hf_arch] = cls
+        return cls
+    return deco
+
+
+def _ensure_builtin():
+    if _REGISTRY:
+        return
+    from .llama import LlamaArch, LlamaModel
+    from .opt import OPTArch, OPTModel
+    _REGISTRY.update({
+        "LlamaForCausalLM": (LlamaModel, LlamaArch),
+        "MistralForCausalLM": (LlamaModel, LlamaArch),
+        "OPTForCausalLM": (OPTModel, OPTArch),
+    })
+
+
+def supported_architectures() -> list[str]:
+    _ensure_builtin()
+    return sorted(_REGISTRY)
+
+
+def build_model(hf_config: dict, dtype=jnp.bfloat16):
+    """Instantiate a model from an HF config dict (its ``architectures``
+    field picks the class)."""
+    _ensure_builtin()
+    archs = hf_config.get("architectures") or []
+    for name in archs:
+        if name in _REGISTRY:
+            model_cls, arch_cls = _REGISTRY[name]
+            return model_cls(arch_cls.from_hf_config(hf_config), dtype=dtype)
+    raise ValueError(
+        f"No supported architecture in {archs}; "
+        f"supported: {supported_architectures()}")

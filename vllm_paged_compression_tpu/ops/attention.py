@@ -1,0 +1,114 @@
+"""Attention reference implementations in pure jnp.
+
+These are the semantic oracles for the Pallas kernels (ops/pallas/*) and the
+always-available fallback path.  They cover the three attention shapes the
+reference engine needs:
+
+- ``prefill_attention``        — full causal self-attention over one prompt
+  (reference: per-seq torch.sdpa loop, torch_cuda_sdpa.py:1069-1127).
+- ``pruned_prefill_attention`` — queries = all prompt tokens, keys = the
+  pruned subset, with torch-sdpa ``is_causal`` top-left-aligned masking
+  (query i attends kept-key j iff j <= i) — the evict-then-attend prefill
+  semantics of torch_cuda_sdpa.py:1118-1125.
+- ``paged_decode_attention``   — one query token per sequence against the
+  paged KV cache through a block table (reference: PagedAttention
+  forward_decode → csrc paged_attention_v1/v2).
+
+All functions take [tokens, heads, head_dim] layouts and handle GQA by
+logical head-group broadcast (no materialized repeat_interleave — the einsum
+reshapes queries to [kv_heads, group, ...] instead, which XLA maps onto the
+MXU without duplicating K/V bytes).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+_NEG_INF = -2.0**30  # large-negative instead of -inf: avoids NaNs for fully
+                     # masked rows (padded queries), matches masked-softmax
+                     # behavior of the CUDA kernels for valid rows.
+
+
+def _group_query(q: jnp.ndarray, num_kv_heads: int):
+    """[T, H, d] -> [T, Hkv, G, d] where H = Hkv * G."""
+    t, h, d = q.shape
+    group = h // num_kv_heads
+    return q.reshape(t, num_kv_heads, group, d), group
+
+
+def _masked_softmax(scores: jnp.ndarray, mask: jnp.ndarray):
+    scores = jnp.where(mask, scores, _NEG_INF)
+    scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+    probs = jnp.exp(scores)
+    return probs / (jnp.sum(probs, axis=-1, keepdims=True) + 1e-9)
+
+
+def prefill_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                      scale: float, q_len: jnp.ndarray | int) -> jnp.ndarray:
+    """Causal self-attention for one (padded) prompt.
+
+    q: [T, H, d], k/v: [T, Hkv, d]; positions beyond ``q_len`` are padding.
+    Returns [T, H, d] (garbage rows at padding positions).
+    """
+    t = q.shape[0]
+    qg, group = _group_query(q, k.shape[1])
+    scores = jnp.einsum("tkgd,skd->kgts", qg.astype(jnp.float32),
+                        k.astype(jnp.float32)) * scale
+    pos = jnp.arange(t)
+    causal = pos[:, None] >= pos[None, :]
+    valid = pos[None, :] < q_len
+    probs = _masked_softmax(scores, (causal & valid)[None, None])
+    out = jnp.einsum("kgts,skd->tkgd", probs, v.astype(jnp.float32))
+    return out.reshape(t, -1, q.shape[-1]).astype(q.dtype)
+
+
+def pruned_prefill_attention(q: jnp.ndarray, k_kept: jnp.ndarray,
+                             v_kept: jnp.ndarray, scale: float,
+                             q_len: jnp.ndarray | int,
+                             kept_len: jnp.ndarray | int) -> jnp.ndarray:
+    """Evict-then-attend prefill: all queries vs the pruned key set.
+
+    torch.sdpa with ``is_causal=True`` on an [L, S] problem builds a
+    *top-left aligned* triangular mask (query i sees keys j <= i), so late
+    queries see every kept key and early queries see only the first few kept
+    rows — we reproduce that exactly (torch_cuda_sdpa.py:1118-1125).
+    """
+    t = q.shape[0]
+    s = k_kept.shape[0]
+    qg, group = _group_query(q, k_kept.shape[1])
+    scores = jnp.einsum("tkgd,skd->kgts", qg.astype(jnp.float32),
+                        k_kept.astype(jnp.float32)) * scale
+    qpos = jnp.arange(t)[:, None]
+    kpos = jnp.arange(s)[None, :]
+    mask = (kpos <= qpos) & (kpos < kept_len) & (qpos < q_len)
+    probs = _masked_softmax(scores, mask[None, None])
+    out = jnp.einsum("kgts,skd->tkgd", probs, v_kept.astype(jnp.float32))
+    return out.reshape(t, -1, q.shape[-1]).astype(q.dtype)
+
+
+def paged_decode_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
+                           v_cache: jnp.ndarray, block_tables: jnp.ndarray,
+                           kv_lens: jnp.ndarray, scale: float) -> jnp.ndarray:
+    """Single-token decode attention through block tables.
+
+    q:            [B, H, d]
+    k/v_cache:    [num_pages, page_size, Hkv, d]
+    block_tables: [B, max_pages] int32 (entries past the seq's pages = 0;
+                  masked out by kv_lens, so index 0 stays in-bounds)
+    kv_lens:      [B] physical KV length per sequence
+    Returns [B, H, d].
+    """
+    b, h, d = q.shape
+    page_size = k_cache.shape[1]
+    num_kv = k_cache.shape[2]
+    max_pages = block_tables.shape[1]
+    # Gather pages: [B, max_pages, page_size, Hkv, d] -> [B, S, Hkv, d]
+    k = k_cache[block_tables].reshape(b, max_pages * page_size, num_kv, d)
+    v = v_cache[block_tables].reshape(b, max_pages * page_size, num_kv, d)
+    qg = q.reshape(b, num_kv, h // num_kv, d)
+    scores = jnp.einsum("bkgd,bskd->bkgs", qg.astype(jnp.float32),
+                        k.astype(jnp.float32)) * scale
+    valid = jnp.arange(max_pages * page_size)[None, :] < kv_lens[:, None]
+    probs = _masked_softmax(scores, valid[:, None, None, :])
+    out = jnp.einsum("bkgs,bskd->bkgd", probs, v.astype(jnp.float32))
+    return out.reshape(b, h, d).astype(q.dtype)

@@ -1,0 +1,73 @@
+"""Rotary position embeddings, HF-Llama-compatible (rotate_half convention).
+
+TPU-native analog of the reference's rotary_embedding custom op
+(vllm/model_executor/layers/rotary_embedding.py + csrc/pos_encoding_kernels.cu):
+here it is pure jnp — XLA fuses the elementwise math into the surrounding
+projections, so no custom kernel is warranted.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def rope_cos_sin(positions: jnp.ndarray, head_dim: int, theta: float,
+                 dtype=jnp.float32, scaling: dict | None = None):
+    """cos/sin tables for given integer positions, shape [T, head_dim].
+
+    Matches transformers' LlamaRotaryEmbedding: inv_freq over even dims,
+    duplicated (not interleaved) across the two halves.  ``scaling`` supports
+    the llama3 rope-scaling dict (rope_type "llama3") and plain "linear".
+    """
+    inv_freq = 1.0 / (theta ** (
+        jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    if scaling:
+        rope_type = scaling.get("rope_type", scaling.get("type", ""))
+        if rope_type == "llama3":
+            inv_freq = _llama3_scale_inv_freq(inv_freq, scaling)
+        elif rope_type == "linear":
+            inv_freq = inv_freq / float(scaling["factor"])
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq  # [T, d/2]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)               # [T, d]
+    return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
+
+
+def _llama3_scale_inv_freq(inv_freq, scaling):
+    """Llama-3.1 NTK-by-parts frequency scaling (transformers
+    modeling_rope_utils._compute_llama3_parameters)."""
+    factor = float(scaling["factor"])
+    low_freq_factor = float(scaling["low_freq_factor"])
+    high_freq_factor = float(scaling["high_freq_factor"])
+    old_context_len = float(scaling["original_max_position_embeddings"])
+    low_freq_wavelen = old_context_len / low_freq_factor
+    high_freq_wavelen = old_context_len / high_freq_factor
+    wavelen = 2 * jnp.pi / inv_freq
+    scaled = inv_freq / factor
+    smooth = (old_context_len / wavelen - low_freq_factor) / (
+        high_freq_factor - low_freq_factor)
+    smoothed = (1 - smooth) * scaled + smooth * inv_freq
+    out = jnp.where(wavelen > low_freq_wavelen, scaled, inv_freq)
+    is_medium = (wavelen <= low_freq_wavelen) & (wavelen >= high_freq_wavelen)
+    return jnp.where(is_medium, smoothed, out)
+
+
+def _rotate_half(x):
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+def apply_rope(q: jnp.ndarray, k: jnp.ndarray, cos: jnp.ndarray,
+               sin: jnp.ndarray):
+    """Apply rotary embedding. q/k: [T, heads, head_dim]; cos/sin: [T, head_dim].
+
+    Computed in fp32 and cast back: matches the reference CUDA op's internal
+    float accumulation.
+    """
+    cos = cos[:, None, :]
+    sin = sin[:, None, :]
+
+    def rot(x):
+        xf = x.astype(jnp.float32)
+        return (xf * cos + _rotate_half(xf) * sin).astype(x.dtype)
+
+    return rot(q), rot(k)

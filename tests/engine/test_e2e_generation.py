@@ -1,0 +1,181 @@
+"""End-to-end generation tests through the LLM API on tiny models (CPU).
+
+Reference analog: tests/basic_correctness/ — greedy continuations through
+the full engine (paged cache + continuous batching) must match a plain
+full-context forward with the same weights.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from vllm_paged_compression_tpu.entrypoints.llm import LLM
+from vllm_paged_compression_tpu.models.llama import LlamaArch, LlamaModel
+from vllm_paged_compression_tpu.ops.attention import prefill_attention
+from vllm_paged_compression_tpu.sampling_params import SamplingParams
+
+TINY_LLAMA_CFG = {
+    "architectures": ["LlamaForCausalLM"],
+    "vocab_size": 128, "hidden_size": 64, "intermediate_size": 128,
+    "num_hidden_layers": 2, "num_attention_heads": 4,
+    "num_key_value_heads": 2, "max_position_embeddings": 512,
+    "rope_theta": 10000.0, "rms_norm_eps": 1e-5,
+    "tie_word_embeddings": True, "eos_token_id": None,
+}
+
+
+def tiny_llm(**kw):
+    return LLM(hf_config=TINY_LLAMA_CFG, dtype="float32", block_size=4,
+               max_model_len=256, num_device_blocks=128, seed=0,
+               max_num_seqs=8, **kw)
+
+
+def oracle_continuation(llm, prompt_ids, n_tokens):
+    """Greedy continuation via repeated full-context forward (no paging)."""
+    model = llm.engine.model
+    params = llm.engine.params
+    scale = model.arch.head_dim ** -0.5
+    ids = list(prompt_ids)
+    out = []
+    for _ in range(n_tokens):
+        t = len(ids)
+        h = model.forward_hidden(
+            params, jnp.array(ids), jnp.arange(t),
+            lambda l, q, k, v: prefill_attention(q, k, v, scale, t))
+        tok = int(jnp.argmax(model.logits(params, h)[-1]))
+        out.append(tok)
+        ids.append(tok)
+    return out
+
+
+class TestGreedyParity:
+    def test_single_request_matches_oracle(self):
+        llm = tiny_llm()
+        prompt = [1, 17, 33, 5, 99, 2, 8, 61, 40, 7]
+        outs = llm.generate(
+            prompt_token_ids=[prompt],
+            sampling_params=SamplingParams(temperature=0.0, max_tokens=12))
+        got = outs[0].outputs[0].token_ids
+        expect = oracle_continuation(llm, prompt, 12)
+        assert got == expect
+
+    def test_batched_requests_match_oracle(self):
+        llm = tiny_llm()
+        prompts = [[1, 5, 9, 13], [2, 4, 6, 8, 10, 12, 14],
+                   [100, 90, 80, 70, 60, 50, 40, 30, 20, 10, 5]]
+        outs = llm.generate(
+            prompt_token_ids=prompts,
+            sampling_params=SamplingParams(temperature=0.0, max_tokens=8))
+        for p, o in zip(prompts, outs):
+            assert o.outputs[0].token_ids == oracle_continuation(llm, p, 8), \
+                f"mismatch for prompt {p}"
+
+    def test_continuous_batching_joins_mid_flight(self):
+        """Requests added while others decode must not perturb them."""
+        llm = tiny_llm()
+        eng = llm.engine
+        p1 = [1, 17, 33, 5, 99, 2, 8, 61]
+        p2 = [9, 9, 3, 1, 44]
+        eng.add_request(request_id="a", prompt_token_ids=p1,
+                        sampling_params=SamplingParams(temperature=0.0,
+                                                       max_tokens=10))
+        # a prefills + decodes a few steps alone
+        for _ in range(4):
+            eng.step()
+        eng.add_request(request_id="b", prompt_token_ids=p2,
+                        sampling_params=SamplingParams(temperature=0.0,
+                                                       max_tokens=10))
+        finals = {}
+        while eng.has_unfinished_requests():
+            for out in eng.step():
+                if out.finished:
+                    finals[out.request_id] = out
+        assert finals["a"].outputs[0].token_ids == \
+            oracle_continuation(llm, p1, 10)
+        assert finals["b"].outputs[0].token_ids == \
+            oracle_continuation(llm, p2, 10)
+
+
+class TestSamplingE2E:
+    def test_seeded_sampling_deterministic(self):
+        llm = tiny_llm()
+        sp = SamplingParams(temperature=0.8, seed=7, max_tokens=10)
+        a = llm.generate(prompt_token_ids=[[1, 2, 3, 4]],
+                         sampling_params=sp)[0].outputs[0].token_ids
+        b = llm.generate(prompt_token_ids=[[1, 2, 3, 4]],
+                         sampling_params=sp)[0].outputs[0].token_ids
+        assert a == b
+
+    def test_stop_token(self):
+        llm = tiny_llm()
+        base = llm.generate(
+            prompt_token_ids=[[1, 2, 3, 4]],
+            sampling_params=SamplingParams(temperature=0.0, max_tokens=10)
+        )[0].outputs[0].token_ids
+        stop_at = base[3]
+        out = llm.generate(
+            prompt_token_ids=[[1, 2, 3, 4]],
+            sampling_params=SamplingParams(temperature=0.0, max_tokens=10,
+                                           stop_token_ids=[stop_at]))[0]
+        first = base.index(stop_at)
+        assert out.outputs[0].token_ids == base[:first + 1]
+        assert out.outputs[0].finish_reason == "stop"
+
+
+class TestEvictionE2E:
+    @pytest.mark.parametrize("method,selection", [
+        ("streamingLLM", "l2"),
+        ("streamingLLM-1", "l2"),
+        ("local", "l2"),
+        ("global", "l2"),
+        ("global", "random"),
+        ("inverse_key_l2", "l2"),
+    ])
+    def test_long_generation_stays_within_budget(self, method, selection):
+        budget = 16  # tiny: block 4 => sink + 2 middle + tail
+        llm = tiny_llm(enable_paged_eviction=True, evict_method=method,
+                       cache_budget=budget,
+                       topk_blocks=2 if method == "local" else -1,
+                       evict_selection=selection)
+        prompt = list(np.arange(40) % 128)
+        outs = llm.generate(
+            prompt_token_ids=[prompt],
+            sampling_params=SamplingParams(temperature=0.0, max_tokens=30))
+        assert len(outs[0].outputs[0].token_ids) == 30
+        # All pages were released at finish.
+        assert llm.engine.scheduler.allocator.num_allocated_blocks == 0
+
+    def test_kv_len_bounded_during_decode(self):
+        budget = 16
+        llm = tiny_llm(enable_paged_eviction=True,
+                       evict_method="streamingLLM", cache_budget=budget)
+        eng = llm.engine
+        eng.add_request(request_id="a",
+                        prompt_token_ids=list(np.arange(40) % 128),
+                        sampling_params=SamplingParams(temperature=0.0,
+                                                       max_tokens=40))
+        seq = eng.scheduler.waiting[0]
+        max_kv = 0
+        while eng.has_unfinished_requests():
+            eng.step()
+            if seq.block_table is not None:
+                max_kv = max(max_kv, seq.block_table.num_kv_slots)
+        assert max_kv <= budget + 4  # budget + one block transient
+
+    def test_eviction_reduces_pool_pressure(self):
+        prompt = [int(x) for x in np.arange(64) % 128]
+        kw = dict(prompt_token_ids=prompt,
+                  sampling_params=SamplingParams(temperature=0.0,
+                                                 max_tokens=20))
+        llm_full = tiny_llm()
+        llm_ev = tiny_llm(enable_paged_eviction=True,
+                          evict_method="streamingLLM", cache_budget=16)
+        peak_full, peak_ev = [], []
+        for llm, peaks in ((llm_full, peak_full), (llm_ev, peak_ev)):
+            eng = llm.engine
+            eng.add_request(request_id="x", **kw)
+            while eng.has_unfinished_requests():
+                eng.step()
+                peaks.append(eng.scheduler.allocator.num_allocated_blocks)
+        assert max(peak_ev) < max(peak_full)

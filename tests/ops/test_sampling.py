@@ -10,13 +10,12 @@ from vllm_paged_compression_tpu.ops.sampling import (SamplingTensors,
 
 
 def make_tensors(b, temperature=0.0, top_p=1.0, top_k=-1, seed=0):
-    keys = jax.vmap(lambda i: jax.random.key_data(
-        jax.random.PRNGKey(seed + i)))(jnp.arange(b))
     return SamplingTensors(
         temperature=jnp.full((b,), temperature, jnp.float32),
         top_p=jnp.full((b,), top_p, jnp.float32),
         top_k=jnp.full((b,), top_k, jnp.int32),
-        key=keys)
+        seed=seed + jnp.arange(b, dtype=jnp.int32),
+        step=jnp.zeros(b, jnp.int32))
 
 
 def test_greedy_is_argmax():

@@ -13,9 +13,9 @@ class TestPagedEvictConfig:
         cfg = PagedEvictConfig()
         cfg.verify(block_size=16)
 
-    def test_budget_minimum(self):
-        with pytest.raises(ValueError):
-            PagedEvictConfig(cache_budget=64).verify(block_size=16)
+    def test_small_budget_allowed_in_core(self):
+        # The reference's >=128 floor is enforced at the CLI layer only.
+        PagedEvictConfig(cache_budget=64).verify(block_size=16)
 
     def test_budget_three_blocks(self):
         with pytest.raises(ValueError):

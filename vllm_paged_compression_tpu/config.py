@@ -95,9 +95,10 @@ class PagedEvictConfig:
         if self.evict_method not in EVICT_METHODS:
             raise ValueError(
                 f"evict_method {self.evict_method!r} not in {EVICT_METHODS}")
-        if self.cache_budget < 128:
-            raise ValueError("cache_budget must be >= 128 "
-                             "(reference vllm/config.py:971)")
+        # NOTE: the reference additionally floors cache_budget at 128
+        # (vllm/config.py:971); that check lives in the CLI arg layer
+        # (engine/arg_utils.py) so tiny-budget unit tests can exercise the
+        # core with small block sizes.
         # Reference kvcache_prunner.py:15 requires budget >= 3 blocks so the
         # sink block, >=1 middle block, and the tail block all fit.
         if self.cache_budget < 3 * block_size:

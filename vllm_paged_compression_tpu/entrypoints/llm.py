@@ -1,0 +1,77 @@
+"""Offline batch inference API (reference vllm/entrypoints/llm.py:45)."""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence as Seq, Union
+
+from ..config import (CacheConfig, EngineConfig, ModelConfig,
+                      PagedEvictConfig, SchedulerConfig)
+from ..engine.llm_engine import LLMEngine
+from ..outputs import RequestOutput
+from ..sampling_params import SamplingParams
+
+
+class LLM:
+    """Synchronous generate-everything front end over LLMEngine."""
+
+    def __init__(self, model: str = "", hf_config: Optional[dict] = None,
+                 dtype: str = "bfloat16", block_size: int = 16,
+                 max_model_len: int = 8192, max_num_seqs: int = 64,
+                 num_device_blocks: Optional[int] = None,
+                 gpu_memory_utilization: float = 0.9,
+                 enable_paged_eviction: bool = False,
+                 evict_method: str = "streamingLLM",
+                 cache_budget: int = 1024, topk_blocks: int = -1,
+                 disable_evict_prefill: bool = False,
+                 evict_selection: str = "l2",
+                 kv_cache_dtype: str = "auto",
+                 params=None, seed: int = 0):
+        evict = None
+        if enable_paged_eviction:
+            evict = PagedEvictConfig(
+                enabled=True, evict_method=evict_method,
+                cache_budget=cache_budget, topk_blocks=topk_blocks,
+                disable_evict_prefill=disable_evict_prefill,
+                selection=evict_selection)
+        config = EngineConfig(
+            model=ModelConfig(model=model, hf_config=hf_config, dtype=dtype,
+                              max_model_len=max_model_len, seed=seed),
+            cache=CacheConfig(block_size=block_size,
+                              num_device_blocks=num_device_blocks,
+                              gpu_memory_utilization=gpu_memory_utilization,
+                              cache_dtype=kv_cache_dtype,
+                              paged_evict=evict),
+            scheduler=SchedulerConfig(max_num_seqs=max_num_seqs,
+                                      max_model_len=max_model_len))
+        self.engine = LLMEngine(config, params=params)
+
+    def generate(
+        self,
+        prompts: Optional[Union[str, Seq[str]]] = None,
+        sampling_params: Optional[Union[SamplingParams,
+                                        Seq[SamplingParams]]] = None,
+        prompt_token_ids: Optional[Seq[Seq[int]]] = None,
+    ) -> list[RequestOutput]:
+        if prompts is not None and isinstance(prompts, str):
+            prompts = [prompts]
+        n = len(prompts) if prompts is not None else len(prompt_token_ids)
+        if sampling_params is None:
+            sampling_params = SamplingParams()
+        if isinstance(sampling_params, SamplingParams):
+            sampling_params = [sampling_params] * n
+
+        ids = []
+        for i in range(n):
+            rid = self.engine.add_request(
+                prompt=prompts[i] if prompts is not None else None,
+                prompt_token_ids=(list(prompt_token_ids[i])
+                                  if prompt_token_ids is not None else None),
+                sampling_params=sampling_params[i])
+            ids.append(rid)
+
+        finals: dict[str, RequestOutput] = {}
+        while self.engine.has_unfinished_requests():
+            for out in self.engine.step():
+                if out.finished:
+                    finals[out.request_id] = out
+        return [finals[rid] for rid in ids]

@@ -16,12 +16,18 @@ import jax.numpy as jnp
 
 
 class SamplingTensors(NamedTuple):
-    """Per-sequence sampling parameters, stacked [B]."""
+    """Per-sequence sampling parameters, stacked [B].
+
+    PRNG keys are derived in-graph as fold_in(PRNGKey(seed), step): the host
+    passes plain integers, keeping the hot loop free of host-side key
+    plumbing while staying deterministic per request.
+    """
 
     temperature: jnp.ndarray   # f32; 0 => greedy
     top_p: jnp.ndarray         # f32 in (0, 1]
     top_k: jnp.ndarray         # i32; <= 0 => disabled
-    key: jnp.ndarray           # [B, 2] uint32 PRNG keys (counter-based)
+    seed: jnp.ndarray          # i32 per-seq base seed
+    step: jnp.ndarray          # i32 decode step counter
 
 
 def sample(logits: jnp.ndarray, t: SamplingTensors) -> jnp.ndarray:
@@ -52,9 +58,9 @@ def sample(logits: jnp.ndarray, t: SamplingTensors) -> jnp.ndarray:
     scaled = jnp.where(scaled < thresh, -jnp.inf, scaled)
 
     sampled = jax.vmap(
-        lambda key, lg: jax.random.categorical(
-            jax.random.wrap_key_data(key, impl="threefry2x32"), lg)
-    )(t.key, scaled)
+        lambda seed, step, lg: jax.random.categorical(
+            jax.random.fold_in(jax.random.PRNGKey(seed), step), lg)
+    )(t.seed, t.step, scaled)
     return jnp.where(t.temperature <= 0.0, greedy_ids, sampled)
 
 

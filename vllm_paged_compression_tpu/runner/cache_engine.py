@@ -1,0 +1,111 @@
+"""KV-cache pool allocation and sizing.
+
+TPU-native analog of the reference CacheEngine (vllm/worker/cache_engine.py:15)
+plus the memory-profiling pool sizing of Worker.determine_num_available_blocks
+(vllm/worker/worker.py:186).  Differences:
+
+- Sizing is analytic, not profiled: on TPU the weights are materialized
+  arrays of known byte size and activation peaks are bounded by the largest
+  prefill bucket, so ``HBM * utilization - weights - activation headroom``
+  is deterministic.  (The reference must run a dummy forward because torch
+  caching allocators make free memory observable only empirically.)
+- One extra *trash page* is appended to the pool; padded lanes of scatter
+  writes are steered there instead of branching, keeping every cache write a
+  fixed-shape op.
+- A per-page value-L2 score array rides alongside the pool — the device-side
+  state behind decode-time victim selection (replaces the reference's
+  host-side BlockL2NormManager, vllm/attention/block_l2norm_manager.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CacheConfig, ModelConfig
+from ..utils import init_logger
+
+logger = init_logger(__name__)
+
+# Known per-chip HBM for TPU generations (GiB).  Overridable via
+# VPC_HBM_GIB for unlisted platforms.
+_HBM_GIB = {
+    "TPU v4": 32, "TPU v5 lite": 16, "TPU v5e": 16, "TPU v5": 16,
+    "TPU v5p": 95, "TPU v6 lite": 32, "TPU v6e": 32,
+}
+
+
+def device_hbm_bytes() -> int:
+    env = os.environ.get("VPC_HBM_GIB")
+    if env:
+        return int(float(env) * (1 << 30))
+    dev = jax.devices()[0]
+    stats = None
+    try:
+        stats = dev.memory_stats()
+    except Exception:
+        pass
+    if stats and stats.get("bytes_limit"):
+        return int(stats["bytes_limit"])
+    for k, v in _HBM_GIB.items():
+        if dev.device_kind.startswith(k):
+            return v << 30
+    # CPU simulation: pretend 16 GiB so sizing math is exercised.
+    return 16 << 30
+
+
+class CacheEngine:
+    def __init__(self, cache_config: CacheConfig, model,
+                 kv_dtype=jnp.bfloat16, num_shards: int = 1):
+        self.config = cache_config
+        self.block_size = cache_config.block_size
+        self.kv_dtype = kv_dtype
+        self.num_layers = model.arch.num_layers
+        self.num_kv_heads = model.arch.num_kv_heads
+        self.head_dim = model.arch.head_dim
+        page_bytes = (2 * self.block_size * self.num_kv_heads * self.head_dim
+                      * jnp.dtype(kv_dtype).itemsize * self.num_layers)
+        if cache_config.num_device_blocks is not None:
+            self.num_pages = cache_config.num_device_blocks
+        else:
+            total = device_hbm_bytes()
+            weights = model.param_bytes() // max(num_shards, 1)
+            headroom = int(os.environ.get("VPC_ACTIVATION_HEADROOM_MB",
+                                          "1024")) << 20
+            budget = int(total * cache_config.gpu_memory_utilization) \
+                - weights - headroom
+            self.num_pages = max(budget // page_bytes, 16)
+            logger.info(
+                "KV pool sizing: hbm=%.2f GiB weights=%.2f GiB -> "
+                "%d pages of %d tokens (%.2f GiB)",
+                total / (1 << 30), weights / (1 << 30), self.num_pages,
+                self.block_size, self.num_pages * page_bytes / (1 << 30))
+        self.page_bytes = page_bytes
+
+    @property
+    def trash_page(self) -> int:
+        """Index of the reserved scratch page (pool index num_pages)."""
+        return self.num_pages
+
+    @property
+    def trash_slot(self) -> int:
+        return self.num_pages * self.block_size
+
+    def allocate(self):
+        """Create per-layer (k, v) cache arrays + the page score array.
+
+        Layout [num_pages+1, page_size, Hkv, head_dim]: page-major so one
+        page is a contiguous [page_size, Hkv*d] tile — the DMA unit of the
+        Pallas paged-attention kernel (cf. reference layout
+        vllm/attention/ops/paged_attn.py:40-62, re-chosen for TPU tiling).
+        """
+        shape = (self.num_pages + 1, self.block_size, self.num_kv_heads,
+                 self.head_dim)
+        caches = [
+            (jnp.zeros(shape, self.kv_dtype), jnp.zeros(shape, self.kv_dtype))
+            for _ in range(self.num_layers)
+        ]
+        page_scores = jnp.zeros((self.num_pages + 1,), jnp.float32)
+        return caches, page_scores

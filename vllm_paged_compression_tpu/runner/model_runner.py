@@ -1,0 +1,339 @@
+"""Jitted per-step execution: prefill and decode programs.
+
+TPU-native re-design of the reference ModelRunner + attention backend
+(vllm/worker/model_runner.py:186,1623,1662 and
+vllm/attention/backends/torch_cuda_sdpa.py).  The reference's per-request
+Python loops (SDPA per sequence, CUDA-stream pruning, per-token slot-mapping
+loops) collapse into three fixed-shape XLA programs:
+
+- ``decode``: one batched step over all running sequences — cache scatter,
+  in-graph victim selection from device-maintained page scores, block-table
+  shift, paged attention, sampling.  The eviction feedback loop
+  (impl → sampler → engine → scheduler, SURVEY F9) becomes a single
+  ``victims`` output fetched together with the sampled tokens.
+- ``prefill``: one (bucketed) sequence — optional per-layer prompt pruning
+  (evict-then-attend or attend-then-evict), cache write, first-token sample.
+- page-score maintenance rides inside both (layer-0 value-L2 per filled
+  page, replacing BlockL2NormManager F4).
+
+Shape discipline: batch sizes and prompt lengths are bucketed to keep the
+jit cache small; padded lanes write to the cache-pool trash page and are
+masked out of attention by kv_len.  Block tables are padded to a static
+width (bounded by the cache budget when eviction is on).
+"""
+
+from __future__ import annotations
+
+import random
+import zlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import EngineConfig
+from ..core.scheduler import ScheduledDecode, ScheduledPrefill
+from ..ops.attention import (paged_decode_attention, prefill_attention,
+                             pruned_prefill_attention)
+from ..ops.cache import write_kv_slots, zero_kv_slots
+from ..ops.eviction import (gather_pruned_kv, page_scores_from_cache,
+                            prompt_keep_indices, select_victims,
+                            shift_block_tables, token_scores)
+from ..ops.sampling import SamplingTensors, sample
+from ..utils import cdiv, init_logger, next_bucket
+from .cache_engine import CacheEngine
+
+logger = init_logger(__name__)
+
+
+def _pow2_buckets(lo: int, hi: int) -> list[int]:
+    out, b = [], lo
+    while b < hi:
+        out.append(b)
+        b *= 2
+    out.append(hi)
+    return sorted(set(out))
+
+
+class ModelRunner:
+    def __init__(self, model, config: EngineConfig,
+                 cache_engine: CacheEngine):
+        self.model = model
+        self.config = config
+        self.cache_engine = cache_engine
+        self.block_size = config.cache.block_size
+        ev = config.cache.paged_evict
+        self.evict = ev if (ev is not None and ev.enabled) else None
+        self.scale = model.arch.head_dim ** -0.5
+
+        sched = config.scheduler
+        if self.evict is not None and self.evict.frees_pages:
+            self.max_table_len = self.evict.cache_budget // self.block_size + 2
+        else:
+            self.max_table_len = cdiv(sched.max_model_len, self.block_size)
+        self.decode_buckets = _pow2_buckets(1, sched.max_num_seqs)
+        self.prefill_buckets = _pow2_buckets(
+            min(32, sched.max_model_len), sched.max_model_len)
+        # Static cap on stored (pruned) prompt length.
+        if self.evict is not None:
+            self.stored_cap = self.evict.cache_budget + self.block_size
+        else:
+            self.stored_cap = sched.max_model_len
+
+        # Host-side RNG reproducing the reference's shipped random victim
+        # mode (random.seed(1234), torch_cuda_sdpa.py:796,802).
+        self._victim_rng = random.Random(
+            self.evict.random_seed if self.evict else 0)
+
+        self.track_page_scores = (
+            self.evict is not None
+            and self.evict.evict_method in ("local", "global")
+            and self.evict.selection == "l2")
+
+        self._decode_jit = jax.jit(self._decode_step, donate_argnums=(1, 2))
+        self._prefill_plain_jit = jax.jit(self._prefill_plain,
+                                          donate_argnums=(1, 2))
+        self._prefill_prune_jit = jax.jit(self._prefill_prune,
+                                          donate_argnums=(1, 2))
+
+    # ------------------------------------------------------------------
+    # jitted programs
+    # ------------------------------------------------------------------
+
+    def _sampling_tensors(self, batch) -> SamplingTensors:
+        return SamplingTensors(
+            temperature=batch["temperature"], top_p=batch["top_p"],
+            top_k=batch["top_k"], seed=batch["seed"], step=batch["step"])
+
+    def _update_page_scores(self, page_scores, v_cache0, fill_pages):
+        """Record value-L2 scores of pages that just became full (layer 0 —
+        the reference's feedback also acts on layer 0's decision,
+        model_runner.py:1797-1802)."""
+        scores = page_scores_from_cache(v_cache0[fill_pages])
+        return page_scores.at[fill_pages].set(scores)
+
+    def _decode_step(self, params, caches, page_scores, batch):
+        ev = self.evict
+        bs = self.block_size
+        tables = batch["block_tables"]
+        evict_flags = batch["evict_flags"]
+        victims = batch["victims"]
+        if self.track_page_scores:
+            sel = select_victims(page_scores, tables, evict_flags,
+                                 batch["num_pages"],
+                                 ev.topk_blocks if ev else -1)
+            victims = jnp.where(victims >= 0, victims, sel)
+        victims = jnp.where(evict_flags, victims, -1)
+        eff_tables = shift_block_tables(tables, victims)
+        eff_kv_lens = batch["kv_lens"] - bs * evict_flags.astype(jnp.int32)
+
+        new_caches = list(caches)
+        zero_writes = ev is not None and ev.evict_method in (
+            "streamingLLM-1", "inverse_key_l2")
+
+        def attn_fn(i, q, k, v):
+            kc, vc = new_caches[i]
+            kc, vc = write_kv_slots(kc, vc, k, v, batch["slots"])
+            if zero_writes:
+                kc, vc = zero_kv_slots(kc, vc, batch["zero_slots"])
+            new_caches[i] = (kc, vc)
+            return paged_decode_attention(q, kc, vc, eff_tables,
+                                          eff_kv_lens, self.scale)
+
+        hidden = self.model.forward_hidden(
+            params, batch["tokens"], batch["positions"], attn_fn)
+        if self.track_page_scores:
+            page_scores = self._update_page_scores(
+                page_scores, new_caches[0][1], batch["fill_pages"])
+        logits = self.model.logits(params, hidden)
+        tokens = sample(logits, self._sampling_tensors(batch))
+        return new_caches, page_scores, tokens, victims
+
+    def _prefill_plain(self, params, caches, page_scores, batch):
+        new_caches = list(caches)
+
+        def attn_fn(i, q, k, v):
+            kc, vc = new_caches[i]
+            kc, vc = write_kv_slots(kc, vc, k, v, batch["slot_mapping"])
+            new_caches[i] = (kc, vc)
+            return prefill_attention(q, k, v, self.scale, batch["q_len"])
+
+        return self._finish_prefill(params, new_caches, page_scores, batch,
+                                    attn_fn)
+
+    def _prefill_prune(self, params, caches, page_scores, batch):
+        """Evict-at-prefill (both orderings).  Per-layer pruning: each layer
+        selects its own keep set from its own K/V scores
+        (torch_cuda_sdpa.py:882-892 runs the pruner inside every layer's
+        forward)."""
+        ev = self.evict
+        assert ev is not None
+        new_caches = list(caches)
+        s_pad = batch["slot_mapping"].shape[0]
+        score_based = ev.evict_method in ("local", "global", "inverse_key_l2")
+
+        def attn_fn(i, q, k, v):
+            if score_based:
+                scores = token_scores(k, v, ev.evict_method)
+            else:
+                scores = jnp.zeros(k.shape[:2], jnp.float32)
+            keep_idx = prompt_keep_indices(
+                scores, batch["q_len"], self.block_size, ev.cache_budget,
+                ev.evict_method, s_pad)
+            k_kept, v_kept = gather_pruned_kv(k, v, keep_idx)
+            kc, vc = new_caches[i]
+            kc, vc = write_kv_slots(kc, vc, k_kept, v_kept,
+                                    batch["slot_mapping"])
+            new_caches[i] = (kc, vc)
+            if ev.disable_evict_prefill:
+                # Attend-then-evict: full-context attention, pruned storage
+                # (torch_cuda_sdpa.py:1014-1024).
+                return prefill_attention(q, k, v, self.scale, batch["q_len"])
+            return pruned_prefill_attention(q, k_kept, v_kept, self.scale,
+                                            batch["q_len"],
+                                            batch["stored_len"])
+
+        return self._finish_prefill(params, new_caches, page_scores, batch,
+                                    attn_fn)
+
+    def _finish_prefill(self, params, new_caches, page_scores, batch,
+                        attn_fn):
+        hidden = self.model.forward_hidden(
+            params, batch["tokens"], batch["positions"], attn_fn)
+        if self.track_page_scores:
+            page_scores = self._update_page_scores(
+                page_scores, new_caches[0][1], batch["fill_pages"])
+        last = hidden[batch["q_len"] - 1][None]
+        logits = self.model.logits(params, last)
+        tokens = sample(logits, self._sampling_tensors(batch))
+        return new_caches, page_scores, tokens
+
+    # ------------------------------------------------------------------
+    # host-side batch assembly
+    # ------------------------------------------------------------------
+
+    def _seq_sampling_arrays(self, seqs, n_pad):
+        temp = np.zeros(n_pad, np.float32)
+        top_p = np.ones(n_pad, np.float32)
+        top_k = np.full(n_pad, -1, np.int32)
+        seed = np.zeros(n_pad, np.int32)
+        step = np.zeros(n_pad, np.int32)
+        for i, seq in enumerate(seqs):
+            p = seq.params
+            temp[i] = p.temperature
+            top_p[i] = p.top_p
+            top_k[i] = p.top_k
+            seed[i] = (p.seed if p.seed is not None
+                       else (zlib.crc32(seq.request_id.encode())
+                             & 0x7FFFFFFF))
+            step[i] = seq.num_output_tokens
+        return {"temperature": temp, "top_p": top_p, "top_k": top_k,
+                "seed": seed, "step": step}
+
+    def host_victim_for(self, sd: ScheduledDecode) -> int:
+        """Host-side victim decision where the method allows it; -1 defers
+        to in-graph argmin selection."""
+        ev = self.evict
+        assert ev is not None and sd.evict
+        if ev.evict_method in ("streamingLLM", "streamingLLM-1"):
+            return 1  # the block right after the sink
+        if ev.selection == "random":
+            n = sd.seq.block_table.num_pages
+            if ev.evict_method == "local":
+                hi = min(1 + ev.topk_blocks, n - 1)
+            else:
+                hi = n - 1
+            return self._victim_rng.randint(1, max(hi - 1, 1))
+        return -1
+
+    def run_decodes(self, params, caches, page_scores,
+                    decodes: list[ScheduledDecode]):
+        n = len(decodes)
+        b = next_bucket(n, self.decode_buckets)
+        bs = self.block_size
+        trash_slot = self.cache_engine.trash_slot
+        trash_page = self.cache_engine.trash_page
+        p = self.max_table_len
+
+        tokens = np.zeros(b, np.int32)
+        positions = np.zeros(b, np.int32)
+        slots = np.full(b, trash_slot, np.int32)
+        tables = np.full((b, p), trash_page, np.int32)
+        kv_lens = np.zeros(b, np.int32)
+        num_pages = np.zeros(b, np.int32)
+        evict_flags = np.zeros(b, bool)
+        victims = np.full(b, -1, np.int32)
+        zero_slots = np.full(b, trash_slot, np.int32)
+        fill_pages = np.full(b, trash_page, np.int32)
+
+        for i, d in enumerate(decodes):
+            seq = d.seq
+            tokens[i] = seq.last_token_id
+            positions[i] = d.position
+            slots[i] = d.slot
+            pages = seq.block_table.pages
+            tables[i, :len(pages)] = pages
+            kv_lens[i] = d.kv_len
+            num_pages[i] = len(pages)
+            evict_flags[i] = d.evict
+            if d.evict:
+                victims[i] = self.host_victim_for(d)
+            if d.zero_slot >= 0:
+                zero_slots[i] = d.zero_slot
+            if d.kv_len % bs == 0:
+                fill_pages[i] = d.slot // bs
+
+        batch = {
+            "tokens": tokens, "positions": positions, "slots": slots,
+            "block_tables": tables, "kv_lens": kv_lens,
+            "num_pages": num_pages, "evict_flags": evict_flags,
+            "victims": victims, "zero_slots": zero_slots,
+            "fill_pages": fill_pages,
+        }
+        batch.update(self._seq_sampling_arrays([d.seq for d in decodes], b))
+        caches, page_scores, toks, victs = self._decode_jit(
+            params, caches, page_scores, batch)
+        toks = np.asarray(toks)[:n]
+        victs = np.asarray(victs)[:n]
+        return caches, page_scores, toks, victs
+
+    def run_prefill(self, params, caches, page_scores,
+                    sp: ScheduledPrefill):
+        seq = sp.seq
+        bs = self.block_size
+        trash_slot = self.cache_engine.trash_slot
+        trash_page = self.cache_engine.trash_page
+        prompt = seq.prompt_token_ids
+        q_len = len(prompt)
+        l_pad = next_bucket(q_len, self.prefill_buckets)
+        do_prune = self.evict is not None and sp.stored_len < sp.prompt_len
+        stored = sp.stored_len
+        pages = seq.block_table.pages
+
+        tokens = np.zeros(l_pad, np.int32)
+        tokens[:q_len] = prompt
+        positions = np.arange(l_pad, dtype=np.int32)
+
+        if do_prune:
+            # One static pruned-output width per config (rounded for tiling).
+            s_pad = min(((self.stored_cap + 127) // 128) * 128, l_pad)
+        else:
+            s_pad = l_pad
+        slot_mapping = np.full(s_pad, trash_slot, np.int32)
+        for i in range(stored):
+            slot_mapping[i] = pages[i // bs] * bs + i % bs
+
+        f_max = s_pad // bs + 1
+        fill_pages = np.full(f_max, trash_page, np.int32)
+        for j in range(min(stored // bs, f_max)):
+            fill_pages[j] = pages[j]
+
+        batch = {
+            "tokens": tokens, "positions": positions,
+            "q_len": np.int32(q_len), "stored_len": np.int32(stored),
+            "slot_mapping": slot_mapping, "fill_pages": fill_pages,
+        }
+        batch.update(self._seq_sampling_arrays([seq], 1))
+        fn = self._prefill_prune_jit if do_prune else self._prefill_plain_jit
+        caches, page_scores, tok = fn(params, caches, page_scores, batch)
+        return caches, page_scores, int(np.asarray(tok)[0])

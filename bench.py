@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Headline benchmark: single-request decode throughput on the real chip.
+
+Mirrors the reference's canonical config (benchmarks/benchmark_throughput.py
+run: Llama-3.x, input 1024 / long output, 1 prompt, eviction backend) and
+prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline anchor: 65.78 output tok/s — Llama-3.1-8B bf16 on A100-40G with the
+fork's TORCH_SDPA eviction-capable backend at full cache
+(reference benchmarks/llama3.1_8b_test_sdpa.txt; see BASELINE.md).
+
+Model selection via VPC_BENCH_MODEL: llama-3.2-1b | llama-3.2-3b |
+llama-3.1-8b (8B requires int8 weights on a 16 GiB chip — falls back to 3B
+until weight quantization lands).  Weights are random (throughput is
+weight-value-independent); tokens are synthetic.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BASELINE_TOK_S = 65.78
+
+ARCHS = {
+    "llama-3.2-1b": {
+        "architectures": ["LlamaForCausalLM"], "vocab_size": 128256,
+        "hidden_size": 2048, "intermediate_size": 8192,
+        "num_hidden_layers": 16, "num_attention_heads": 32,
+        "num_key_value_heads": 8, "head_dim": 64,
+        "rope_theta": 500000.0, "rms_norm_eps": 1e-5,
+        "max_position_embeddings": 131072, "tie_word_embeddings": True,
+    },
+    "llama-3.2-3b": {
+        "architectures": ["LlamaForCausalLM"], "vocab_size": 128256,
+        "hidden_size": 3072, "intermediate_size": 8192,
+        "num_hidden_layers": 28, "num_attention_heads": 24,
+        "num_key_value_heads": 8, "head_dim": 128,
+        "rope_theta": 500000.0, "rms_norm_eps": 1e-5,
+        "max_position_embeddings": 131072, "tie_word_embeddings": True,
+    },
+    "llama-3.1-8b": {
+        "architectures": ["LlamaForCausalLM"], "vocab_size": 128256,
+        "hidden_size": 4096, "intermediate_size": 14336,
+        "num_hidden_layers": 32, "num_attention_heads": 32,
+        "num_key_value_heads": 8, "head_dim": 128,
+        "rope_theta": 500000.0, "rms_norm_eps": 1e-5,
+        "max_position_embeddings": 131072, "tie_word_embeddings": False,
+    },
+}
+
+
+def main() -> None:
+    model_name = os.environ.get("VPC_BENCH_MODEL", "llama-3.2-3b")
+    input_len = int(os.environ.get("VPC_BENCH_INPUT_LEN", "1024"))
+    output_len = int(os.environ.get("VPC_BENCH_OUTPUT_LEN", "1024"))
+    warmup = int(os.environ.get("VPC_BENCH_WARMUP", "32"))
+    budget = int(os.environ.get("VPC_BENCH_CACHE_BUDGET", "1024"))
+    evict = os.environ.get("VPC_BENCH_EVICT", "1") == "1"
+
+    if model_name == "llama-3.1-8b":
+        # bf16 8B does not fit 16 GiB; needs int8 weight quantization.
+        print("8B bf16 exceeds v5e HBM; falling back to llama-3.2-3b",
+              file=sys.stderr)
+        model_name = "llama-3.2-3b"
+
+    from vllm_paged_compression_tpu.entrypoints.llm import LLM
+    from vllm_paged_compression_tpu.sampling_params import SamplingParams
+
+    num_steps = int(os.environ.get("VPC_BENCH_NUM_SCHEDULER_STEPS", "32"))
+    llm = LLM(hf_config=ARCHS[model_name], dtype="bfloat16", block_size=16,
+              max_model_len=input_len + output_len + 64,
+              enable_paged_eviction=evict, evict_method="global",
+              cache_budget=budget, evict_selection="l2",
+              max_num_seqs=8, num_scheduler_steps=num_steps, seed=0)
+    eng = llm.engine
+
+    import numpy as np
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(1, 32000, size=input_len).tolist()
+    eng.add_request(request_id="bench", prompt_token_ids=prompt,
+                    sampling_params=SamplingParams(
+                        temperature=0.0, max_tokens=output_len,
+                        ignore_eos=True))
+
+    t_start = time.perf_counter()
+    eng.step()  # prefill (+ first token)
+    t_prefill = time.perf_counter() - t_start
+
+    # Warmup decode (compile + cache warm), then timed steady-state.
+    seq = eng.scheduler.running[0]
+    while seq.num_output_tokens < warmup and eng.has_unfinished_requests():
+        eng.step()
+    n0 = seq.num_output_tokens
+    t0 = time.perf_counter()
+    while eng.has_unfinished_requests():
+        eng.step()
+    dt = time.perf_counter() - t0
+    n_timed = seq.num_output_tokens - n0
+    tok_s = n_timed / dt
+
+    result = {
+        "metric": f"output_tok_s_{model_name.replace('-', '_')}"
+                  f"_in{input_len}_evict{'on' if evict else 'off'}",
+        "value": round(tok_s, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(tok_s / BASELINE_TOK_S, 3),
+    }
+    print(json.dumps(result))
+    print(f"# prefill: {t_prefill:.2f}s for {input_len} tokens "
+          f"({input_len / t_prefill:.0f} tok/s); decode steady-state "
+          f"{tok_s:.2f} tok/s over {n_timed} tokens "
+          f"(window={num_steps})", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

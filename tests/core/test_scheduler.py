@@ -77,85 +77,90 @@ class TestPrefillAdmission:
         assert out.prefills[0].seq.request_id == "hi"
 
 
-class TestDecode:
+class TestDecodeWindow:
     def _prefilled(self, s, rid="a", prompt_len=8):
         seq = make_seq(rid, prompt_len)
         s.add_seq(seq)
         out = s.schedule()
         assert out.prefills
-        # Simulate the sampled first token.
-        seq.append_token(1000)
+        seq.append_token(1000)  # simulated first sampled token
         return seq
 
-    def test_decode_claims_slot_and_position(self):
+    def test_single_step_plan_claims_slot_and_position(self):
         s = make_scheduler(block_size=4)
         seq = self._prefilled(s, prompt_len=8)
-        out = s.schedule()
-        assert len(out.decodes) == 1
-        d = out.decodes[0]
-        # Input token is the sampled one at logical position 8.
-        assert d.position == 8
-        assert d.kv_len == 9
-        # Slot crossed a block boundary into a fresh page.
-        assert d.slot == seq.block_table.pages[2] * 4 + 0
+        plans, k, pre = s.plan_decode_window(1)
+        assert k == 1 and not pre
+        plan = plans[0]
+        # Input token is the sampled one at logical position 8; a new page
+        # was reserved at the block boundary.
+        assert plan.positions == [8]
+        assert plan.new_pages[0] >= 0
+        assert plan.slots == [plan.new_pages[0] * 4 + 0]
+        # Table untouched until commit.
+        assert seq.block_table.num_pages == 2
+        s.commit_window(plans, 1, [[-1]])
+        assert seq.block_table.num_pages == 3
+        assert seq.block_table.num_kv_slots == 9
 
-    def test_evict_flag_fires_at_boundary_past_budget(self):
+    def test_window_eviction_schedule(self):
         ev = PagedEvictConfig(enabled=True, evict_method="streamingLLM",
                               cache_budget=16)
         s = make_scheduler(block_size=4, evict=ev)
-        seq = self._prefilled(s, prompt_len=18)  # stored 16+2... > budget
-        # Walk decode steps until logical length hits a block boundary > 16.
-        fired = []
-        for _ in range(8):
-            out = s.schedule()
-            d = out.decodes[0]
-            fired.append((seq.get_len(), d.evict))
-            if d.evict:
-                s.free_pruned_block(seq, 1)
-            seq.append_token(1)
-        for logical, ev_fired in fired:
-            assert ev_fired == (logical > 16 and logical % 4 == 0)
-        assert any(f for _, f in fired)
+        seq = self._prefilled(s, prompt_len=18)  # logical 19 after sample
+        plans, k, _ = s.plan_decode_window(8)
+        assert k == 8
+        plan = plans[0]
+        for i in range(k):
+            logical = 19 + i
+            assert plan.evict[i] == (logical > 16 and logical % 4 == 0)
+            if plan.evict[i]:
+                assert plan.victims[i] == 1
+        kv_before = seq.block_table.num_kv_slots
+        s.commit_window(plans, k, [[-1]] * k)
+        seq.output_token_ids.extend([1] * k)
+        # kv stays bounded: grew by 8 minus 4 per eviction.
+        n_evicts = sum(plan.evict[:k])
+        assert seq.block_table.num_kv_slots == kv_before + 8 - 4 * n_evicts
 
-    def test_preemption_by_recompute_when_pool_dry(self):
+    def test_window_truncates_when_pool_dry(self):
         s = make_scheduler(num_blocks=5, block_size=4, watermark=0.01)
-        a = self._prefilled(s, "a", prompt_len=7)   # 2 pages
-        b = self._prefilled(s, "b", prompt_len=7)   # 2 pages -> pool full
-        # Drive decodes until someone needs a new page.
-        preempted_seen = False
-        for _ in range(4):
-            out = s.schedule()
-            if out.preempted:
-                preempted_seen = True
-                break
-            for d in out.decodes:
-                d.seq.append_token(1)
-        assert preempted_seen
-        # Latest arrival (b) was preempted and waits for recompute with its
-        # generated tokens folded into the prompt.
-        assert b.status == SequenceStatus.PREEMPTED
-        assert s.num_waiting == 1
-        assert b.block_table is None
-        assert a in s.running
+        seq = self._prefilled(s, "a", prompt_len=7)   # 2 pages, 3 free
+        plans, k, pre = s.plan_decode_window(32)
+        # Steps 1..13 fit (3 new pages); the window truncates when dry.
+        assert 0 < k < 32
+        assert not pre
+        s.commit_window(plans, k, [[-1]] * k)
 
-    def test_streamingllm1_zero_slot(self):
+    def test_preemption_when_first_step_impossible(self):
+        s = make_scheduler(num_blocks=5, block_size=4, watermark=0.01)
+        a = self._prefilled(s, "a", prompt_len=8)   # 2 pages
+        b = self._prefilled(s, "b", prompt_len=8)   # 2 pages; 1 free
+        # Both need a page at their next boundary.  a gets the free page,
+        # b's first step fails -> b preempted by recompute.
+        plans, k, pre = s.plan_decode_window(1)
+        assert pre and pre[0] is b
+        assert b.status == SequenceStatus.PREEMPTED
+        assert b.block_table is None
+        assert [p.seq for p in plans] == [a]
+        s.commit_window(plans, k, [[-1]])
+
+    def test_streamingllm1_zero_slots_in_plan(self):
         ev = PagedEvictConfig(enabled=True, evict_method="streamingLLM-1",
                               cache_budget=16)
         s = make_scheduler(block_size=4, evict=ev)
-        seq = self._prefilled(s, prompt_len=17)
-        saw_zero, saw_evict = False, False
-        for _ in range(10):
-            out = s.schedule()
-            d = out.decodes[0]
-            logical = seq.get_len()
+        seq = self._prefilled(s, prompt_len=17)  # logical 18
+        plans, k, _ = s.plan_decode_window(8)
+        plan = plans[0]
+        saw_zero = saw_evict = False
+        pages_sim = list(seq.block_table.pages)
+        for i in range(k):
+            logical = 18 + i
             if logical > 16 and logical % 4 != 0:
-                assert d.zero_slot == seq.block_table.pages[1] * 4 \
-                    + (logical % 4 - 1)
+                assert plan.zero_slots[i] >= 0
                 saw_zero = True
-            if d.evict:
-                s.free_pruned_block(seq, 1)
+            if plan.evict[i]:
                 saw_evict = True
-            seq.append_token(1)
         assert saw_zero and saw_evict
 
 

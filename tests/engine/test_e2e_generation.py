@@ -40,9 +40,9 @@ def oracle_continuation(llm, prompt_ids, n_tokens):
     out = []
     for _ in range(n_tokens):
         t = len(ids)
-        h = model.forward_hidden(
+        h, _ = model.forward_hidden(
             params, jnp.array(ids), jnp.arange(t),
-            lambda l, q, k, v: prefill_attention(q, k, v, scale, t))
+            lambda q, k, v, s: (prefill_attention(q, k, v, scale, t), s))
         tok = int(jnp.argmax(model.logits(params, h)[-1]))
         out.append(tok)
         ids.append(tok)
@@ -179,3 +179,57 @@ class TestEvictionE2E:
                 eng.step()
                 peaks.append(eng.scheduler.allocator.num_allocated_blocks)
         assert max(peak_ev) < max(peak_full)
+
+
+class TestMultiStepDecode:
+    """K chained device steps must produce exactly the same tokens as K
+    single steps, for every eviction method (the reference cannot combine
+    multi-step with eviction at all, arg_utils.py:1255-1257)."""
+
+    @pytest.mark.parametrize("method,selection", [
+        (None, None),
+        ("streamingLLM", "l2"),
+        ("streamingLLM-1", "l2"),
+        ("global", "l2"),
+        ("local", "random"),
+        ("inverse_key_l2", "l2"),
+    ])
+    def test_multistep_matches_single_step(self, method, selection):
+        kw = {}
+        if method is not None:
+            kw = dict(enable_paged_eviction=True, evict_method=method,
+                      cache_budget=16,
+                      topk_blocks=2 if method == "local" else -1,
+                      evict_selection=selection)
+        prompts = [[(7 * i + j) % 128 for j in range(20 + 3 * i)]
+                   for i in range(3)]
+        sp = SamplingParams(temperature=0.0, max_tokens=24)
+        single = tiny_llm(num_scheduler_steps=1, **kw).generate(
+            prompt_token_ids=prompts, sampling_params=sp)
+        multi = tiny_llm(num_scheduler_steps=6, **kw).generate(
+            prompt_token_ids=prompts, sampling_params=sp)
+        for s, m in zip(single, multi):
+            assert s.outputs[0].token_ids == m.outputs[0].token_ids
+
+    def test_multistep_with_sampling_deterministic(self):
+        sp = SamplingParams(temperature=0.9, seed=3, max_tokens=17)
+        single = tiny_llm(num_scheduler_steps=1).generate(
+            prompt_token_ids=[[1, 2, 3, 4, 5]], sampling_params=sp)
+        multi = tiny_llm(num_scheduler_steps=8).generate(
+            prompt_token_ids=[[1, 2, 3, 4, 5]], sampling_params=sp)
+        assert single[0].outputs[0].token_ids == \
+            multi[0].outputs[0].token_ids
+
+    def test_multistep_stop_truncates(self):
+        llm1 = tiny_llm(num_scheduler_steps=1)
+        base = llm1.generate(
+            prompt_token_ids=[[1, 2, 3, 4]],
+            sampling_params=SamplingParams(temperature=0.0, max_tokens=12)
+        )[0].outputs[0].token_ids
+        stop_at = base[2]
+        first = base.index(stop_at)
+        out = tiny_llm(num_scheduler_steps=8).generate(
+            prompt_token_ids=[[1, 2, 3, 4]],
+            sampling_params=SamplingParams(temperature=0.0, max_tokens=12,
+                                           stop_token_ids=[stop_at]))[0]
+        assert out.outputs[0].token_ids == base[:first + 1]

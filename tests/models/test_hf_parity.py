@@ -22,8 +22,8 @@ transformers = pytest.importorskip("transformers")
 
 
 def full_attn_fn(scale):
-    def fn(_layer, q, k, v):
-        return prefill_attention(q, k, v, scale, q.shape[0])
+    def fn(q, k, v, state):
+        return prefill_attention(q, k, v, scale, q.shape[0]), state
     return fn
 
 
@@ -46,7 +46,7 @@ def test_llama_logits_match_hf(kv_heads):
     params = model.load_hf_state_dict(
         torch_state_dict_to_numpy(hf.state_dict()))
     t = ids.shape[1]
-    hidden = model.forward_hidden(
+    hidden, _ = model.forward_hidden(
         params, jnp.array(ids[0]), jnp.arange(t),
         full_attn_fn(arch.head_dim ** -0.5))
     ours = np.asarray(model.logits(params, hidden))
@@ -71,7 +71,7 @@ def test_llama31_rope_scaling_matches_hf():
     model = LlamaModel(arch, dtype=jnp.float32)
     params = model.load_hf_state_dict(
         torch_state_dict_to_numpy(hf.state_dict()))
-    hidden = model.forward_hidden(
+    hidden, _ = model.forward_hidden(
         params, jnp.array(ids[0]), jnp.arange(ids.shape[1]),
         full_attn_fn(arch.head_dim ** -0.5))
     ours = np.asarray(model.logits(params, hidden))
@@ -94,7 +94,7 @@ def test_opt_logits_match_hf():
     params = model.load_hf_state_dict(
         torch_state_dict_to_numpy(hf.state_dict()))
     t = ids.shape[1]
-    hidden = model.forward_hidden(
+    hidden, _ = model.forward_hidden(
         params, jnp.array(ids[0]), jnp.arange(t),
         full_attn_fn(arch.head_dim ** -0.5))
     ours = np.asarray(model.logits(params, hidden))

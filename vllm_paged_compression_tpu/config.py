@@ -189,6 +189,11 @@ class SchedulerConfig:
     watermark: float = 0.01
     enable_chunked_prefill: bool = False
     max_prefill_seqs: int = 16
+    # Decode steps chained on device per host roundtrip (multi-step
+    # scheduling).  Unlike the reference — which rejects multi-step together
+    # with paged eviction (vllm/engine/arg_utils.py:1255-1257) — eviction
+    # here is in-graph, so the combination is exact.
+    num_scheduler_steps: int = 1
 
     def verify(self) -> None:
         if self.policy not in ("fcfs", "priority"):

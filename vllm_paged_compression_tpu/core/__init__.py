@@ -1,16 +1,16 @@
 from .block_allocator import BlockAllocator
 from .block_table import BlockTable
-from .scheduler import (ScheduledDecode, ScheduledPrefill, Scheduler,
-                        SchedulerOutput)
+from .scheduler import (ScheduledPrefill, Scheduler, SchedulerOutput,
+                        SeqWindowPlan)
 from .sequence import Sequence, SequenceStatus
 
 __all__ = [
     "BlockAllocator",
     "BlockTable",
-    "ScheduledDecode",
     "ScheduledPrefill",
     "Scheduler",
     "SchedulerOutput",
+    "SeqWindowPlan",
     "Sequence",
     "SequenceStatus",
 ]

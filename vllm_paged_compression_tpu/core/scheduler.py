@@ -42,24 +42,36 @@ class ScheduledPrefill:
 
 
 @dataclass
-class ScheduledDecode:
-    seq: Sequence
-    slot: int                # flat slot id for the new token's KV write
-    position: int            # rope/logical position of the input token
-    kv_len: int              # physical KV len incl. the new token, pre-evict
-    evict: bool              # whether a block eviction fires this step
-    zero_slot: int = -1      # flat slot to overwrite with zeros (or -1)
-
-
-@dataclass
 class SchedulerOutput:
     prefills: list[ScheduledPrefill] = field(default_factory=list)
-    decodes: list[ScheduledDecode] = field(default_factory=list)
     preempted: list[Sequence] = field(default_factory=list)
 
     @property
     def is_empty(self) -> bool:
-        return not self.prefills and not self.decodes
+        return not self.prefills
+
+
+@dataclass
+class SeqWindowPlan:
+    """K decode steps for one sequence, fully pre-planned.
+
+    Every field is host-predictable before any token value is known: slot
+    positions depend only on kv lengths and the *last* page, eviction firing
+    depends only on logical lengths, and page appends are reserved up front.
+    The one unknown — which middle page an in-graph L2 victim selection
+    removes — does not influence any planned field; the host replays the
+    fetched victims at commit time (``Scheduler.commit_window``).
+    """
+
+    seq: Sequence
+    positions: list[int]
+    slots: list[int]
+    evict: list[bool]
+    victims: list[int]        # host decision per step; -1 = device selects
+    zero_slots: list[int]     # -1 = none
+    fill_pages: list[int]     # -1 = none (page that becomes full this step)
+    new_pages: list[int]      # -1 = none (pre-reserved page appended)
+    steps: list[int]          # sampling step counters
 
 
 class Scheduler:
@@ -113,12 +125,11 @@ class Scheduler:
     # ---- the step -------------------------------------------------------
 
     def schedule(self) -> SchedulerOutput:
+        """Prefill admission.  Decode work is planned separately via
+        ``plan_decode_window`` (single-step == a window of 1)."""
         out = SchedulerOutput()
         if self.waiting and len(self.running) < self.config.max_num_seqs:
             self._schedule_prefills(out)
-            if out.prefills:
-                return out
-        self._schedule_decodes(out)
         return out
 
     def _sorted_waiting(self) -> deque[Sequence]:
@@ -159,66 +170,156 @@ class Scheduler:
             self.waiting.remove(seq)
             self.running.append(seq)
 
-    def _schedule_decodes(self, out: SchedulerOutput) -> None:
-        # Claim a slot for every running sequence; preempt from the back of
-        # the running list (latest arrival first, reference scheduler.py:1572)
-        # when the pool can't supply a boundary page.
-        for seq in list(self.running):
-            if seq not in self.running:
-                continue  # was preempted below
-            table = seq.block_table
-            assert table is not None
-            while table.blocks_needed_for_append() > 0 and \
-                    not self.allocator.can_allocate(1):
-                victim = self._pick_preemption_victim()
-                self._preempt(victim)
-                out.preempted.append(victim)
-                if victim is seq:
-                    break
-            if seq not in self.running:
-                continue
-            logical_post = seq.get_len()  # incl. the token written this step
-            evict_fires = (
-                self.evict is not None
-                and decode_evicts_now(logical_post, self.evict,
-                                      self.block_size))
-            slot = table.append_slot()
-            kv_len = table.num_kv_slots
-            zero_slot = self._zero_slot_for(seq, logical_post)
-            out.decodes.append(
-                ScheduledDecode(seq=seq, slot=slot,
-                                position=logical_post - 1,
-                                kv_len=kv_len, evict=evict_fires,
-                                zero_slot=zero_slot))
+    # ---- decode window planning ----------------------------------------
 
-    def _zero_slot_for(self, seq: Sequence, logical_post: int) -> int:
-        """Slot-zeroing side writes for streamingLLM-1 / inverse_key_l2.
+    def plan_decode_window(self, max_steps: int = 1
+                           ) -> tuple[list[SeqWindowPlan], int,
+                                      list[Sequence]]:
+        """Pre-plan up to ``max_steps`` decode steps for every running
+        sequence.  Returns (plans, K, preempted).
 
-        streamingLLM-1 (torch_cuda_sdpa.py:1395-1401): between block
-        boundaries past the budget, zero slot (logical_post % bs - 1) of the
-        block right after the sink.
-        inverse_key_l2 (torch_cuda_sdpa.py:1444-1454): every step past the
-        budget, zero a random slot of a random middle block.
+        The device chains the K steps without host contact; the host applies
+        the resulting state transitions afterwards via ``commit_window``.
+        New pages are reserved from the allocator here; if the pool runs dry
+        mid-window the window truncates at that step, and if even the first
+        step cannot be supplied, the latest-arrival sequence is preempted by
+        recompute (reference scheduler.py:1572-1625) and planning restarts.
         """
-        if self.evict is None or not self.evict.enabled:
+        preempted: list[Sequence] = []
+        while True:
+            seqs = list(self.running)
+            if not seqs:
+                return [], 0, preempted
+            k_cap = max_steps
+            for seq in seqs:
+                mt = seq.params.max_tokens
+                if mt is not None:
+                    k_cap = min(k_cap, max(mt - seq.num_output_tokens, 1))
+            plans, k_done, dry = self._try_plan(seqs, k_cap)
+            if k_done > 0:
+                return plans, k_done, preempted
+            assert dry, "empty window without allocation pressure"
+            victim = self._pick_preemption_victim()
+            self._preempt(victim)
+            preempted.append(victim)
+
+    def _try_plan(self, seqs: list[Sequence], k_cap: int):
+        bs = self.block_size
+        sim = []
+        for seq in seqs:
+            t = seq.block_table
+            sim.append({"kv": t.num_kv_slots, "pages": list(t.pages),
+                        "logical": seq.get_len()})
+            assert t.num_kv_slots > 0, "decode before prefill"
+        plans = [SeqWindowPlan(seq, [], [], [], [], [], [], [], [])
+                 for seq in seqs]
+        reserved: list[int] = []
+        k_done = 0
+        dry = False
+        for k in range(k_cap):
+            need = sum(1 for st in sim if st["kv"] % bs == 0)
+            if not self.allocator.can_allocate(need):
+                dry = True
+                break
+            for seq, st, plan in zip(seqs, sim, plans):
+                # get_len() already counts this step's input token (its KV
+                # is written now); step k advances it by k.
+                logical_post = st["logical"] + k
+                new_page = -1
+                if st["kv"] % bs == 0:
+                    new_page = self.allocator.allocate(1)[0]
+                    reserved.append(new_page)
+                    st["pages"].append(new_page)
+                slot = st["pages"][st["kv"] // bs] * bs + st["kv"] % bs
+                st["kv"] += 1
+                fill = slot // bs if st["kv"] % bs == 0 else -1
+                evict_fires = (
+                    self.evict is not None
+                    and decode_evicts_now(logical_post, self.evict, bs))
+                victim = -1
+                if evict_fires:
+                    victim = self._host_victim(len(st["pages"]))
+                    # Planning mirror: pop a placeholder middle entry (the
+                    # identity of an L2-selected victim does not affect any
+                    # planned field — only middle-page order).
+                    st["pages"].pop(victim if victim > 0 else 1)
+                    st["kv"] -= bs
+                zero = self._zero_slot(st["pages"], logical_post)
+                plan.positions.append(logical_post - 1)
+                plan.slots.append(slot)
+                plan.evict.append(evict_fires)
+                plan.victims.append(victim)
+                plan.zero_slots.append(zero)
+                plan.fill_pages.append(fill)
+                plan.new_pages.append(new_page)
+                plan.steps.append(seq.num_output_tokens + k)
+            k_done = k + 1
+        if k_done == 0 and reserved:
+            self.allocator.free(reserved)
+        return plans, k_done, dry
+
+    def _host_victim(self, num_pages: int) -> int:
+        """Host-side victim table index, or -1 to defer to the device's
+        L2 argmin.  streamingLLM always evicts the block after the sink
+        (torch_cuda_sdpa.py:1404); random mode reproduces the reference's
+        shipped seeded randint (:1502-1515)."""
+        ev = self.evict
+        assert ev is not None
+        if ev.evict_method in ("streamingLLM", "streamingLLM-1"):
+            return 1
+        if ev.selection == "random":
+            rng = getattr(self, "_victim_rng", None)
+            if rng is None:
+                rng = self._victim_rng = random.Random(ev.random_seed)
+            if ev.evict_method == "local":
+                hi = min(1 + ev.topk_blocks, num_pages - 1)
+            else:
+                hi = num_pages - 1
+            return rng.randint(1, max(hi - 1, 1))
+        return -1
+
+    def _zero_slot(self, pages: list[int], logical_post: int) -> int:
+        """Slot-zeroing side writes (streamingLLM-1 between boundaries,
+        torch_cuda_sdpa.py:1395-1401; inverse_key_l2 every step past budget,
+        :1444-1454)."""
+        ev = self.evict
+        if ev is None or not ev.enabled:
             return -1
-        if logical_post <= self.evict.cache_budget:
+        if logical_post <= ev.cache_budget or len(pages) <= 2:
             return -1
         bs = self.block_size
-        pages = seq.block_table.pages
-        if self.evict.evict_method == "streamingLLM-1":
-            if logical_post % bs != 0 and len(pages) > 2:
+        if ev.evict_method == "streamingLLM-1":
+            if logical_post % bs != 0:
                 return pages[1] * bs + (logical_post % bs - 1)
-        elif self.evict.evict_method == "inverse_key_l2":
-            if len(pages) > 2:
-                rnd = getattr(self, "_zero_rng", None)
-                if rnd is None:
-                    rnd = self._zero_rng = random.Random(
-                        self.evict.random_seed)
-                block_idx = rnd.randint(1, len(pages) - 2)
-                slot_idx = rnd.randint(0, bs - 1)
-                return pages[block_idx] * bs + slot_idx
+        elif ev.evict_method == "inverse_key_l2":
+            rng = getattr(self, "_zero_rng", None)
+            if rng is None:
+                rng = self._zero_rng = random.Random(ev.random_seed)
+            block_idx = rng.randint(1, len(pages) - 2)
+            slot_idx = rng.randint(0, bs - 1)
+            return pages[block_idx] * bs + slot_idx
         return -1
+
+    def commit_window(self, plans: list[SeqWindowPlan], k: int,
+                      victims_dev) -> None:
+        """Apply the window's state transitions to the authoritative block
+        tables.  ``victims_dev`` is the device's [K, B] victim output (used
+        where the plan deferred selection)."""
+        for b, plan in enumerate(plans):
+            table = plan.seq.block_table
+            for step in range(k):
+                if plan.new_pages[step] >= 0:
+                    table.pages.append(plan.new_pages[step])
+                table.num_kv_slots += 1
+                if plan.evict[step]:
+                    v = plan.victims[step]
+                    if v < 0:
+                        v = int(victims_dev[step][b])
+                    assert 0 < v < len(table.pages) - 1, \
+                        f"victim {v} not a middle block of {len(table.pages)}"
+                    page = table.pages.pop(v)
+                    self.allocator.free([page])
+                    table.num_kv_slots -= self.block_size
 
     # ---- preemption -----------------------------------------------------
 

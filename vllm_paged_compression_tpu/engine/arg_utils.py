@@ -1,0 +1,139 @@
+"""CLI argument surface (reference vllm/engine/arg_utils.py).
+
+Reproduces the fork's eviction flags exactly (arg_utils.py:971-1036:
+--enable-paged-eviction --disable-evict-prefill --cache-prune-type
+--evict-method --cache-budget --topk-blocks) plus the TPU-native extensions,
+and enforces the CLI-level constraints the reference asserts (budget >= 128,
+vllm/config.py:971; eviction rejects chunked prefill, arg_utils.py:1185).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from typing import Optional
+
+from ..config import (CacheConfig, EngineConfig, ModelConfig,
+                      PagedEvictConfig, ParallelConfig, SchedulerConfig,
+                      EVICT_METHODS)
+
+
+@dataclasses.dataclass
+class EngineArgs:
+    model: str = ""
+    tokenizer: Optional[str] = None
+    dtype: str = "bfloat16"
+    seed: int = 0
+    max_model_len: int = 8192
+    quantization: Optional[str] = None
+    block_size: int = 16
+    gpu_memory_utilization: float = 0.9
+    num_device_blocks: Optional[int] = None
+    kv_cache_dtype: str = "auto"
+    max_num_seqs: int = 64
+    max_num_batched_tokens: int = 8192
+    num_scheduler_steps: int = 1
+    scheduling_policy: str = "fcfs"
+    enable_chunked_prefill: bool = False
+    tensor_parallel_size: int = 1
+    data_parallel_size: int = 1
+    # paged eviction (fork surface)
+    enable_paged_eviction: bool = False
+    disable_evict_prefill: bool = False
+    cache_prune_type: str = "budget"
+    evict_method: str = "streamingLLM"
+    cache_budget: int = 1024
+    topk_blocks: int = -1
+    # TPU-native extensions
+    evict_selection: str = "l2"
+
+    @staticmethod
+    def add_cli_args(parser: argparse.ArgumentParser
+                     ) -> argparse.ArgumentParser:
+        g = parser.add_argument_group("model")
+        g.add_argument("--model", type=str, default="")
+        g.add_argument("--tokenizer", type=str, default=None)
+        g.add_argument("--dtype", type=str, default="bfloat16",
+                       choices=["bfloat16", "float32", "float16"])
+        g.add_argument("--seed", type=int, default=0)
+        g.add_argument("--max-model-len", type=int, default=8192)
+        g.add_argument("--quantization", "-q", type=str, default=None,
+                       choices=["int8"])
+
+        g = parser.add_argument_group("cache")
+        g.add_argument("--block-size", type=int, default=16,
+                       choices=[8, 16, 32, 64, 128])
+        g.add_argument("--gpu-memory-utilization", type=float, default=0.9)
+        g.add_argument("--num-device-blocks", type=int, default=None)
+        g.add_argument("--kv-cache-dtype", type=str, default="auto")
+
+        g = parser.add_argument_group("scheduler")
+        g.add_argument("--max-num-seqs", type=int, default=64)
+        g.add_argument("--max-num-batched-tokens", type=int, default=8192)
+        g.add_argument("--num-scheduler-steps", type=int, default=1)
+        g.add_argument("--scheduling-policy", type=str, default="fcfs",
+                       choices=["fcfs", "priority"])
+        g.add_argument("--enable-chunked-prefill", action="store_true")
+
+        g = parser.add_argument_group("parallel")
+        g.add_argument("--tensor-parallel-size", "-tp", type=int, default=1)
+        g.add_argument("--data-parallel-size", "-dp", type=int, default=1)
+
+        g = parser.add_argument_group(
+            "paged eviction",
+            "online KV-cache compression "
+            "(reference arg_utils.py:971-1036)")
+        g.add_argument("--enable-paged-eviction", action="store_true")
+        g.add_argument("--disable-evict-prefill", action="store_true")
+        g.add_argument("--cache-prune-type", type=str, default="budget",
+                       choices=["budget", "percentage"])
+        g.add_argument("--evict-method", type=str, default="streamingLLM",
+                       choices=list(EVICT_METHODS))
+        g.add_argument("--cache-budget", type=int, default=1024)
+        g.add_argument("--topk-blocks", type=int, default=-1)
+        g.add_argument("--evict-selection", type=str, default="l2",
+                       choices=["l2", "random"])
+        return parser
+
+    @classmethod
+    def from_cli_args(cls, args: argparse.Namespace) -> "EngineArgs":
+        fields = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in vars(args).items() if k in fields})
+
+    def create_engine_config(self) -> EngineConfig:
+        evict = None
+        if self.enable_paged_eviction:
+            if self.cache_budget < 128:
+                raise ValueError("cache_budget must be >= 128 "
+                                 "(reference vllm/config.py:971)")
+            evict = PagedEvictConfig(
+                enabled=True,
+                disable_evict_prefill=self.disable_evict_prefill,
+                cache_prune_type=self.cache_prune_type,
+                evict_method=self.evict_method,
+                cache_budget=self.cache_budget,
+                topk_blocks=self.topk_blocks,
+                selection=self.evict_selection)
+        cfg = EngineConfig(
+            model=ModelConfig(model=self.model, tokenizer=self.tokenizer,
+                              dtype=self.dtype, seed=self.seed,
+                              max_model_len=self.max_model_len,
+                              weight_dtype=self.quantization),
+            cache=CacheConfig(
+                block_size=self.block_size,
+                gpu_memory_utilization=self.gpu_memory_utilization,
+                num_device_blocks=self.num_device_blocks,
+                cache_dtype=self.kv_cache_dtype,
+                paged_evict=evict),
+            scheduler=SchedulerConfig(
+                max_num_seqs=self.max_num_seqs,
+                max_num_batched_tokens=self.max_num_batched_tokens,
+                max_model_len=self.max_model_len,
+                policy=self.scheduling_policy,
+                enable_chunked_prefill=self.enable_chunked_prefill,
+                num_scheduler_steps=self.num_scheduler_steps),
+            parallel=ParallelConfig(
+                tensor_parallel_size=self.tensor_parallel_size,
+                data_parallel_size=self.data_parallel_size))
+        cfg.verify()
+        return cfg

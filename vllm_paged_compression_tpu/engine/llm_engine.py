@@ -36,8 +36,28 @@ _KV_DTYPES = {"auto": None, "bfloat16": jnp.bfloat16,
               "float32": jnp.float32}
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compile cache: decode/prefill programs compile once
+    per (config, shape) across processes (reference analog: VllmConfig
+    compute_hash-keyed torch.compile caching, vllm/config.py)."""
+    import os
+
+    import jax
+    path = os.environ.get("VPC_JAX_CACHE_DIR",
+                          os.path.expanduser("~/.cache/vpc_jax"))
+    if path and path != "0":
+        try:
+            os.makedirs(path, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", path)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1.0)
+        except Exception:
+            pass
+
+
 class LLMEngine:
     def __init__(self, config: EngineConfig, params=None):
+        _enable_compile_cache()
         config.verify()
         self.config = config
         mc = config.model
@@ -62,11 +82,21 @@ class LLMEngine:
             logger.info("Initializing random weights (synthetic mode)")
             self.params = self.model.init_params(mc.seed)
 
+        if mc.weight_dtype == "int8":
+            from ..ops.quant import quantize_params_tree
+            logger.info("Quantizing weights to int8 (per-channel symmetric)")
+            self.params = quantize_params_tree(
+                self.params,
+                ("wqkv", "wo", "w_gate_up", "w_down", "lm_head", "embed"))
+
         self.tokenizer = maybe_load_tokenizer(mc.tokenizer or mc.model)
 
         kv_dtype = _KV_DTYPES.get(config.cache.cache_dtype) or dtype
-        self.cache_engine = CacheEngine(config.cache, self.model,
-                                        kv_dtype=kv_dtype)
+        import jax
+        weight_bytes = sum(x.nbytes for x in jax.tree.leaves(self.params))
+        self.cache_engine = CacheEngine(config, self.model,
+                                        kv_dtype=kv_dtype,
+                                        weight_bytes=weight_bytes)
         self.kv_caches, self.page_scores = self.cache_engine.allocate()
         self.runner = ModelRunner(self.model, config, self.cache_engine)
         self.scheduler = Scheduler(config.scheduler, config.cache,
@@ -120,7 +150,8 @@ class LLMEngine:
     def step(self) -> list[RequestOutput]:
         out: SchedulerOutput = self.scheduler.schedule()
         finished: list[Sequence] = []
-        touched: list[Sequence] = []
+        results: list[RequestOutput] = []
+        num_gen_tokens = 0
 
         if out.prefills:
             for sp in out.prefills:
@@ -128,32 +159,50 @@ class LLMEngine:
                     self.runner.run_prefill(self.params, self.kv_caches,
                                             self.page_scores, sp)
                 sp.seq.append_token(int(tok))
-                touched.append(sp.seq)
-        elif out.decodes:
-            self.kv_caches, self.page_scores, toks, victims = \
-                self.runner.run_decodes(self.params, self.kv_caches,
-                                        self.page_scores, out.decodes)
-            for i, d in enumerate(out.decodes):
-                if d.evict:
-                    victim = int(victims[i])
-                    assert victim > 0, \
-                        f"eviction fired but victim={victim}"
-                    self.scheduler.free_pruned_block(d.seq, victim)
-                d.seq.append_token(int(toks[i]))
-                touched.append(d.seq)
+                num_gen_tokens += 1
+                self._postprocess(sp.seq, results, finished)
+        elif self.scheduler.num_running:
+            # Multi-step decode: chain K steps on device, one fetch.  Drop
+            # to single steps while prefills are waiting so new requests
+            # aren't starved (reference multi-step scheduling analog —
+            # which upstream forbids together with eviction,
+            # arg_utils.py:1255-1257).
+            k_max = (1 if self.scheduler.num_waiting
+                     else self.config.scheduler.num_scheduler_steps)
+            plans, k, _pre = self.scheduler.plan_decode_window(k_max)
+            if k > 0:
+                self.kv_caches, self.page_scores, toks, victims = \
+                    self.runner.run_decode_window(
+                        self.params, self.kv_caches, self.page_scores,
+                        plans, k)
+                self.scheduler.commit_window(plans, k, victims)
+                num_gen_tokens += k * len(plans)
+                for i, plan in enumerate(plans):
+                    for step in range(k):
+                        plan.seq.append_token(int(toks[step][i]))
+                        if self._postprocess(plan.seq, results, finished,
+                                             emit=(step == k - 1)):
+                            break
 
-        results = []
-        for seq in touched:
-            status = self._check_stop(seq)
-            if status is not None:
-                seq.finish_time = time.monotonic()
-                self.scheduler.finish_seq(seq, status)
-                finished.append(seq)
-            results.append(self._make_output(seq))
         for seq in finished:
             self._seqs.pop(seq.request_id, None)
-        self.metrics.observe_step(out, results)
+        self.metrics.observe_step(out, results, num_gen_tokens)
         return results
+
+    def _postprocess(self, seq: Sequence, results, finished,
+                     emit: bool = True) -> bool:
+        """Stop-check one appended token; returns True if the sequence
+        finished (further window tokens are discarded)."""
+        status = self._check_stop(seq)
+        if status is not None:
+            seq.finish_time = time.monotonic()
+            self.scheduler.finish_seq(seq, status)
+            finished.append(seq)
+            results.append(self._make_output(seq))
+            return True
+        if emit:
+            results.append(self._make_output(seq))
+        return False
 
     # ------------------------------------------------------------------
 

@@ -23,13 +23,12 @@ class EngineMetrics:
         self._window_prompt_tokens = 0
         self._last_log = time.monotonic()
 
-    def observe_step(self, sched_out, results) -> None:
+    def observe_step(self, sched_out, results, num_gen_tokens: int) -> None:
         for sp in sched_out.prefills:
             self.num_prompt_tokens += sp.prompt_len
             self._window_prompt_tokens += sp.prompt_len
-        n_dec = len(sched_out.decodes)
-        self.num_generation_tokens += len(sched_out.prefills) + n_dec
-        self._window_gen_tokens += len(sched_out.prefills) + n_dec
+        self.num_generation_tokens += num_gen_tokens
+        self._window_gen_tokens += num_gen_tokens
         self.num_finished += sum(r.finished for r in results)
         now = time.monotonic()
         dt = now - self._last_log

@@ -25,6 +25,8 @@ class LLM:
                  disable_evict_prefill: bool = False,
                  evict_selection: str = "l2",
                  kv_cache_dtype: str = "auto",
+                 num_scheduler_steps: int = 1,
+                 quantization: Optional[str] = None,
                  params=None, seed: int = 0):
         evict = None
         if enable_paged_eviction:
@@ -35,14 +37,16 @@ class LLM:
                 selection=evict_selection)
         config = EngineConfig(
             model=ModelConfig(model=model, hf_config=hf_config, dtype=dtype,
-                              max_model_len=max_model_len, seed=seed),
+                              max_model_len=max_model_len, seed=seed,
+                              weight_dtype=quantization),
             cache=CacheConfig(block_size=block_size,
                               num_device_blocks=num_device_blocks,
                               gpu_memory_utilization=gpu_memory_utilization,
                               cache_dtype=kv_cache_dtype,
                               paged_evict=evict),
             scheduler=SchedulerConfig(max_num_seqs=max_num_seqs,
-                                      max_model_len=max_model_len))
+                                      max_model_len=max_model_len,
+                                      num_scheduler_steps=num_scheduler_steps))
         self.engine = LLMEngine(config, params=params)
 
     def generate(

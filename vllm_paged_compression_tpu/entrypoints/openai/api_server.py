@@ -1,0 +1,277 @@
+"""OpenAI-compatible HTTP server on stdlib asyncio.
+
+Reference analog: vllm/entrypoints/openai/api_server.py (FastAPI + uvicorn).
+This image ships neither, so the server is a minimal HTTP/1.1 implementation
+over asyncio streams: routes /v1/completions, /v1/chat/completions,
+/v1/models, /health, /metrics, /version with SSE streaming — the protocol
+subset the reference's benchmark clients (benchmarks/backend_request_func.py)
+and OpenAI SDK basic usage exercise.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import time
+import uuid
+from typing import Optional
+
+from ...engine.async_engine import AsyncLLMEngine
+from ...sampling_params import SamplingParams
+from ...utils import init_logger
+
+logger = init_logger(__name__)
+
+MAX_BODY = 32 << 20
+
+
+class HTTPError(Exception):
+    def __init__(self, status: int, message: str):
+        self.status = status
+        self.message = message
+
+
+def _sampling_from_request(body: dict) -> SamplingParams:
+    def get(k, d):
+        v = body.get(k, d)
+        return d if v is None else v
+    try:
+        return SamplingParams(
+            n=int(get("n", 1)),
+            temperature=float(get("temperature", 1.0)),
+            top_p=float(get("top_p", 1.0)),
+            top_k=int(get("top_k", -1)),
+            presence_penalty=float(get("presence_penalty", 0.0)),
+            frequency_penalty=float(get("frequency_penalty", 0.0)),
+            repetition_penalty=float(get("repetition_penalty", 1.0)),
+            max_tokens=int(get("max_tokens", 16)),
+            min_tokens=int(get("min_tokens", 0)),
+            stop=([get("stop", [])] if isinstance(get("stop", []), str)
+                  else list(get("stop", []))),
+            stop_token_ids=list(get("stop_token_ids", [])),
+            ignore_eos=bool(get("ignore_eos", False)),
+            seed=body.get("seed"),
+        )
+    except (TypeError, ValueError) as e:
+        raise HTTPError(400, f"invalid sampling parameters: {e}")
+
+
+class OpenAIServer:
+    def __init__(self, async_engine: AsyncLLMEngine, model_name: str):
+        self.engine = async_engine
+        self.model_name = model_name
+        self.start_time = time.time()
+
+    # ---- HTTP plumbing --------------------------------------------------
+
+    async def handle_conn(self, reader: asyncio.StreamReader,
+                          writer: asyncio.StreamWriter) -> None:
+        try:
+            while True:
+                line = await reader.readline()
+                if not line:
+                    return
+                try:
+                    method, path, _ = line.decode().split(" ", 2)
+                except ValueError:
+                    return
+                headers = {}
+                while True:
+                    h = await reader.readline()
+                    if h in (b"\r\n", b"\n", b""):
+                        break
+                    k, _, v = h.decode().partition(":")
+                    headers[k.strip().lower()] = v.strip()
+                body = b""
+                n = int(headers.get("content-length", 0))
+                if n > MAX_BODY:
+                    await self._send(writer, 413, {"error": "body too large"})
+                    return
+                if n:
+                    body = await reader.readexactly(n)
+                keep = await self._route(writer, method, path, body)
+                if not keep:
+                    return
+        except (ConnectionError, asyncio.IncompleteReadError):
+            pass
+        finally:
+            try:
+                writer.close()
+            except Exception:
+                pass
+
+    async def _route(self, writer, method: str, path: str,
+                     body: bytes) -> bool:
+        path = path.split("?")[0]
+        try:
+            if method == "GET" and path in ("/health", "/ping"):
+                await self._send(writer, 200, {"status": "ok"})
+            elif method == "GET" and path == "/version":
+                from ... import __version__
+                await self._send(writer, 200, {"version": __version__})
+            elif method == "GET" and path == "/v1/models":
+                await self._send(writer, 200, {
+                    "object": "list",
+                    "data": [{"id": self.model_name, "object": "model",
+                              "created": int(self.start_time),
+                              "owned_by": "vpc-tpu"}]})
+            elif method == "GET" and path == "/metrics":
+                await self._send_metrics(writer)
+            elif method == "POST" and path == "/v1/completions":
+                return await self._completions(writer, body, chat=False)
+            elif method == "POST" and path == "/v1/chat/completions":
+                return await self._completions(writer, body, chat=True)
+            else:
+                await self._send(writer, 404,
+                                 {"error": {"message": f"no route {path}"}})
+        except HTTPError as e:
+            await self._send(writer, e.status,
+                             {"error": {"message": e.message,
+                                        "type": "invalid_request_error"}})
+        except Exception as e:  # noqa: BLE001
+            logger.exception("handler error")
+            await self._send(writer, 500, {"error": {"message": str(e)}})
+        return True
+
+    async def _send(self, writer, status: int, obj: dict) -> None:
+        data = json.dumps(obj).encode()
+        writer.write(
+            f"HTTP/1.1 {status} X\r\ncontent-type: application/json\r\n"
+            f"content-length: {len(data)}\r\n\r\n".encode() + data)
+        await writer.drain()
+
+    async def _send_metrics(self, writer) -> None:
+        snap = self.engine.metrics_snapshot()
+        lines = []
+        for k, v in snap.items():
+            lines.append(f"vpc:{k} {v}")
+        data = ("\n".join(lines) + "\n").encode()
+        writer.write(
+            f"HTTP/1.1 200 OK\r\ncontent-type: text/plain\r\n"
+            f"content-length: {len(data)}\r\n\r\n".encode() + data)
+        await writer.drain()
+
+    # ---- completions ----------------------------------------------------
+
+    def _chat_to_prompt(self, messages: list[dict]) -> str:
+        """Minimal chat templating (llama3-style).  Full jinja chat
+        templates are a later-round item."""
+        parts = []
+        for m in messages:
+            role = m.get("role", "user")
+            content = m.get("content", "")
+            parts.append(f"<|start_header_id|>{role}<|end_header_id|>\n\n"
+                         f"{content}<|eot_id|>")
+        parts.append("<|start_header_id|>assistant<|end_header_id|>\n\n")
+        return "".join(parts)
+
+    async def _completions(self, writer, body: bytes, chat: bool) -> bool:
+        try:
+            req = json.loads(body or b"{}")
+        except json.JSONDecodeError:
+            raise HTTPError(400, "invalid JSON body")
+        params = _sampling_from_request(req)
+        stream = bool(req.get("stream", False))
+        rid = f"cmpl-{uuid.uuid4().hex[:24]}"
+
+        prompt: Optional[str] = None
+        prompt_token_ids: Optional[list[int]] = None
+        if chat:
+            messages = req.get("messages")
+            if not isinstance(messages, list) or not messages:
+                raise HTTPError(400, "messages must be a non-empty list")
+            prompt = self._chat_to_prompt(messages)
+        else:
+            p = req.get("prompt")
+            if isinstance(p, str):
+                prompt = p
+            elif isinstance(p, list) and p and isinstance(p[0], int):
+                prompt_token_ids = p
+            elif isinstance(p, list) and p and isinstance(p[0], str):
+                prompt = p[0]
+            else:
+                raise HTTPError(400, "prompt must be a string or token list")
+        if prompt is not None and self.engine.tokenizer is None:
+            raise HTTPError(400, "server has no tokenizer; send token ids")
+
+        created = int(time.time())
+        obj = "chat.completion" if chat else "text_completion"
+
+        if not stream:
+            final = None
+            async for out in self.engine.generate(
+                    rid, params, prompt=prompt,
+                    prompt_token_ids=prompt_token_ids):
+                final = out
+            await self._send(writer, 200, self._response_json(
+                rid, created, obj, final, chat))
+            return True
+
+        # SSE streaming
+        writer.write(b"HTTP/1.1 200 OK\r\ncontent-type: text/event-stream\r\n"
+                     b"cache-control: no-cache\r\n"
+                     b"transfer-encoding: chunked\r\n\r\n")
+        await writer.drain()
+        sent_text_len = 0
+        sent_ntok = 0
+        async for out in self.engine.generate(
+                rid, params, prompt=prompt,
+                prompt_token_ids=prompt_token_ids):
+            co = out.outputs[0]
+            delta_text = co.text[sent_text_len:]
+            sent_text_len = len(co.text)
+            sent_ntok = len(co.token_ids)
+            if chat:
+                chunk = {"id": rid, "object": "chat.completion.chunk",
+                         "created": created, "model": self.model_name,
+                         "choices": [{"index": 0,
+                                      "delta": {"content": delta_text},
+                                      "finish_reason": co.finish_reason}]}
+            else:
+                chunk = {"id": rid, "object": "text_completion",
+                         "created": created, "model": self.model_name,
+                         "choices": [{"index": 0, "text": delta_text,
+                                      "finish_reason": co.finish_reason}]}
+            await self._write_chunk(writer,
+                                    f"data: {json.dumps(chunk)}\n\n")
+        await self._write_chunk(writer, "data: [DONE]\n\n")
+        writer.write(b"0\r\n\r\n")
+        await writer.drain()
+        return False  # close after stream
+
+    async def _write_chunk(self, writer, text: str) -> None:
+        data = text.encode()
+        writer.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
+        await writer.drain()
+
+    def _response_json(self, rid, created, obj, out, chat: bool) -> dict:
+        co = out.outputs[0]
+        usage = {"prompt_tokens": len(out.prompt_token_ids),
+                 "completion_tokens": len(co.token_ids),
+                 "total_tokens": len(out.prompt_token_ids)
+                 + len(co.token_ids)}
+        if chat:
+            choice = {"index": 0,
+                      "message": {"role": "assistant", "content": co.text},
+                      "finish_reason": co.finish_reason}
+        else:
+            choice = {"index": 0, "text": co.text,
+                      "finish_reason": co.finish_reason}
+        return {"id": rid, "object": obj, "created": created,
+                "model": self.model_name, "choices": [choice],
+                "usage": usage}
+
+
+async def serve(async_engine: AsyncLLMEngine, model_name: str,
+                host: str = "0.0.0.0", port: int = 8000):
+    server = OpenAIServer(async_engine, model_name)
+    srv = await asyncio.start_server(server.handle_conn, host, port)
+    logger.info("OpenAI-compatible server listening on %s:%d", host, port)
+    async with srv:
+        await srv.serve_forever()
+
+
+def run_server(engine_args, host: str = "0.0.0.0", port: int = 8000) -> None:
+    engine = AsyncLLMEngine.from_engine_args(engine_args)
+    name = engine_args.model or "synthetic"
+    asyncio.run(serve(engine, name, host, port))

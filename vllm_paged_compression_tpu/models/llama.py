@@ -10,11 +10,13 @@ TPU-native re-design of the reference Llama implementation
   QKVParallelLinear / MergedColumnParallelLinear pattern,
   vllm/model_executor/layers/linear.py:391,635, realized as plain weight
   concatenation + one matmul).
-- Attention itself is injected as a callback ``attn_fn(layer_idx, q, k, v)
-  -> [T, H, d]`` so the same model code serves prefill, paged decode, and
-  eviction variants; the runner owns cache semantics (the reference routes
-  this through the Attention layer + backend registry,
+- Attention is injected as a callback ``attn_fn(q, k, v, layer_state) ->
+  (out, new_layer_state)`` so the same model code serves prefill, paged
+  decode, and eviction variants; the runner owns cache semantics (the
+  reference routes this through the Attention layer + backend registry,
   vllm/attention/layer.py:130-168).
+- Projections go through ops.quant.matmul, so per-channel int8 weights
+  (reference tpu_int8 scheme) drop in without touching model code.
 - Per-layer weights are stacked along a leading layer axis: one pytree leaf
   per parameter kind keeps compile time flat and makes TP sharding specs
   uniform.
@@ -32,6 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.quant import QuantizedWeight, matmul
 from ..ops.rope import apply_rope, rope_cos_sin
 
 
@@ -177,44 +180,70 @@ class LlamaModel:
     def forward_hidden(
         self, params: dict, token_ids: jnp.ndarray,
         positions: jnp.ndarray,
-        attn_fn: Callable[[int, jnp.ndarray, jnp.ndarray, jnp.ndarray],
-                          jnp.ndarray],
-    ) -> jnp.ndarray:
-        """token_ids/positions [T] -> hidden [T, D].
+        attn_fn: Callable,
+        attn_state: Any = None,
+    ):
+        """token_ids/positions [T] -> (hidden [T, D], new_attn_state).
 
-        ``attn_fn(layer_idx, q, k, v)`` receives post-rope q [T, H, d] and
-        k/v [T, Hkv, d] and returns the attention output [T, H, d].
+        The transformer stack is a ``lax.scan`` over the stacked layer
+        parameters: one layer is traced/compiled regardless of depth —
+        essential for compile latency (remote XLA compiles) and what keeps
+        the step programs small.
+
+        ``attn_fn(q, k, v, layer_state) -> (attn_out, new_layer_state)``
+        receives post-rope q [T, H, d], k/v [T, Hkv, d] and the per-layer
+        slice of ``attn_state`` (a pytree whose leaves have a leading
+        num_layers axis — e.g. the stacked KV cache).  Pass
+        ``attn_state=None`` for stateless attention (full-context oracle).
         """
         a = self.arch
-        h = params["embed"][token_ids]
+        h = self.embed(params, token_ids)
         cos, sin = rope_cos_sin(positions, a.head_dim, a.rope_theta,
                                 scaling=a.rope_scaling)
-        L = params["layers"]
         q_sz = a.num_heads * a.head_dim
         kv_sz = a.num_kv_heads * a.head_dim
         t = token_ids.shape[0]
-        for i in range(a.num_layers):
-            x = rms_norm(h, L["input_norm"][i], a.rms_norm_eps)
-            qkv = x @ L["wqkv"][i]
+
+        def layer_fn(h, xs):
+            lp, state = xs
+            x = rms_norm(h, lp["input_norm"], a.rms_norm_eps)
+            qkv = matmul(x, lp["wqkv"])
             q = qkv[:, :q_sz].reshape(t, a.num_heads, a.head_dim)
             k = qkv[:, q_sz:q_sz + kv_sz].reshape(t, a.num_kv_heads,
                                                   a.head_dim)
             v = qkv[:, q_sz + kv_sz:].reshape(t, a.num_kv_heads, a.head_dim)
             q, k = apply_rope(q, k, cos, sin)
-            attn_out = attn_fn(i, q, k, v)
-            h = h + attn_out.reshape(t, q_sz) @ L["wo"][i]
+            attn_out, new_state = attn_fn(q, k, v, state)
+            h = h + matmul(attn_out.reshape(t, q_sz), lp["wo"])
 
-            x = rms_norm(h, L["post_norm"][i], a.rms_norm_eps)
-            gate_up = x @ L["w_gate_up"][i]
+            x = rms_norm(h, lp["post_norm"], a.rms_norm_eps)
+            gate_up = matmul(x, lp["w_gate_up"])
             gate = gate_up[:, :a.intermediate_size]
             up = gate_up[:, a.intermediate_size:]
-            h = h + (jax.nn.silu(gate) * up) @ L["w_down"][i]
-        return rms_norm(h, params["final_norm"], a.rms_norm_eps)
+            h = h + matmul(jax.nn.silu(gate) * up, lp["w_down"])
+            return h, new_state
+
+        h, new_state = jax.lax.scan(layer_fn, h,
+                                    (params["layers"], attn_state))
+        return rms_norm(h, params["final_norm"], a.rms_norm_eps), new_state
+
+    def embed(self, params: dict, token_ids: jnp.ndarray) -> jnp.ndarray:
+        e = params["embed"]
+        if isinstance(e, QuantizedWeight):
+            # embed quantized per-row: q [V, D] int8, s [V].
+            return (e.q[token_ids].astype(self.dtype)
+                    * e.s[token_ids][..., None].astype(self.dtype))
+        return e[token_ids]
 
     def logits(self, params: dict, hidden: jnp.ndarray) -> jnp.ndarray:
         if self.arch.tie_word_embeddings:
-            return hidden @ params["embed"].T
-        return hidden @ params["lm_head"]
+            e = params["embed"]
+            if isinstance(e, QuantizedWeight):
+                y = jnp.dot(hidden, e.q.T.astype(hidden.dtype),
+                            preferred_element_type=jnp.float32)
+                return (y * e.s).astype(hidden.dtype)
+            return hidden @ e.T
+        return matmul(hidden, params["lm_head"])
 
     # ---- sizing ---------------------------------------------------------
 

@@ -154,37 +154,44 @@ class OPTModel:
         }
 
     def forward_hidden(self, params, token_ids, positions,
-                       attn_fn: Callable) -> jnp.ndarray:
+                       attn_fn: Callable, attn_state=None):
+        """Same scan-over-layers contract as LlamaModel.forward_hidden."""
         a = self.arch
         t = token_ids.shape[0]
         # OPT's learned positional table is offset by 2 (HF
         # OPTLearnedPositionalEmbedding).
         h = params["embed"][token_ids] + params["embed_pos"][positions + 2]
-        L = params["layers"]
-        for i in range(a.num_layers):
+
+        def layer_fn(h, xs):
+            lp, state = xs
             res = h
-            x = layer_norm(h, L["attn_ln_w"][i], L["attn_ln_b"][i]) \
+            x = layer_norm(h, lp["attn_ln_w"], lp["attn_ln_b"]) \
                 if a.do_layer_norm_before else h
-            qkv = x @ L["wqkv"][i] + L["bqkv"][i]
+            qkv = x @ lp["wqkv"] + lp["bqkv"]
             q, k, v = jnp.split(qkv, 3, axis=-1)
             q = q.reshape(t, a.num_heads, a.head_dim)
             k = k.reshape(t, a.num_heads, a.head_dim)
             v = v.reshape(t, a.num_heads, a.head_dim)
-            attn = attn_fn(i, q, k, v).reshape(t, a.hidden_size)
-            h = res + attn @ L["wo"][i] + L["bo"][i]
+            attn_out, new_state = attn_fn(q, k, v, state)
+            attn_out = attn_out.reshape(t, a.hidden_size)
+            h = res + attn_out @ lp["wo"] + lp["bo"]
             if not a.do_layer_norm_before:
-                h = layer_norm(h, L["attn_ln_w"][i], L["attn_ln_b"][i])
+                h = layer_norm(h, lp["attn_ln_w"], lp["attn_ln_b"])
 
             res = h
-            x = layer_norm(h, L["final_ln_w"][i], L["final_ln_b"][i]) \
+            x = layer_norm(h, lp["final_ln_w"], lp["final_ln_b"]) \
                 if a.do_layer_norm_before else h
-            x = jax.nn.relu(x @ L["fc1_w"][i] + L["fc1_b"][i])
-            h = res + x @ L["fc2_w"][i] + L["fc2_b"][i]
+            x = jax.nn.relu(x @ lp["fc1_w"] + lp["fc1_b"])
+            h = res + x @ lp["fc2_w"] + lp["fc2_b"]
             if not a.do_layer_norm_before:
-                h = layer_norm(h, L["final_ln_w"][i], L["final_ln_b"][i])
+                h = layer_norm(h, lp["final_ln_w"], lp["final_ln_b"])
+            return h, new_state
+
+        h, new_state = jax.lax.scan(layer_fn, h,
+                                    (params["layers"], attn_state))
         if a.do_layer_norm_before:
             h = layer_norm(h, params["final_ln_w"], params["final_ln_b"])
-        return h
+        return h, new_state
 
     def logits(self, params, hidden):
         return hidden @ params["embed"].T

@@ -1,0 +1,63 @@
+"""Weight quantization: int8 per-output-channel, symmetric.
+
+TPU-native analog of the reference's tpu_int8 scheme
+(vllm/model_executor/layers/quantization/tpu_int8.py — per-channel symmetric
+int8 with bf16 dequant in the matmul).  A QuantizedWeight is a pytree leaf
+pair (q: int8 [in, out], s: f32 [out]); ``matmul`` dispatches on it so model
+code stays dtype-agnostic.  The win on HBM-bound decode is the halved weight
+read; XLA fuses the int8->bf16 convert into the matmul operand load.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Union
+
+import jax
+import jax.numpy as jnp
+
+
+class QuantizedWeight(NamedTuple):
+    q: jnp.ndarray       # int8, [..., in_features, out_features]
+    s: jnp.ndarray       # f32 scales, [..., out_features]
+
+
+def quantize_weight(w: jnp.ndarray, axis: int = -2) -> QuantizedWeight:
+    """Symmetric per-output-channel quantization over the contraction axis.
+
+    ``axis`` is the in-features axis (reduced by the matmul); scales are
+    per remaining (output) channel.
+    """
+    wf = jnp.asarray(w, jnp.float32)
+    absmax = jnp.max(jnp.abs(wf), axis=axis, keepdims=True)
+    scale = absmax / 127.0
+    q = jnp.clip(jnp.round(wf / jnp.maximum(scale, 1e-12)),
+                 -127, 127).astype(jnp.int8)
+    return QuantizedWeight(q=q, s=jnp.squeeze(scale, axis=axis))
+
+
+def matmul(x: jnp.ndarray,
+           w: Union[jnp.ndarray, QuantizedWeight]) -> jnp.ndarray:
+    """y = x @ w with transparent int8 dequant."""
+    if isinstance(w, QuantizedWeight):
+        y = jnp.dot(x, w.q.astype(x.dtype),
+                    preferred_element_type=jnp.float32)
+        return (y * w.s).astype(x.dtype)
+    return x @ w
+
+
+def quantize_params_tree(params, leaf_names: tuple[str, ...]):
+    """Quantize the named leaves of a model params dict.  Projection
+    weights ([..., in, out]) quantize over the in-features axis; the
+    ``embed`` table ([V, D], consumed by gather) quantizes per row."""
+    def walk(node):
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                if k in leaf_names and not isinstance(v, dict):
+                    axis = -1 if k == "embed" else -2
+                    out[k] = quantize_weight(v, axis=axis)
+                else:
+                    out[k] = walk(v)
+            return out
+        return node
+    return walk(params)

@@ -30,11 +30,20 @@ class SamplingTensors(NamedTuple):
     step: jnp.ndarray          # i32 decode step counter
 
 
-def sample(logits: jnp.ndarray, t: SamplingTensors) -> jnp.ndarray:
-    """logits [B, V] -> token ids [B]."""
+def sample(logits: jnp.ndarray, t: SamplingTensors,
+           greedy_only: bool = False) -> jnp.ndarray:
+    """logits [B, V] -> token ids [B].
+
+    ``greedy_only`` is a static fast path: when the host knows every
+    sequence in the batch is greedy it skips the top-k/top-p machinery —
+    the full path costs three [B, V] sorts per step, which dominates small
+    decode batches on TPU.
+    """
     b, v = logits.shape
     logits = logits.astype(jnp.float32)
     greedy_ids = jnp.argmax(logits, axis=-1)
+    if greedy_only:
+        return greedy_ids
 
     temp = jnp.maximum(t.temperature, 1e-6)[:, None]
     scaled = logits / temp

@@ -1,0 +1,115 @@
+"""Device mesh + sharding specs: tensor/data parallelism via GSPMD.
+
+TPU-native replacement for the reference's distributed stack
+(vllm/distributed/parallel_state.py GroupCoordinator + pynccl +
+custom_all_reduce + shm_broadcast, SURVEY C10/C11): a single-controller JAX
+program annotates weights, KV pages, and batch arrays with NamedShardings
+over a ("data", "model") mesh and lets XLA insert the collectives over ICI.
+The megatron TP pattern (vllm/model_executor/layers/linear.py:252,391,635,963)
+maps to:
+
+- column-parallel (qkv, gate/up):  out-features on "model"
+- row-parallel (o_proj, down):     in-features on "model" (psum fused by XLA)
+- vocab-parallel embed / lm_head:  vocab dim on "model"
+- KV pages:                        kv-head axis on "model"
+- decode batch arrays:             batch axis on "data"
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def build_mesh(tensor_parallel: int = 1, data_parallel: int = 1,
+               devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    need = tensor_parallel * data_parallel
+    if len(devices) < need:
+        raise ValueError(
+            f"need {need} devices (tp={tensor_parallel} x "
+            f"dp={data_parallel}), have {len(devices)}")
+    grid = np.asarray(devices[:need]).reshape(data_parallel, tensor_parallel)
+    return Mesh(grid, axis_names=("data", "model"))
+
+
+# ---- parameter shardings -------------------------------------------------
+
+_LLAMA_PARAM_SPECS = {
+    "embed": P("model", None),
+    "final_norm": P(None),
+    "lm_head": P(None, "model"),
+    "layers": {
+        "wqkv": P(None, None, "model"),
+        "wo": P(None, "model", None),
+        "w_gate_up": P(None, None, "model"),
+        "w_down": P(None, "model", None),
+        "input_norm": P(None, None),
+        "post_norm": P(None, None),
+    },
+}
+
+_OPT_PARAM_SPECS = {
+    "embed": P("model", None),
+    "embed_pos": P(None, None),
+    "final_ln_w": P(None),
+    "final_ln_b": P(None),
+    "layers": {
+        "wqkv": P(None, None, "model"),
+        "bqkv": P(None, "model"),
+        "wo": P(None, "model", None),
+        "bo": P(None, None),
+        "attn_ln_w": P(None, None), "attn_ln_b": P(None, None),
+        "fc1_w": P(None, None, "model"), "fc1_b": P(None, "model"),
+        "fc2_w": P(None, "model", None), "fc2_b": P(None, None),
+        "final_ln_w": P(None, None), "final_ln_b": P(None, None),
+    },
+}
+
+PARAM_SPECS = {"llama": _LLAMA_PARAM_SPECS, "opt": _OPT_PARAM_SPECS}
+
+
+def param_shardings(mesh: Mesh, architecture: str, params: dict):
+    """Pytree of NamedShardings matching ``params``' structure.
+
+    QuantizedWeight leaves get the weight spec on ``q`` and the spec minus
+    the contraction axis on ``s`` (scales follow the output channels)."""
+    from ..ops.quant import QuantizedWeight
+    specs = PARAM_SPECS[architecture]
+
+    def walk(spec_node, param_node):
+        if isinstance(param_node, QuantizedWeight):
+            spec = spec_node
+            s_spec = P(*(spec[:-2] + spec[-1:])) if len(spec) >= 2 else spec
+            return QuantizedWeight(q=NamedSharding(mesh, spec),
+                                   s=NamedSharding(mesh, s_spec))
+        if isinstance(param_node, dict):
+            return {k: walk(spec_node[k], v) for k, v in param_node.items()}
+        return NamedSharding(mesh, spec_node)
+
+    return walk(specs, params)
+
+
+def kv_cache_sharding(mesh: Mesh) -> NamedSharding:
+    """[layers, pages, page_size, Hkv, head_dim]: KV heads sharded over
+    "model" (pages replicated across "data" in round 1 — DP replicas serve
+    disjoint request sets but share the pool layout)."""
+    return NamedSharding(mesh, P(None, None, None, "model", None))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_params(params: dict, mesh: Mesh, architecture: str) -> dict:
+    return jax.device_put(params,
+                          param_shardings(mesh, architecture, params))
+
+
+def shard_caches(caches, mesh: Mesh):
+    s = kv_cache_sharding(mesh)
+    k, v = caches
+    return (jax.device_put(k, s), jax.device_put(v, s))

@@ -56,9 +56,20 @@ def device_hbm_bytes() -> int:
     return 16 << 30
 
 
+def max_pages_per_seq(cache_config: CacheConfig, max_model_len: int) -> int:
+    """Widest block table any sequence can reach.  Page-freeing eviction
+    bounds it by the cache budget; otherwise by max_model_len."""
+    bs = cache_config.block_size
+    ev = cache_config.paged_evict
+    if ev is not None and ev.enabled and ev.frees_pages:
+        return ev.cache_budget // bs + 2
+    return -(-max_model_len // bs)
+
+
 class CacheEngine:
-    def __init__(self, cache_config: CacheConfig, model,
-                 kv_dtype=jnp.bfloat16, num_shards: int = 1):
+    def __init__(self, config, model, kv_dtype=jnp.bfloat16,
+                 num_shards: int = 1, weight_bytes=None):
+        cache_config = config.cache
         self.config = cache_config
         self.block_size = cache_config.block_size
         self.kv_dtype = kv_dtype
@@ -71,17 +82,26 @@ class CacheEngine:
             self.num_pages = cache_config.num_device_blocks
         else:
             total = device_hbm_bytes()
-            weights = model.param_bytes() // max(num_shards, 1)
+            weights = (weight_bytes if weight_bytes is not None
+                       else model.param_bytes()) // max(num_shards, 1)
             headroom = int(os.environ.get("VPC_ACTIVATION_HEADROOM_MB",
                                           "1024")) << 20
             budget = int(total * cache_config.gpu_memory_utilization) \
                 - weights - headroom
-            self.num_pages = max(budget // page_bytes, 16)
+            # The multi-step decode scan double-buffers the cache carry, so
+            # the analytic budget is halved; additionally the pool never
+            # needs to exceed what the scheduler can address (all seqs at
+            # their widest tables — tiny under eviction budgets).
+            addressable = config.scheduler.max_num_seqs * max_pages_per_seq(
+                cache_config, config.scheduler.max_model_len) + 8
+            self.num_pages = max(min(budget // (2 * page_bytes),
+                                     addressable), 16)
             logger.info(
-                "KV pool sizing: hbm=%.2f GiB weights=%.2f GiB -> "
-                "%d pages of %d tokens (%.2f GiB)",
-                total / (1 << 30), weights / (1 << 30), self.num_pages,
-                self.block_size, self.num_pages * page_bytes / (1 << 30))
+                "KV pool sizing: hbm=%.2f GiB weights=%.2f GiB "
+                "addressable=%d -> %d pages of %d tokens (%.2f GiB)",
+                total / (1 << 30), weights / (1 << 30), addressable,
+                self.num_pages, self.block_size,
+                self.num_pages * page_bytes / (1 << 30))
         self.page_bytes = page_bytes
 
     @property
@@ -94,18 +114,18 @@ class CacheEngine:
         return self.num_pages * self.block_size
 
     def allocate(self):
-        """Create per-layer (k, v) cache arrays + the page score array.
+        """Create the stacked (k, v) cache arrays + the page score array.
 
-        Layout [num_pages+1, page_size, Hkv, head_dim]: page-major so one
-        page is a contiguous [page_size, Hkv*d] tile — the DMA unit of the
-        Pallas paged-attention kernel (cf. reference layout
-        vllm/attention/ops/paged_attn.py:40-62, re-chosen for TPU tiling).
+        Layout [num_layers, num_pages+1, page_size, Hkv, head_dim]: a
+        leading layer axis (consumed by the model's scan-over-layers) and
+        page-major within a layer so one page is a contiguous
+        [page_size, Hkv*d] tile — the DMA unit of the Pallas paged-attention
+        kernel (cf. reference layout vllm/attention/ops/paged_attn.py:40-62,
+        re-chosen for TPU tiling).
         """
-        shape = (self.num_pages + 1, self.block_size, self.num_kv_heads,
-                 self.head_dim)
-        caches = [
-            (jnp.zeros(shape, self.kv_dtype), jnp.zeros(shape, self.kv_dtype))
-            for _ in range(self.num_layers)
-        ]
+        shape = (self.num_layers, self.num_pages + 1, self.block_size,
+                 self.num_kv_heads, self.head_dim)
+        caches = (jnp.zeros(shape, self.kv_dtype),
+                  jnp.zeros(shape, self.kv_dtype))
         page_scores = jnp.zeros((self.num_pages + 1,), jnp.float32)
         return caches, page_scores

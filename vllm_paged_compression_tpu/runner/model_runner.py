@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import EngineConfig
-from ..core.scheduler import ScheduledDecode, ScheduledPrefill
+from ..core.scheduler import ScheduledPrefill, SeqWindowPlan
 from ..ops.attention import (paged_decode_attention, prefill_attention,
                              pruned_prefill_attention)
 from ..ops.cache import write_kv_slots, zero_kv_slots
@@ -90,7 +90,11 @@ class ModelRunner:
             and self.evict.evict_method in ("local", "global")
             and self.evict.selection == "l2")
 
-        self._decode_jit = jax.jit(self._decode_step, donate_argnums=(1, 2))
+        import functools
+        self._decode_window_jits = {
+            g: jax.jit(functools.partial(self._decode_window, greedy_only=g),
+                       donate_argnums=(1, 2))
+            for g in (False, True)}
         self._prefill_plain_jit = jax.jit(self._prefill_plain,
                                           donate_argnums=(1, 2))
         self._prefill_prune_jit = jax.jit(self._prefill_prune,
@@ -112,53 +116,93 @@ class ModelRunner:
         scores = page_scores_from_cache(v_cache0[fill_pages])
         return page_scores.at[fill_pages].set(scores)
 
-    def _decode_step(self, params, caches, page_scores, batch):
+    # Field order of the per-step plan pack [K, NF, B].
+    _PLAN_FIELDS = ("positions", "slots", "evict", "victims", "zero_slots",
+                    "fill_pages", "new_pages", "steps")
+
+    def _decode_window(self, params, caches, page_scores, plan_pack,
+                       state_pack, f32_pack, greedy_only=False):
+        """K chained decode steps under one jit: tokens feed forward on
+        device; the host only uploads the packed plan and fetches one
+        [2, K, B] (tokens, victims) array.  This is the multi-step analog of
+        the reference's per-step execute_model loop — the reference forbids
+        multi-step + eviction (arg_utils.py:1255-1257); here eviction is
+        in-graph so the combination is exact."""
         ev = self.evict
         bs = self.block_size
-        tables = batch["block_tables"]
-        evict_flags = batch["evict_flags"]
-        victims = batch["victims"]
-        if self.track_page_scores:
-            sel = select_victims(page_scores, tables, evict_flags,
-                                 batch["num_pages"],
-                                 ev.topk_blocks if ev else -1)
-            victims = jnp.where(victims >= 0, victims, sel)
-        victims = jnp.where(evict_flags, victims, -1)
-        eff_tables = shift_block_tables(tables, victims)
-        eff_kv_lens = batch["kv_lens"] - bs * evict_flags.astype(jnp.int32)
-
-        new_caches = list(caches)
+        p = self.max_table_len
+        b = state_pack.shape[0]
+        tables0 = state_pack[:, :p]
+        kv0 = state_pack[:, p]
+        np0 = state_pack[:, p + 1]
+        tok0 = state_pack[:, p + 2]
+        seeds = state_pack[:, p + 3]
+        topk = state_pack[:, p + 4]
+        temp, top_p = f32_pack[0], f32_pack[1]
         zero_writes = ev is not None and ev.evict_method in (
             "streamingLLM-1", "inverse_key_l2")
+        iota_p = jnp.arange(p)[None, :]
 
-        def attn_fn(i, q, k, v):
-            kc, vc = new_caches[i]
-            kc, vc = write_kv_slots(kc, vc, k, v, batch["slots"])
-            if zero_writes:
-                kc, vc = zero_kv_slots(kc, vc, batch["zero_slots"])
-            new_caches[i] = (kc, vc)
-            return paged_decode_attention(q, kc, vc, eff_tables,
-                                          eff_kv_lens, self.scale)
+        def body(carry, xs):
+            caches, page_scores, tables, kv_lens, num_pages, tokens = carry
+            positions, slots, evict, victims_in, zero_slots, fill_pages, \
+                new_pages, stepctr = (xs[i] for i in range(len(
+                    self._PLAN_FIELDS)))
+            # Append pre-reserved pages at the table tail.
+            has_new = new_pages >= 0
+            onehot = (iota_p == num_pages[:, None]) & has_new[:, None]
+            tables = jnp.where(onehot, new_pages[:, None], tables)
+            num_pages = num_pages + has_new.astype(jnp.int32)
+            kv_lens = kv_lens + 1
 
-        hidden = self.model.forward_hidden(
-            params, batch["tokens"], batch["positions"], attn_fn)
-        if self.track_page_scores:
-            page_scores = self._update_page_scores(
-                page_scores, new_caches[0][1], batch["fill_pages"])
-        logits = self.model.logits(params, hidden)
-        tokens = sample(logits, self._sampling_tensors(batch))
-        return new_caches, page_scores, tokens, victims
+            evict_b = evict.astype(bool)
+            victims = victims_in
+            if self.track_page_scores:
+                sel = select_victims(page_scores, tables, evict_b, num_pages,
+                                     ev.topk_blocks if ev else -1)
+                victims = jnp.where(victims >= 0, victims, sel)
+            victims = jnp.where(evict_b, victims, -1)
+            eff_tables = shift_block_tables(tables, victims)
+            eff_kv = kv_lens - bs * evict_b.astype(jnp.int32)
+            num_pages = num_pages - evict_b.astype(jnp.int32)
+
+            def attn_fn(q, k, v, layer_cache):
+                kc, vc = layer_cache
+                kc, vc = write_kv_slots(kc, vc, k, v, slots)
+                if zero_writes:
+                    kc, vc = zero_kv_slots(kc, vc, zero_slots)
+                out = paged_decode_attention(q, kc, vc, eff_tables, eff_kv,
+                                             self.scale)
+                return out, (kc, vc)
+
+            hidden, new_caches = self.model.forward_hidden(
+                params, tokens, positions, attn_fn, caches)
+            if self.track_page_scores:
+                page_scores = self._update_page_scores(
+                    page_scores, new_caches[1][0], fill_pages)
+            logits = self.model.logits(params, hidden)
+            toks = sample(logits, SamplingTensors(
+                temperature=temp, top_p=top_p, top_k=topk, seed=seeds,
+                step=stepctr), greedy_only=greedy_only).astype(jnp.int32)
+            carry = (new_caches, page_scores, eff_tables, eff_kv,
+                     num_pages, toks)
+            return carry, jnp.stack([toks, victims])
+
+        init = (caches, page_scores, tables0, kv0, np0, tok0)
+        carry, ys = jax.lax.scan(body, init, plan_pack)
+        new_caches, page_scores = carry[0], carry[1]
+        # ys: [K, 2, B] -> [2, K, B] single fetchable array.
+        out_pack = jnp.swapaxes(ys, 0, 1)
+        return new_caches, page_scores, out_pack
 
     def _prefill_plain(self, params, caches, page_scores, batch):
-        new_caches = list(caches)
-
-        def attn_fn(i, q, k, v):
-            kc, vc = new_caches[i]
+        def attn_fn(q, k, v, layer_cache):
+            kc, vc = layer_cache
             kc, vc = write_kv_slots(kc, vc, k, v, batch["slot_mapping"])
-            new_caches[i] = (kc, vc)
-            return prefill_attention(q, k, v, self.scale, batch["q_len"])
+            out = prefill_attention(q, k, v, self.scale, batch["q_len"])
+            return out, (kc, vc)
 
-        return self._finish_prefill(params, new_caches, page_scores, batch,
+        return self._finish_prefill(params, caches, page_scores, batch,
                                     attn_fn)
 
     def _prefill_prune(self, params, caches, page_scores, batch):
@@ -168,11 +212,10 @@ class ModelRunner:
         forward)."""
         ev = self.evict
         assert ev is not None
-        new_caches = list(caches)
         s_pad = batch["slot_mapping"].shape[0]
         score_based = ev.evict_method in ("local", "global", "inverse_key_l2")
 
-        def attn_fn(i, q, k, v):
+        def attn_fn(q, k, v, layer_cache):
             if score_based:
                 scores = token_scores(k, v, ev.evict_method)
             else:
@@ -181,28 +224,29 @@ class ModelRunner:
                 scores, batch["q_len"], self.block_size, ev.cache_budget,
                 ev.evict_method, s_pad)
             k_kept, v_kept = gather_pruned_kv(k, v, keep_idx)
-            kc, vc = new_caches[i]
+            kc, vc = layer_cache
             kc, vc = write_kv_slots(kc, vc, k_kept, v_kept,
                                     batch["slot_mapping"])
-            new_caches[i] = (kc, vc)
             if ev.disable_evict_prefill:
                 # Attend-then-evict: full-context attention, pruned storage
                 # (torch_cuda_sdpa.py:1014-1024).
-                return prefill_attention(q, k, v, self.scale, batch["q_len"])
-            return pruned_prefill_attention(q, k_kept, v_kept, self.scale,
-                                            batch["q_len"],
-                                            batch["stored_len"])
+                out = prefill_attention(q, k, v, self.scale, batch["q_len"])
+            else:
+                out = pruned_prefill_attention(q, k_kept, v_kept, self.scale,
+                                               batch["q_len"],
+                                               batch["stored_len"])
+            return out, (kc, vc)
 
-        return self._finish_prefill(params, new_caches, page_scores, batch,
+        return self._finish_prefill(params, caches, page_scores, batch,
                                     attn_fn)
 
-    def _finish_prefill(self, params, new_caches, page_scores, batch,
+    def _finish_prefill(self, params, caches, page_scores, batch,
                         attn_fn):
-        hidden = self.model.forward_hidden(
-            params, batch["tokens"], batch["positions"], attn_fn)
+        hidden, new_caches = self.model.forward_hidden(
+            params, batch["tokens"], batch["positions"], attn_fn, caches)
         if self.track_page_scores:
             page_scores = self._update_page_scores(
-                page_scores, new_caches[0][1], batch["fill_pages"])
+                page_scores, new_caches[1][0], batch["fill_pages"])
         last = hidden[batch["q_len"] - 1][None]
         logits = self.model.logits(params, last)
         tokens = sample(logits, self._sampling_tensors(batch))
@@ -230,72 +274,60 @@ class ModelRunner:
         return {"temperature": temp, "top_p": top_p, "top_k": top_k,
                 "seed": seed, "step": step}
 
-    def host_victim_for(self, sd: ScheduledDecode) -> int:
-        """Host-side victim decision where the method allows it; -1 defers
-        to in-graph argmin selection."""
-        ev = self.evict
-        assert ev is not None and sd.evict
-        if ev.evict_method in ("streamingLLM", "streamingLLM-1"):
-            return 1  # the block right after the sink
-        if ev.selection == "random":
-            n = sd.seq.block_table.num_pages
-            if ev.evict_method == "local":
-                hi = min(1 + ev.topk_blocks, n - 1)
-            else:
-                hi = n - 1
-            return self._victim_rng.randint(1, max(hi - 1, 1))
-        return -1
-
-    def run_decodes(self, params, caches, page_scores,
-                    decodes: list[ScheduledDecode]):
-        n = len(decodes)
+    def run_decode_window(self, params, caches, page_scores,
+                          plans: list[SeqWindowPlan], k: int):
+        """Pack K-step plans for B sequences into three arrays, run the
+        window, return (caches, scores, tokens [K, n], victims [K, n])."""
+        n = len(plans)
         b = next_bucket(n, self.decode_buckets)
-        bs = self.block_size
+        p = self.max_table_len
         trash_slot = self.cache_engine.trash_slot
         trash_page = self.cache_engine.trash_page
-        p = self.max_table_len
+        nf = len(self._PLAN_FIELDS)
 
-        tokens = np.zeros(b, np.int32)
-        positions = np.zeros(b, np.int32)
-        slots = np.full(b, trash_slot, np.int32)
-        tables = np.full((b, p), trash_page, np.int32)
-        kv_lens = np.zeros(b, np.int32)
-        num_pages = np.zeros(b, np.int32)
-        evict_flags = np.zeros(b, bool)
-        victims = np.full(b, -1, np.int32)
-        zero_slots = np.full(b, trash_slot, np.int32)
-        fill_pages = np.full(b, trash_page, np.int32)
+        plan_pack = np.zeros((k, nf, b), np.int32)
+        # Sane defaults for padded lanes / sentinel remapping.
+        plan_pack[:, 1, :] = trash_slot           # slots
+        plan_pack[:, 3, :] = -1                   # victims
+        plan_pack[:, 4, :] = trash_slot           # zero_slots
+        plan_pack[:, 5, :] = trash_page           # fill_pages
+        plan_pack[:, 6, :] = -1                   # new_pages
+        for i, plan in enumerate(plans):
+            plan_pack[:, 0, i] = plan.positions[:k]
+            plan_pack[:, 1, i] = plan.slots[:k]
+            plan_pack[:, 2, i] = np.asarray(plan.evict[:k], np.int32)
+            plan_pack[:, 3, i] = plan.victims[:k]
+            zs = np.asarray(plan.zero_slots[:k], np.int32)
+            plan_pack[:, 4, i] = np.where(zs < 0, trash_slot, zs)
+            fp = np.asarray(plan.fill_pages[:k], np.int32)
+            plan_pack[:, 5, i] = np.where(fp < 0, trash_page, fp)
+            plan_pack[:, 6, i] = plan.new_pages[:k]
+            plan_pack[:, 7, i] = plan.steps[:k]
 
-        for i, d in enumerate(decodes):
-            seq = d.seq
-            tokens[i] = seq.last_token_id
-            positions[i] = d.position
-            slots[i] = d.slot
+        state_pack = np.zeros((b, p + 5), np.int32)
+        state_pack[:, :p] = trash_page
+        f32_pack = np.zeros((2, b), np.float32)
+        f32_pack[1, :] = 1.0  # top_p
+        samp = self._seq_sampling_arrays([pl.seq for pl in plans], b)
+        state_pack[:, p + 3] = samp["seed"]
+        state_pack[:, p + 4] = samp["top_k"]
+        f32_pack[0, :] = samp["temperature"]
+        f32_pack[1, :] = samp["top_p"]
+        for i, plan in enumerate(plans):
+            seq = plan.seq
             pages = seq.block_table.pages
-            tables[i, :len(pages)] = pages
-            kv_lens[i] = d.kv_len
-            num_pages[i] = len(pages)
-            evict_flags[i] = d.evict
-            if d.evict:
-                victims[i] = self.host_victim_for(d)
-            if d.zero_slot >= 0:
-                zero_slots[i] = d.zero_slot
-            if d.kv_len % bs == 0:
-                fill_pages[i] = d.slot // bs
+            state_pack[i, :len(pages)] = pages
+            state_pack[i, p] = seq.block_table.num_kv_slots
+            state_pack[i, p + 1] = len(pages)
+            state_pack[i, p + 2] = seq.last_token_id
 
-        batch = {
-            "tokens": tokens, "positions": positions, "slots": slots,
-            "block_tables": tables, "kv_lens": kv_lens,
-            "num_pages": num_pages, "evict_flags": evict_flags,
-            "victims": victims, "zero_slots": zero_slots,
-            "fill_pages": fill_pages,
-        }
-        batch.update(self._seq_sampling_arrays([d.seq for d in decodes], b))
-        caches, page_scores, toks, victs = self._decode_jit(
-            params, caches, page_scores, batch)
-        toks = np.asarray(toks)[:n]
-        victs = np.asarray(victs)[:n]
-        return caches, page_scores, toks, victs
+        greedy = all(pl.seq.params.greedy for pl in plans)
+        caches, page_scores, out_pack = self._decode_window_jits[greedy](
+            params, caches, page_scores, plan_pack, state_pack, f32_pack)
+        out = np.asarray(out_pack)   # one device->host fetch
+        tokens = out[0, :, :n]
+        victims = out[1, :, :n]
+        return caches, page_scores, tokens, victims
 
     def run_prefill(self, params, caches, page_scores,
                     sp: ScheduledPrefill):

@@ -35,6 +35,10 @@ class SamplingParams:
             raise ValueError("top_k must be -1 (disabled) or >= 1")
         if self.n < 1:
             raise ValueError("n must be >= 1")
+        if self.max_tokens is not None and self.max_tokens < 1:
+            raise ValueError("max_tokens must be >= 1")
+        if self.min_tokens < 0:
+            raise ValueError("min_tokens must be >= 0")
 
     @property
     def greedy(self) -> bool:

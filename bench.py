@@ -54,17 +54,20 @@ ARCHS = {
 
 def main() -> None:
     model_name = os.environ.get("VPC_BENCH_MODEL", "llama-3.2-3b")
+    arch_json = os.environ.get("VPC_BENCH_ARCH_JSON")
+    if arch_json:
+        ARCHS[model_name] = json.loads(arch_json)
     input_len = int(os.environ.get("VPC_BENCH_INPUT_LEN", "1024"))
     output_len = int(os.environ.get("VPC_BENCH_OUTPUT_LEN", "1024"))
     warmup = int(os.environ.get("VPC_BENCH_WARMUP", "32"))
     budget = int(os.environ.get("VPC_BENCH_CACHE_BUDGET", "1024"))
     evict = os.environ.get("VPC_BENCH_EVICT", "1") == "1"
 
-    if model_name == "llama-3.1-8b":
-        # bf16 8B does not fit 16 GiB; needs int8 weight quantization.
-        print("8B bf16 exceeds v5e HBM; falling back to llama-3.2-3b",
-              file=sys.stderr)
-        model_name = "llama-3.2-3b"
+    # 8B bf16 (16 GiB) does not fit a 16 GiB chip: serve it with
+    # per-channel int8 weights (the reference's tpu_int8 scheme).
+    quant = os.environ.get("VPC_BENCH_QUANT")
+    if model_name == "llama-3.1-8b" and quant is None:
+        quant = "int8"
 
     from vllm_paged_compression_tpu.entrypoints.llm import LLM
     from vllm_paged_compression_tpu.sampling_params import SamplingParams
@@ -74,7 +77,8 @@ def main() -> None:
               max_model_len=input_len + output_len + 64,
               enable_paged_eviction=evict, evict_method="global",
               cache_budget=budget, evict_selection="l2",
-              max_num_seqs=8, num_scheduler_steps=num_steps, seed=0)
+              max_num_seqs=8, num_scheduler_steps=num_steps,
+              quantization=quant, seed=0)
     eng = llm.engine
 
     import numpy as np
@@ -103,6 +107,7 @@ def main() -> None:
 
     result = {
         "metric": f"output_tok_s_{model_name.replace('-', '_')}"
+                  f"{'_' + quant if quant else ''}"
                   f"_in{input_len}_evict{'on' if evict else 'off'}",
         "value": round(tok_s, 2),
         "unit": "tok/s",

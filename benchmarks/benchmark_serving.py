@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Online serving benchmark against a live server (reference
+benchmarks/benchmark_serving.py + backend_request_func.py): Poisson request
+arrivals to /v1/completions with streaming, measuring TTFT / TPOT / ITL and
+request throughput.  Stdlib-only HTTP client."""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import time
+
+import numpy as np
+
+
+async def one_request(host, port, prompt_ids, output_len, metrics):
+    reader, writer = await asyncio.open_connection(host, port)
+    body = json.dumps({"prompt": prompt_ids, "max_tokens": output_len,
+                       "temperature": 0.0, "ignore_eos": True,
+                       "stream": True}).encode()
+    writer.write(
+        (f"POST /v1/completions HTTP/1.1\r\nhost: {host}\r\n"
+         f"content-length: {len(body)}\r\n\r\n").encode() + body)
+    await writer.drain()
+    start = time.perf_counter()
+    first_token_t = None
+    last_t = start
+    itl = []
+    buf = b""
+    while True:
+        chunk = await reader.read(65536)
+        if not chunk:
+            break
+        buf += chunk
+        now = time.perf_counter()
+        while b"data: " in buf:
+            idx = buf.index(b"data: ")
+            end = buf.find(b"\n", idx)
+            if end < 0:
+                break
+            payload = buf[idx + 6:end].strip()
+            buf = buf[end + 1:]
+            if payload == b"[DONE]":
+                writer.close()
+                e2e = now - start
+                metrics.append({
+                    "ttft": first_token_t - start if first_token_t else e2e,
+                    "e2e": e2e,
+                    "itl": itl,
+                })
+                return
+            if first_token_t is None:
+                first_token_t = now
+            else:
+                itl.append(now - last_t)
+            last_t = now
+
+
+async def run(args):
+    rng = np.random.default_rng(0)
+    metrics: list[dict] = []
+    tasks = []
+    t0 = time.perf_counter()
+    for i in range(args.num_prompts):
+        prompt = rng.integers(1, 32000, size=args.input_len).tolist()
+        token_times_last[0] = time.perf_counter()
+        tasks.append(asyncio.create_task(one_request(
+            args.host, args.port, prompt, args.output_len, metrics)))
+        if args.request_rate != float("inf"):
+            await asyncio.sleep(rng.exponential(1.0 / args.request_rate))
+    await asyncio.gather(*tasks)
+    dur = time.perf_counter() - t0
+
+    ttfts = np.array([m["ttft"] for m in metrics])
+    e2es = np.array([m["e2e"] for m in metrics])
+    itls = np.concatenate([m["itl"] for m in metrics if m["itl"]]) \
+        if any(m["itl"] for m in metrics) else np.array([0.0])
+    total_out = args.num_prompts * args.output_len
+    print("============ Serving Benchmark Result ============")
+    print(f"Successful requests:           {len(metrics)}")
+    print(f"Benchmark duration (s):        {dur:.2f}")
+    print(f"Request throughput (req/s):    {len(metrics) / dur:.2f}")
+    print(f"Output token throughput (tok/s): {total_out / dur:.2f}")
+    print(f"Mean TTFT (ms):                {ttfts.mean() * 1e3:.2f}")
+    print(f"P99 TTFT (ms):                 {np.percentile(ttfts, 99) * 1e3:.2f}")
+    print(f"Mean ITL (ms):                 {itls.mean() * 1e3:.2f}")
+    print(f"Mean E2E latency (ms):         {e2es.mean() * 1e3:.2f}")
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump({"duration": dur, "num": len(metrics),
+                       "ttft_mean": float(ttfts.mean()),
+                       "itl_mean": float(itls.mean()),
+                       "output_tok_s": total_out / dur}, f)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--num-prompts", type=int, default=16)
+    p.add_argument("--input-len", type=int, default=128)
+    p.add_argument("--output-len", type=int, default=64)
+    p.add_argument("--request-rate", type=float, default=float("inf"))
+    p.add_argument("--json-out", type=str, default=None)
+    args = p.parse_args()
+    asyncio.run(run(args))
+
+
+if __name__ == "__main__":
+    main()

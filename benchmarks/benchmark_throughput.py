@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Offline throughput benchmark (reference benchmarks/benchmark_throughput.py,
+run_vllm :164): N requests with fixed input/output lengths through the LLM
+API, reporting requests/s, total tok/s, and output tok/s in the reference's
+format."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")  # repo-root execution
+
+import numpy as np  # noqa: E402
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--num-prompts", type=int, default=8)
+    parser.add_argument("--input-len", type=int, default=1024)
+    parser.add_argument("--output-len", type=int, default=1024)
+    parser.add_argument("--hf-config-json", type=str, default=None,
+                        help="inline JSON arch config for synthetic models")
+    parser.add_argument("--bench-model", type=str, default="llama-3.2-1b",
+                        help="named synthetic arch from bench.py")
+    parser.add_argument("--json-out", type=str, default=None)
+    from vllm_paged_compression_tpu.engine.arg_utils import EngineArgs
+    EngineArgs.add_cli_args(parser)
+    args = parser.parse_args()
+
+    from vllm_paged_compression_tpu.engine.llm_engine import LLMEngine
+    from vllm_paged_compression_tpu.sampling_params import SamplingParams
+
+    engine_args = EngineArgs.from_cli_args(args)
+    engine_args.max_model_len = max(engine_args.max_model_len,
+                                    args.input_len + args.output_len + 64)
+    config = engine_args.create_engine_config()
+    if not args.model:
+        if args.hf_config_json:
+            config.model.hf_config = json.loads(args.hf_config_json)
+        else:
+            import bench
+            config.model.hf_config = bench.ARCHS[args.bench_model]
+    engine = LLMEngine(config)
+
+    rng = np.random.default_rng(0)
+    sp = SamplingParams(temperature=0.0, max_tokens=args.output_len,
+                        ignore_eos=True)
+    for i in range(args.num_prompts):
+        engine.add_request(
+            request_id=f"r{i}",
+            prompt_token_ids=rng.integers(
+                1, 32000, size=args.input_len).tolist(),
+            sampling_params=sp)
+
+    start = time.perf_counter()
+    n_done = 0
+    while engine.has_unfinished_requests():
+        for out in engine.step():
+            if out.finished:
+                n_done += 1
+    elapsed = time.perf_counter() - start
+
+    total_tokens = args.num_prompts * (args.input_len + args.output_len)
+    output_tokens = args.num_prompts * args.output_len
+    # Reference output format (benchmark_throughput.py main print).
+    print(f"Throughput: {args.num_prompts / elapsed:.2f} requests/s, "
+          f"{total_tokens / elapsed:.2f} total tokens/s, "
+          f"{output_tokens / elapsed:.2f} output tokens/s")
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump({"elapsed": elapsed, "num_requests": args.num_prompts,
+                       "total_tok_s": total_tokens / elapsed,
+                       "output_tok_s": output_tokens / elapsed,
+                       "requests_s": args.num_prompts / elapsed}, f)
+
+
+if __name__ == "__main__":
+    main()

@@ -64,9 +64,15 @@ def test_e2e_int8_generation_close_to_fp():
               max_model_len=128, num_device_blocks=64, seed=0)
     sp = SamplingParams(temperature=0.0, max_tokens=8)
     prompt = [[1, 5, 9, 33, 77, 2]]
-    fp = LLM(**kw).generate(prompt_token_ids=prompt, sampling_params=sp)
-    q = LLM(quantization="int8", **kw).generate(prompt_token_ids=prompt,
-                                                sampling_params=sp)
+    fp_llm = LLM(**kw)
+    fp = fp_llm.generate(prompt_token_ids=prompt, sampling_params=sp)
+    # Quantize the *same* weights (the engine's synthetic int8 path would
+    # generate unrelated random int8 weights).
+    qparams = quantize_params_tree(
+        fp_llm.engine.params,
+        ("wqkv", "wo", "w_gate_up", "w_down", "embed"))
+    q = LLM(params=qparams, **kw).generate(prompt_token_ids=prompt,
+                                           sampling_params=sp)
     a = fp[0].outputs[0].token_ids
     b = q[0].outputs[0].token_ids
     agree = sum(x == y for x, y in zip(a, b))

@@ -72,22 +72,33 @@ class LLMEngine:
         if isinstance(self.eos_token_id, list):
             self.eos_token_id = self.eos_token_id[0]
 
+        as_numpy = mc.weight_dtype == "int8" and params is None
         if params is not None:
             self.params = params
         elif mc.model:
             logger.info("Loading weights from %s", mc.model)
             self.params = self.model.load_hf_state_dict(
-                load_state_dict(mc.model))
+                load_state_dict(mc.model), as_numpy=as_numpy)
         else:
             logger.info("Initializing random weights (synthetic mode)")
-            self.params = self.model.init_params(mc.seed)
+            if (mc.weight_dtype == "int8"
+                    and hasattr(self.model, "init_params_int8")):
+                # Synthetic int8: skip the fp32-generate + quantize pass.
+                self.params = self.model.init_params_int8(mc.seed)
+                self._pre_quantized = True
+            else:
+                self.params = self.model.init_params(mc.seed,
+                                                     as_numpy=as_numpy)
 
-        if mc.weight_dtype == "int8":
+        if (mc.weight_dtype == "int8"
+                and not getattr(self, "_pre_quantized", False)):
             from ..ops.quant import quantize_params_tree
             logger.info("Quantizing weights to int8 (per-channel symmetric)")
+            # Host-side quantization: only int8 + scales touch HBM.
             self.params = quantize_params_tree(
                 self.params,
-                ("wqkv", "wo", "w_gate_up", "w_down", "lm_head", "embed"))
+                ("wqkv", "wo", "w_gate_up", "w_down", "lm_head", "embed"),
+                model_dtype=dtype)
 
         self.tokenizer = maybe_load_tokenizer(mc.tokenizer or mc.model)
 
@@ -102,6 +113,8 @@ class LLMEngine:
         self.scheduler = Scheduler(config.scheduler, config.cache,
                                    self.cache_engine.num_pages)
         self.metrics = EngineMetrics(self)
+        from .tracing import Tracer
+        self.tracer = Tracer(config.observability.otlp_traces_endpoint)
         self._seqs: dict[str, Sequence] = {}
         self._req_counter = 0
 
@@ -197,6 +210,7 @@ class LLMEngine:
         if status is not None:
             seq.finish_time = time.monotonic()
             self.scheduler.finish_seq(seq, status)
+            self.tracer.record_request(seq, seq.finish_time)
             finished.append(seq)
             results.append(self._make_output(seq))
             return True

@@ -96,18 +96,34 @@ class LlamaModel:
 
     # ---- parameter construction ----------------------------------------
 
-    def init_params(self, seed: int = 0) -> dict:
+    def init_params(self, seed: int = 0, as_numpy: bool = False) -> dict:
         """Random init (benchmark/synthetic use; real serving loads HF
-        weights).  Scaled-normal like HF's default init."""
+        weights).  Scaled-normal like HF's default init.
+
+        Default path generates **on device** with jax.random — for multi-GiB
+        synthetic models, host RNG + the host→device upload dominate engine
+        construction (measured: ~200 s for 1B over the chip tunnel vs <5 s
+        on-device).  ``as_numpy`` keeps leaves on host (float32) — required
+        when weights are quantized before upload so the bf16 tree never
+        hits HBM."""
         a = self.arch
-        rng = np.random.default_rng(seed)
         std = 0.02
 
-        def w(*shape):
-            return jnp.asarray(
-                rng.standard_normal(shape, dtype=np.float32) * std,
-                self.dtype)
+        if as_numpy:
+            rng = np.random.default_rng(seed)
 
+            def w(*shape):
+                return rng.standard_normal(shape, dtype=np.float32) * std
+
+            ones = np.ones
+        else:
+            key_box = [jax.random.PRNGKey(seed)]
+
+            def w(*shape):
+                key_box[0], sub = jax.random.split(key_box[0])
+                return (jax.random.normal(sub, shape, self.dtype) * std)
+
+            ones = lambda sh: jnp.ones(sh, self.dtype)  # noqa: E731
         qkv_out = (a.num_heads + 2 * a.num_kv_heads) * a.head_dim
         layers = {
             "wqkv": w(a.num_layers, a.hidden_size, qkv_out),
@@ -115,20 +131,62 @@ class LlamaModel:
             "w_gate_up": w(a.num_layers, a.hidden_size,
                            2 * a.intermediate_size),
             "w_down": w(a.num_layers, a.intermediate_size, a.hidden_size),
-            "input_norm": jnp.ones((a.num_layers, a.hidden_size),
-                                   self.dtype),
-            "post_norm": jnp.ones((a.num_layers, a.hidden_size), self.dtype),
+            "input_norm": ones((a.num_layers, a.hidden_size)),
+            "post_norm": ones((a.num_layers, a.hidden_size)),
         }
         params = {
             "embed": w(a.vocab_size, a.hidden_size),
             "layers": layers,
-            "final_norm": jnp.ones((a.hidden_size,), self.dtype),
+            "final_norm": ones((a.hidden_size,)),
         }
         if not a.tie_word_embeddings:
             params["lm_head"] = w(a.hidden_size, a.vocab_size)
         return params
 
-    def load_hf_state_dict(self, tensors: dict[str, np.ndarray]) -> dict:
+    def init_params_int8(self, seed: int = 0) -> dict:
+        """Random weights directly in int8 (synthetic benchmarking): skips
+        the fp32-generate + quantize pass, which costs minutes for 8B on a
+        small host."""
+        from ..ops.quant import QuantizedWeight
+        a = self.arch
+        key_box = [jax.random.PRNGKey(seed)]
+
+        def _randint8(shape):
+            key_box[0], sub = jax.random.split(key_box[0])
+            return jax.random.randint(sub, shape, -127, 128, jnp.int8)
+
+        def qw(*shape):
+            s = jnp.full(shape[:-2] + shape[-1:] if len(shape) >= 2
+                         else shape, 0.02 / 127, jnp.float32)
+            return QuantizedWeight(q=_randint8(shape), s=s)
+
+        def emb(v, d):
+            return QuantizedWeight(q=_randint8((v, d)),
+                                   s=jnp.full((v,), 0.02 / 127,
+                                              jnp.float32))
+
+        qkv_out = (a.num_heads + 2 * a.num_kv_heads) * a.head_dim
+        layers = {
+            "wqkv": qw(a.num_layers, a.hidden_size, qkv_out),
+            "wo": qw(a.num_layers, a.num_heads * a.head_dim, a.hidden_size),
+            "w_gate_up": qw(a.num_layers, a.hidden_size,
+                            2 * a.intermediate_size),
+            "w_down": qw(a.num_layers, a.intermediate_size, a.hidden_size),
+            "input_norm": jnp.ones((a.num_layers, a.hidden_size),
+                                   self.dtype),
+            "post_norm": jnp.ones((a.num_layers, a.hidden_size), self.dtype),
+        }
+        params = {
+            "embed": emb(a.vocab_size, a.hidden_size),
+            "layers": layers,
+            "final_norm": jnp.ones((a.hidden_size,), self.dtype),
+        }
+        if not a.tie_word_embeddings:
+            params["lm_head"] = qw(a.hidden_size, a.vocab_size)
+        return params
+
+    def load_hf_state_dict(self, tensors: dict[str, np.ndarray],
+                           as_numpy: bool = False) -> dict:
         """Convert an HF Llama state dict (numpy arrays) into our fused,
         transposed layout."""
         a = self.arch
@@ -156,10 +214,15 @@ class LlamaModel:
             post_n.append(t(p + "post_attention_layernorm.weight"))
 
         def stack(xs):
-            return jnp.asarray(np.stack(xs), self.dtype)
+            arr = np.stack(xs)
+            return arr if as_numpy else jnp.asarray(arr, self.dtype)
+
+        def leaf(x):
+            return np.asarray(x) if as_numpy \
+                else jnp.asarray(x, self.dtype)
 
         params = {
-            "embed": jnp.asarray(t("model.embed_tokens.weight"), self.dtype),
+            "embed": leaf(t("model.embed_tokens.weight")),
             "layers": {
                 "wqkv": stack(wqkv),
                 "wo": stack(wo),
@@ -168,11 +231,10 @@ class LlamaModel:
                 "input_norm": stack(in_n),
                 "post_norm": stack(post_n),
             },
-            "final_norm": jnp.asarray(t("model.norm.weight"), self.dtype),
+            "final_norm": leaf(t("model.norm.weight")),
         }
         if not a.tie_word_embeddings:
-            params["lm_head"] = jnp.asarray(
-                t("lm_head.weight").T, self.dtype)
+            params["lm_head"] = leaf(t("lm_head.weight").T)
         return params
 
     # ---- forward --------------------------------------------------------

@@ -67,17 +67,27 @@ class OPTModel:
         self.arch = arch
         self.dtype = dtype
 
-    def init_params(self, seed: int = 0) -> dict:
+    def init_params(self, seed: int = 0, as_numpy: bool = False) -> dict:
         a = self.arch
-        rng = np.random.default_rng(seed)
 
-        def w(*shape):
-            return jnp.asarray(
-                rng.standard_normal(shape, dtype=np.float32) * 0.02,
-                self.dtype)
+        if as_numpy:
+            rng = np.random.default_rng(seed)
 
-        def zeros(*shape):
-            return jnp.zeros(shape, self.dtype)
+            def w(*shape):
+                return rng.standard_normal(shape, dtype=np.float32) * 0.02
+
+            def zeros(*shape):
+                return np.zeros(shape, np.float32)
+        else:
+            import jax
+            key_box = [jax.random.PRNGKey(seed)]
+
+            def w(*shape):
+                key_box[0], sub = jax.random.split(key_box[0])
+                return jax.random.normal(sub, shape, self.dtype) * 0.02
+
+            def zeros(*shape):
+                return jnp.zeros(shape, self.dtype)
 
         layers = {
             "wqkv": w(a.num_layers, a.hidden_size, 3 * a.hidden_size),
@@ -102,7 +112,8 @@ class OPTModel:
             "final_ln_b": zeros(a.hidden_size),
         }
 
-    def load_hf_state_dict(self, tensors: dict[str, np.ndarray]) -> dict:
+    def load_hf_state_dict(self, tensors: dict[str, np.ndarray],
+                           as_numpy: bool = False) -> dict:
         a = self.arch
 
         def t(name):
@@ -133,12 +144,16 @@ class OPTModel:
             flb.append(t(p + "final_layer_norm.bias"))
 
         def stack(xs):
-            return jnp.asarray(np.stack(xs), self.dtype)
+            arr = np.stack(xs)
+            return arr if as_numpy else jnp.asarray(arr, self.dtype)
+
+        def leaf(x):
+            return np.asarray(x) if as_numpy \
+                else jnp.asarray(x, self.dtype)
 
         return {
-            "embed": jnp.asarray(t("embed_tokens.weight"), self.dtype),
-            "embed_pos": jnp.asarray(t("embed_positions.weight"),
-                                     self.dtype),
+            "embed": leaf(t("embed_tokens.weight")),
+            "embed_pos": leaf(t("embed_positions.weight")),
             "layers": {
                 "wqkv": stack(wqkv), "bqkv": stack(bqkv),
                 "wo": stack(wo), "bo": stack(bo),
@@ -147,10 +162,8 @@ class OPTModel:
                 "fc2_w": stack(f2w), "fc2_b": stack(f2b),
                 "final_ln_w": stack(flw), "final_ln_b": stack(flb),
             },
-            "final_ln_w": jnp.asarray(t("final_layer_norm.weight"),
-                                      self.dtype),
-            "final_ln_b": jnp.asarray(t("final_layer_norm.bias"),
-                                      self.dtype),
+            "final_ln_w": leaf(t("final_layer_norm.weight")),
+            "final_ln_b": leaf(t("final_layer_norm.bias")),
         }
 
     def forward_hidden(self, params, token_ids, positions,

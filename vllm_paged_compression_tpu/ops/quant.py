@@ -21,12 +21,24 @@ class QuantizedWeight(NamedTuple):
     s: jnp.ndarray       # f32 scales, [..., out_features]
 
 
-def quantize_weight(w: jnp.ndarray, axis: int = -2) -> QuantizedWeight:
+def quantize_weight(w, axis: int = -2) -> QuantizedWeight:
     """Symmetric per-output-channel quantization over the contraction axis.
 
     ``axis`` is the in-features axis (reduced by the matmul); scales are
-    per remaining (output) channel.
+    per remaining (output) channel.  numpy input stays on host (and is
+    uploaded as int8 + f32 scales) so a large bf16 tree never touches HBM;
+    jax input quantizes on device.
     """
+    import numpy as np
+    if isinstance(w, np.ndarray):
+        wf = w.astype(np.float32, copy=False)
+        absmax = np.max(np.abs(wf), axis=axis, keepdims=True)
+        scale = absmax / 127.0
+        q = np.clip(np.round(wf / np.maximum(scale, 1e-12)),
+                    -127, 127).astype(np.int8)
+        return QuantizedWeight(q=jnp.asarray(q),
+                               s=jnp.asarray(
+                                   np.squeeze(scale, axis=axis)))
     wf = jnp.asarray(w, jnp.float32)
     absmax = jnp.max(jnp.abs(wf), axis=axis, keepdims=True)
     scale = absmax / 127.0
@@ -45,10 +57,14 @@ def matmul(x: jnp.ndarray,
     return x @ w
 
 
-def quantize_params_tree(params, leaf_names: tuple[str, ...]):
+def quantize_params_tree(params, leaf_names: tuple[str, ...],
+                         model_dtype=jnp.bfloat16):
     """Quantize the named leaves of a model params dict.  Projection
     weights ([..., in, out]) quantize over the in-features axis; the
-    ``embed`` table ([V, D], consumed by gather) quantizes per row."""
+    ``embed`` table ([V, D], consumed by gather) quantizes per row.
+    Unnamed numpy leaves are uploaded in ``model_dtype``."""
+    import numpy as np
+
     def walk(node):
         if isinstance(node, dict):
             out = {}
@@ -59,5 +75,7 @@ def quantize_params_tree(params, leaf_names: tuple[str, ...]):
                 else:
                     out[k] = walk(v)
             return out
+        if isinstance(node, np.ndarray):
+            return jnp.asarray(node, model_dtype)
         return node
     return walk(params)

@@ -1,0 +1,101 @@
+"""Pallas kernels vs their jnp oracles (CPU interpret mode).
+
+Reference test-strategy analog: tests/kernels/test_attention.py compares
+the paged_attention CUDA kernels against a naive torch implementation
+(SURVEY.md §4); here the oracle is ops/attention.py and the kernels run
+through the Pallas interpreter.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from vllm_paged_compression_tpu.ops.attention import (
+    paged_decode_attention, prefill_attention, pruned_prefill_attention)
+from vllm_paged_compression_tpu.ops.pallas import (
+    flash_prefill_attention, paged_decode_attention_pallas)
+
+
+def _mk_cache(rng, num_pages, ps, hkv, d, dtype):
+    k = rng.standard_normal((num_pages, ps, hkv, d)).astype(dtype)
+    v = rng.standard_normal((num_pages, ps, hkv, d)).astype(dtype)
+    return jnp.asarray(k), jnp.asarray(v)
+
+
+@pytest.mark.parametrize("h,hkv,d", [(8, 8, 64), (8, 2, 64), (12, 4, 128)])
+def test_paged_decode_matches_oracle(h, hkv, d):
+    rng = np.random.default_rng(0)
+    b, ps, num_pages, max_pages = 3, 16, 32, 6
+    q = jnp.asarray(rng.standard_normal((b, h, d)).astype(np.float32))
+    kc, vc = _mk_cache(rng, num_pages, ps, hkv, d, np.float32)
+    tables = jnp.asarray(
+        rng.permutation(num_pages)[:b * max_pages].reshape(b, max_pages)
+        .astype(np.int32))
+    kv_lens = jnp.asarray([5, 16 * 3, 16 * 6 - 7], jnp.int32)
+    scale = d ** -0.5
+    ref = paged_decode_attention(q, kc, vc, tables, kv_lens, scale)
+    out = paged_decode_attention_pallas(q, kc, vc, tables, kv_lens, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_paged_decode_ignores_out_of_range_table_entries():
+    """Entries past num_pages-in-use must not affect the result (they are
+    masked by kv_lens) as long as they are in-bounds indices."""
+    rng = np.random.default_rng(1)
+    b, h, hkv, d, ps = 2, 4, 4, 64, 16
+    q = jnp.asarray(rng.standard_normal((b, h, d)).astype(np.float32))
+    kc, vc = _mk_cache(rng, 16, ps, hkv, d, np.float32)
+    t1 = jnp.asarray([[3, 5, 0, 0], [7, 1, 2, 0]], jnp.int32)
+    t2 = jnp.asarray([[3, 5, 9, 9], [7, 1, 2, 15]], jnp.int32)
+    kv_lens = jnp.asarray([20, 40], jnp.int32)
+    o1 = paged_decode_attention_pallas(q, kc, vc, t1, kv_lens, d ** -0.5)
+    o2 = paged_decode_attention_pallas(q, kc, vc, t2, kv_lens, d ** -0.5)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=1e-6)
+
+
+@pytest.mark.parametrize("t,h,hkv,d", [(64, 4, 4, 64), (256, 8, 2, 64),
+                                       (128, 12, 4, 128)])
+def test_flash_prefill_matches_oracle(t, h, hkv, d):
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(rng.standard_normal((t, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((t, hkv, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((t, hkv, d)).astype(np.float32))
+    q_len = t - 5
+    scale = d ** -0.5
+    ref = prefill_attention(q, k, v, scale, q_len)
+    out = flash_prefill_attention(q, k, v, scale, q_len, q_len)
+    np.testing.assert_allclose(np.asarray(out)[:q_len],
+                               np.asarray(ref)[:q_len],
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_prefill_pruned_top_left_alignment():
+    """Pruned prefill: kept keys S < T with torch-sdpa top-left causal
+    masking must match the oracle exactly."""
+    rng = np.random.default_rng(3)
+    t, s, h, hkv, d = 192, 64, 8, 4, 64
+    q = jnp.asarray(rng.standard_normal((t, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((s, hkv, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((s, hkv, d)).astype(np.float32))
+    q_len, kept = t - 3, s - 9
+    scale = d ** -0.5
+    ref = pruned_prefill_attention(q, k, v, scale, q_len, kept)
+    out = flash_prefill_attention(q, k, v, scale, q_len, kept)
+    np.testing.assert_allclose(np.asarray(out)[:q_len],
+                               np.asarray(ref)[:q_len],
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_prefill_non_divisible_lengths():
+    rng = np.random.default_rng(4)
+    t, h, hkv, d = 100, 4, 2, 64   # t not a multiple of the block size
+    q = jnp.asarray(rng.standard_normal((t, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((t, hkv, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((t, hkv, d)).astype(np.float32))
+    scale = d ** -0.5
+    ref = prefill_attention(q, k, v, scale, t)
+    out = flash_prefill_attention(q, k, v, scale, t, t)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

@@ -1,0 +1,154 @@
+"""Pallas TPU flash prefill attention.
+
+TPU-native replacement for the reference's prefill path — a host loop of
+per-sequence torch.sdpa calls (torch_cuda_sdpa.py:1069-1127) that
+materializes full [T, S] score matrices.  Here: classic flash/online-
+softmax blocking, so HBM traffic is O(T·d) and an 8k-token prompt needs
+no [8k, 8k] intermediate (the jnp oracle would need ~6.4 GB per layer
+for one).
+
+One kernel covers both reference prefill semantics:
+- plain causal prefill (kept_len == q_len), and
+- evict-then-attend "pruned" prefill (queries = all prompt tokens, keys =
+  the kept subset) with torch-sdpa ``is_causal`` *top-left aligned*
+  masking — query i attends kept key j iff j <= i (and j < kept_len)
+  (torch_cuda_sdpa.py:1118-1125).
+
+Layout: heads-major [H, T, d] so each grid step's block is a well-tiled
+[block, d] slab (the [T, H, d] model layout would make Mosaic tile a
+(1, d) slab per row).  The wrapper transposes in/out; XLA fuses those
+into the surrounding projections.
+
+Grid = (H, T/Bq, S/Bk), KV axis innermost and sequential; m/l/acc
+persist in VMEM scratch across KV blocks.  Fully-masked causal blocks
+(ik·Bk > iq·Bq + Bq - 1) skip their compute.  q_len/kept_len arrive as
+scalar prefetch.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -2.0**30
+
+
+def _prefill_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref,
+                    m_ref, l_ref, acc_ref, *, scale: float, bq: int,
+                    bk: int):
+    iq = pl.program_id(1)
+    ik = pl.program_id(2)
+    n_k = pl.num_programs(2)
+    kept_len = lens_ref[1]
+
+    @pl.when(ik == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # A KV block can contribute only if its first column is <= the last
+    # query row of this Q block (top-left-aligned causal).
+    @pl.when((ik * bk <= iq * bq + bq - 1)
+             & (ik * bk < kept_len))
+    def _():
+        q = q_ref[0].astype(jnp.float32) * scale            # [Bq, d]
+        k = k_ref[0].astype(jnp.float32)                    # [Bk, d]
+        v = v_ref[0].astype(jnp.float32)
+        s = jax.lax.dot_general(                            # [Bq, Bk]
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        row = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+        col = ik * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        mask = (col <= row) & (col < kept_len)
+        s = jnp.where(mask, s, _NEG_INF)
+
+        m_prev = m_ref[:, :1]
+        l_prev = l_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p, v, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_ref[:, :] = acc_ref[:, :] * alpha + pv
+        m_ref[:, :] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[:, :] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(ik == n_k - 1)
+    def _():
+        l = l_ref[:, :1]
+        o_ref[0] = (acc_ref[:, :]
+                    / jnp.where(l == 0.0, 1.0, l)).astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def flash_prefill_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                            scale: float, q_len, kept_len) -> jnp.ndarray:
+    """Flash version of ops.attention.pruned_prefill_attention (and, with
+    kept_len == q_len, of prefill_attention).
+
+    q: [T, H, d]; k/v: [S, Hkv, d]; returns [T, H, d] (garbage rows at
+    positions >= q_len, like the oracles).
+    """
+    t, h, d = q.shape
+    s, num_kv, _ = k.shape
+    group = h // num_kv
+    bq = min(128, t)
+    bk = min(128, s)
+    t_pad = _round_up(t, bq)
+    s_pad = _round_up(s, bk)
+
+    qt = jnp.swapaxes(q, 0, 1)                       # [H, T, d]
+    kt = jnp.swapaxes(k, 0, 1)
+    vt = jnp.swapaxes(v, 0, 1)
+    if t_pad != t:
+        qt = jnp.pad(qt, ((0, 0), (0, t_pad - t), (0, 0)))
+    if s_pad != s:
+        kt = jnp.pad(kt, ((0, 0), (0, s_pad - s), (0, 0)))
+        vt = jnp.pad(vt, ((0, 0), (0, s_pad - s), (0, 0)))
+    lens = jnp.stack([jnp.asarray(q_len, jnp.int32),
+                      jnp.asarray(kept_len, jnp.int32)])
+
+    def q_map(ih, iq, ik, lens_):
+        return (ih, iq, 0)
+
+    def kv_map(ih, iq, ik, lens_):
+        return (ih // group, ik, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(h, t_pad // bq, s_pad // bk),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), q_map),
+            pl.BlockSpec((1, bk, d), kv_map),
+            pl.BlockSpec((1, bk, d), kv_map),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), q_map),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(_prefill_kernel, scale=scale, bq=bq, bk=bk)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((h, t_pad, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * h * t_pad * s_pad * d,
+            bytes_accessed=(qt.nbytes + kt.nbytes + vt.nbytes + qt.nbytes),
+            transcendentals=h * t_pad * s_pad),
+        interpret=jax.default_backend() == "cpu",
+    )(lens, qt, kt, vt)
+    return jnp.swapaxes(out[:, :t], 0, 1)

@@ -35,6 +35,8 @@ from ..config import EngineConfig
 from ..core.scheduler import ScheduledPrefill, SeqWindowPlan
 from ..ops.attention import (paged_decode_attention, prefill_attention,
                              pruned_prefill_attention)
+from ..ops.pallas import (flash_prefill_attention,
+                          paged_decode_attention_pallas)
 from ..ops.cache import write_kv_slots, zero_kv_slots
 from ..ops.eviction import (gather_pruned_kv, page_scores_from_cache,
                             prompt_keep_indices, select_victims,
@@ -44,6 +46,22 @@ from ..utils import cdiv, init_logger, next_bucket
 from .cache_engine import CacheEngine
 
 logger = init_logger(__name__)
+
+
+def select_attention_backend() -> str:
+    """Backend selection, analog of the reference's get_attn_backend +
+    VLLM_ATTENTION_BACKEND override (vllm/attention/selector.py:101-174,
+    envs.py:270).  "pallas" = TPU kernels (paged decode + flash prefill);
+    "jnp" = pure-XLA oracles (always correct, used on CPU where the Pallas
+    interpreter would be slow)."""
+    import os
+    choice = os.environ.get("VPC_ATTENTION_BACKEND", "auto").lower()
+    if choice == "auto":
+        choice = "jnp" if jax.default_backend() == "cpu" else "pallas"
+    if choice not in ("pallas", "jnp"):
+        raise ValueError(f"VPC_ATTENTION_BACKEND={choice!r} "
+                         "(want pallas | jnp | auto)")
+    return choice
 
 
 def _pow2_buckets(lo: int, hi: int) -> list[int]:
@@ -90,15 +108,35 @@ class ModelRunner:
             and self.evict.evict_method in ("local", "global")
             and self.evict.selection == "l2")
 
+        self.attn_backend = select_attention_backend()
+        logger.info("Attention backend: %s", self.attn_backend)
+        if self.attn_backend == "pallas":
+            self._paged_decode = paged_decode_attention_pallas
+            self._prefill_attn = (
+                lambda q, k, v, scale, q_len:
+                flash_prefill_attention(q, k, v, scale, q_len, q_len))
+            self._pruned_prefill_attn = flash_prefill_attention
+        else:
+            self._paged_decode = paged_decode_attention
+            self._prefill_attn = prefill_attention
+            self._pruned_prefill_attn = pruned_prefill_attention
+
         import functools
         self._decode_window_jits = {
             g: jax.jit(functools.partial(self._decode_window, greedy_only=g),
                        donate_argnums=(1, 2))
             for g in (False, True)}
-        self._prefill_plain_jit = jax.jit(self._prefill_plain,
-                                          donate_argnums=(1, 2))
-        self._prefill_prune_jit = jax.jit(self._prefill_prune,
-                                          donate_argnums=(1, 2))
+        # Greedy-specialized variants: the generic top-p/top-k sampler's
+        # full-vocab sort costs ~65 s of XLA compile for a 128k vocab; a
+        # greedy request should never pay it.
+        self._prefill_plain_jits = {
+            g: jax.jit(functools.partial(self._prefill_plain, greedy_only=g),
+                       donate_argnums=(1, 2))
+            for g in (False, True)}
+        self._prefill_prune_jits = {
+            g: jax.jit(functools.partial(self._prefill_prune, greedy_only=g),
+                       donate_argnums=(1, 2))
+            for g in (False, True)}
 
     # ------------------------------------------------------------------
     # jitted programs
@@ -171,8 +209,8 @@ class ModelRunner:
                 kc, vc = write_kv_slots(kc, vc, k, v, slots)
                 if zero_writes:
                     kc, vc = zero_kv_slots(kc, vc, zero_slots)
-                out = paged_decode_attention(q, kc, vc, eff_tables, eff_kv,
-                                             self.scale)
+                out = self._paged_decode(q, kc, vc, eff_tables, eff_kv,
+                                         self.scale)
                 return out, (kc, vc)
 
             hidden, new_caches = self.model.forward_hidden(
@@ -195,17 +233,19 @@ class ModelRunner:
         out_pack = jnp.swapaxes(ys, 0, 1)
         return new_caches, page_scores, out_pack
 
-    def _prefill_plain(self, params, caches, page_scores, batch):
+    def _prefill_plain(self, params, caches, page_scores, batch,
+                       greedy_only=False):
         def attn_fn(q, k, v, layer_cache):
             kc, vc = layer_cache
             kc, vc = write_kv_slots(kc, vc, k, v, batch["slot_mapping"])
-            out = prefill_attention(q, k, v, self.scale, batch["q_len"])
+            out = self._prefill_attn(q, k, v, self.scale, batch["q_len"])
             return out, (kc, vc)
 
         return self._finish_prefill(params, caches, page_scores, batch,
-                                    attn_fn)
+                                    attn_fn, greedy_only)
 
-    def _prefill_prune(self, params, caches, page_scores, batch):
+    def _prefill_prune(self, params, caches, page_scores, batch,
+                       greedy_only=False):
         """Evict-at-prefill (both orderings).  Per-layer pruning: each layer
         selects its own keep set from its own K/V scores
         (torch_cuda_sdpa.py:882-892 runs the pruner inside every layer's
@@ -230,18 +270,18 @@ class ModelRunner:
             if ev.disable_evict_prefill:
                 # Attend-then-evict: full-context attention, pruned storage
                 # (torch_cuda_sdpa.py:1014-1024).
-                out = prefill_attention(q, k, v, self.scale, batch["q_len"])
+                out = self._prefill_attn(q, k, v, self.scale, batch["q_len"])
             else:
-                out = pruned_prefill_attention(q, k_kept, v_kept, self.scale,
-                                               batch["q_len"],
-                                               batch["stored_len"])
+                out = self._pruned_prefill_attn(q, k_kept, v_kept, self.scale,
+                                                batch["q_len"],
+                                                batch["stored_len"])
             return out, (kc, vc)
 
         return self._finish_prefill(params, caches, page_scores, batch,
-                                    attn_fn)
+                                    attn_fn, greedy_only)
 
     def _finish_prefill(self, params, caches, page_scores, batch,
-                        attn_fn):
+                        attn_fn, greedy_only=False):
         hidden, new_caches = self.model.forward_hidden(
             params, batch["tokens"], batch["positions"], attn_fn, caches)
         if self.track_page_scores:
@@ -249,7 +289,8 @@ class ModelRunner:
                 page_scores, new_caches[1][0], batch["fill_pages"])
         last = hidden[batch["q_len"] - 1][None]
         logits = self.model.logits(params, last)
-        tokens = sample(logits, self._sampling_tensors(batch))
+        tokens = sample(logits, self._sampling_tensors(batch),
+                        greedy_only=greedy_only)
         return new_caches, page_scores, tokens
 
     # ------------------------------------------------------------------
@@ -366,6 +407,8 @@ class ModelRunner:
             "slot_mapping": slot_mapping, "fill_pages": fill_pages,
         }
         batch.update(self._seq_sampling_arrays([seq], 1))
-        fn = self._prefill_prune_jit if do_prune else self._prefill_plain_jit
+        greedy = seq.params.greedy
+        fn = (self._prefill_prune_jits if do_prune
+              else self._prefill_plain_jits)[greedy]
         caches, page_scores, tok = fn(params, caches, page_scores, batch)
         return caches, page_scores, int(np.asarray(tok)[0])

@@ -99,3 +99,106 @@ def test_opt_logits_match_hf():
         full_attn_fn(arch.head_dim ** -0.5))
     ours = np.asarray(model.logits(params, hidden))
     np.testing.assert_allclose(ours, hf_logits, rtol=2e-4, atol=2e-4)
+
+
+# ---- Llama-family variants (Qwen2 / Gemma / Gemma2 / Phi3 / Mistral) ----
+
+from vllm_paged_compression_tpu.models.registry import build_model  # noqa: E402
+
+
+def _check_parity(hf, cfg_dict, ids, rtol=3e-4, atol=3e-4, softcap=None):
+    with torch.no_grad():
+        hf_logits = hf(torch.tensor(ids)).logits[0].float().numpy()
+    model = build_model(cfg_dict, dtype=jnp.float32)
+    params = model.load_hf_state_dict(
+        torch_state_dict_to_numpy(hf.state_dict()))
+    t = ids.shape[1]
+    scale = model.arch.attn_scale if hasattr(model.arch, "attn_scale") \
+        else model.arch.head_dim ** -0.5
+
+    def attn(q, k, v, state):
+        return prefill_attention(q, k, v, scale, q.shape[0],
+                                 softcap=softcap), state
+
+    hidden, _ = model.forward_hidden(params, jnp.array(ids[0]),
+                                     jnp.arange(t), attn)
+    ours = np.asarray(model.logits(params, hidden))
+    np.testing.assert_allclose(ours, hf_logits, rtol=rtol, atol=atol)
+
+
+def test_qwen2_logits_match_hf():
+    cfg = transformers.Qwen2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rope_theta=10000.0, rms_norm_eps=1e-5,
+        tie_word_embeddings=False)
+    torch.manual_seed(3)
+    hf = transformers.Qwen2ForCausalLM(cfg).eval()
+    ids = np.array([[1, 5, 9, 33, 77, 2, 4, 100, 62, 11]])
+    d = cfg.to_dict(); d["architectures"] = ["Qwen2ForCausalLM"]
+    _check_parity(hf, d, ids)
+
+
+def test_gemma_logits_match_hf():
+    cfg = transformers.GemmaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=1,
+        head_dim=16, max_position_embeddings=128, rope_theta=10000.0,
+        rms_norm_eps=1e-5)
+    torch.manual_seed(4)
+    hf = transformers.GemmaForCausalLM(cfg).eval()
+    ids = np.array([[1, 5, 9, 33, 77, 2, 4, 100]])
+    d = cfg.to_dict(); d["architectures"] = ["GemmaForCausalLM"]
+    _check_parity(hf, d, ids)
+
+
+def test_gemma2_logits_match_hf():
+    cfg = transformers.Gemma2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=128, rope_theta=10000.0,
+        rms_norm_eps=1e-5, attn_logit_softcapping=50.0,
+        final_logit_softcapping=30.0, query_pre_attn_scalar=16,
+        sliding_window=4096)
+    torch.manual_seed(5)
+    hf = transformers.Gemma2ForCausalLM(cfg).eval()
+    ids = np.array([[1, 5, 9, 33, 77, 2, 4, 100]])
+    d = cfg.to_dict(); d["architectures"] = ["Gemma2ForCausalLM"]
+    _check_parity(hf, d, ids, softcap=50.0)
+
+
+def test_phi3_logits_match_hf():
+    cfg = transformers.Phi3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rope_theta=10000.0, rms_norm_eps=1e-5,
+        tie_word_embeddings=False, pad_token_id=0, bos_token_id=1,
+        eos_token_id=2)
+    torch.manual_seed(6)
+    hf = transformers.Phi3ForCausalLM(cfg).eval()
+    ids = np.array([[1, 5, 9, 33, 77, 2, 4, 100]])
+    d = cfg.to_dict(); d["architectures"] = ["Phi3ForCausalLM"]
+    _check_parity(hf, d, ids)
+
+
+def test_gpt2_logits_match_hf():
+    cfg = transformers.GPT2Config(
+        vocab_size=128, n_embd=48, n_layer=3, n_head=4, n_positions=128)
+    torch.manual_seed(7)
+    hf = transformers.GPT2LMHeadModel(cfg).eval()
+    ids = np.array([[1, 5, 9, 33, 77, 2, 4, 100]])
+    d = cfg.to_dict(); d["architectures"] = ["GPT2LMHeadModel"]
+    _check_parity(hf, d, ids)
+
+
+def test_mistral_logits_match_hf():
+    cfg = transformers.MistralConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rope_theta=10000.0, rms_norm_eps=1e-5,
+        sliding_window=None, tie_word_embeddings=False)
+    torch.manual_seed(8)
+    hf = transformers.MistralForCausalLM(cfg).eval()
+    ids = np.array([[1, 5, 9, 33, 77, 2, 4, 100]])
+    d = cfg.to_dict(); d["architectures"] = ["MistralForCausalLM"]
+    _check_parity(hf, d, ids)

@@ -27,6 +27,7 @@ right-multiplication (``y = x @ W``), i.e. ``[in_features, out_features]``.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 from typing import Any, Callable, Optional
 
@@ -40,7 +41,12 @@ from ..ops.rope import apply_rope, rope_cos_sin
 
 @dataclass
 class LlamaArch:
-    """Architecture hyperparameters (subset of HF LlamaConfig)."""
+    """Architecture hyperparameters (superset of HF LlamaConfig).
+
+    The variant flags fold the whole Llama-family tree the reference's model
+    zoo spells out as separate files (vllm/model_executor/models/llama.py,
+    qwen2.py, gemma.py, gemma2.py, phi3.py, mistral→llama.py) into one scan
+    body with compile-time branches — all flags are static under jit."""
 
     vocab_size: int = 32000
     hidden_size: int = 4096
@@ -54,6 +60,15 @@ class LlamaArch:
     rope_scaling: Optional[dict] = None
     tie_word_embeddings: bool = False
     max_position_embeddings: int = 8192
+    # --- variant flags ---
+    qkv_bias: bool = False            # Qwen2: q/k/v projections carry bias
+    hidden_act: str = "silu"          # gemma: "gelu_tanh"
+    norm_unit_offset: bool = False    # gemma RMSNorm scales by (1 + w)
+    embed_scale: Optional[float] = None   # gemma: sqrt(hidden_size)
+    sandwich_norms: bool = False      # gemma2: post-attn/post-ffw out norms
+    attn_logit_softcap: Optional[float] = None   # gemma2
+    final_logit_softcap: Optional[float] = None  # gemma2
+    query_pre_attn_scalar: Optional[float] = None  # gemma2 attn scale base
 
     @classmethod
     def from_hf_config(cls, cfg: dict) -> "LlamaArch":
@@ -74,13 +89,73 @@ class LlamaArch:
             max_position_embeddings=cfg.get("max_position_embeddings", 8192),
         )
 
+    @property
+    def attn_scale(self) -> float:
+        base = (self.query_pre_attn_scalar
+                if self.query_pre_attn_scalar is not None else self.head_dim)
+        return base ** -0.5
 
-def rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
-    """HF-compatible RMSNorm: fp32 variance, weight applied in model dtype."""
+
+@dataclass
+class Qwen2Arch(LlamaArch):
+    """Qwen2/2.5 (reference vllm/model_executor/models/qwen2.py): Llama
+    with biases on the fused QKV projection."""
+
+    @classmethod
+    def from_hf_config(cls, cfg: dict) -> "Qwen2Arch":
+        a = super().from_hf_config(cfg)
+        a.qkv_bias = True
+        return a
+
+
+@dataclass
+class GemmaArch(LlamaArch):
+    """Gemma (reference vllm/model_executor/models/gemma.py): tied
+    embeddings scaled by sqrt(hidden), tanh-GELU MLP, (1+w) RMSNorm."""
+
+    @classmethod
+    def from_hf_config(cls, cfg: dict) -> "GemmaArch":
+        a = super().from_hf_config(cfg)
+        a.hidden_act = "gelu_tanh"
+        a.norm_unit_offset = True
+        a.embed_scale = float(cfg["hidden_size"]) ** 0.5
+        a.tie_word_embeddings = True
+        return a
+
+
+@dataclass
+class Gemma2Arch(GemmaArch):
+    """Gemma2 (reference vllm/model_executor/models/gemma2.py): Gemma plus
+    sandwich norms, attn/final logit soft-capping, and a query scale from
+    query_pre_attn_scalar.  (Alternating sliding-window attention is not
+    modeled; exact for contexts <= the 4096 window.)"""
+
+    @classmethod
+    def from_hf_config(cls, cfg: dict) -> "Gemma2Arch":
+        a = super().from_hf_config(cfg)
+        a.sandwich_norms = True
+        a.attn_logit_softcap = cfg.get("attn_logit_softcapping", 50.0)
+        a.final_logit_softcap = cfg.get("final_logit_softcapping", 30.0)
+        a.query_pre_attn_scalar = cfg.get("query_pre_attn_scalar")
+        return a
+
+
+@dataclass
+class Phi3Arch(LlamaArch):
+    """Phi-3 (reference vllm/model_executor/models/phi3.py → llama.py):
+    Llama layout with HF-side pre-fused qkv_proj / gate_up_proj weights
+    (handled by the loader)."""
+
+
+def rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float,
+             unit_offset: bool = False) -> jnp.ndarray:
+    """HF-compatible RMSNorm: fp32 variance, weight applied in model dtype.
+    ``unit_offset`` scales by (1 + w) (Gemma's zero-centered weights)."""
     dtype = x.dtype
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
     xf = xf * jax.lax.rsqrt(var + eps)
+    w = w + 1 if unit_offset else w
     return (w * xf.astype(dtype)).astype(dtype)
 
 
@@ -134,6 +209,12 @@ class LlamaModel:
             "input_norm": ones((a.num_layers, a.hidden_size)),
             "post_norm": ones((a.num_layers, a.hidden_size)),
         }
+        if a.qkv_bias:
+            layers["bqkv"] = w(a.num_layers, qkv_out)
+        if a.sandwich_norms:
+            layers["post_attn_out_norm"] = ones((a.num_layers,
+                                                 a.hidden_size))
+            layers["post_ffw_norm"] = ones((a.num_layers, a.hidden_size))
         params = {
             "embed": w(a.vocab_size, a.hidden_size),
             "layers": layers,
@@ -198,20 +279,38 @@ class LlamaModel:
             # HF stores [out, in]; we want [in, out].
             return t(name).T
 
-        wqkv, wo, gate_up, down, in_n, post_n = [], [], [], [], [], []
+        # Phi-3 checkpoints ship the projections pre-fused.
+        hf_fused = "model.layers.0.self_attn.qkv_proj.weight" in tensors
+
+        wqkv, bqkv, wo, gate_up, down = [], [], [], [], []
+        in_n, post_n, pao_n, pff_n = [], [], [], []
         for i in range(a.num_layers):
             p = f"model.layers.{i}."
-            wqkv.append(np.concatenate([
-                proj(p + "self_attn.q_proj.weight"),
-                proj(p + "self_attn.k_proj.weight"),
-                proj(p + "self_attn.v_proj.weight")], axis=1))
+            if hf_fused:
+                wqkv.append(proj(p + "self_attn.qkv_proj.weight"))
+                gate_up.append(proj(p + "mlp.gate_up_proj.weight"))
+            else:
+                wqkv.append(np.concatenate([
+                    proj(p + "self_attn.q_proj.weight"),
+                    proj(p + "self_attn.k_proj.weight"),
+                    proj(p + "self_attn.v_proj.weight")], axis=1))
+                gate_up.append(np.concatenate([
+                    proj(p + "mlp.gate_proj.weight"),
+                    proj(p + "mlp.up_proj.weight")], axis=1))
+            if a.qkv_bias:
+                bqkv.append(np.concatenate([
+                    t(p + "self_attn.q_proj.bias"),
+                    t(p + "self_attn.k_proj.bias"),
+                    t(p + "self_attn.v_proj.bias")]))
             wo.append(proj(p + "self_attn.o_proj.weight"))
-            gate_up.append(np.concatenate([
-                proj(p + "mlp.gate_proj.weight"),
-                proj(p + "mlp.up_proj.weight")], axis=1))
             down.append(proj(p + "mlp.down_proj.weight"))
             in_n.append(t(p + "input_layernorm.weight"))
-            post_n.append(t(p + "post_attention_layernorm.weight"))
+            if a.sandwich_norms:
+                pao_n.append(t(p + "post_attention_layernorm.weight"))
+                post_n.append(t(p + "pre_feedforward_layernorm.weight"))
+                pff_n.append(t(p + "post_feedforward_layernorm.weight"))
+            else:
+                post_n.append(t(p + "post_attention_layernorm.weight"))
 
         def stack(xs):
             arr = np.stack(xs)
@@ -221,16 +320,22 @@ class LlamaModel:
             return np.asarray(x) if as_numpy \
                 else jnp.asarray(x, self.dtype)
 
+        layers = {
+            "wqkv": stack(wqkv),
+            "wo": stack(wo),
+            "w_gate_up": stack(gate_up),
+            "w_down": stack(down),
+            "input_norm": stack(in_n),
+            "post_norm": stack(post_n),
+        }
+        if a.qkv_bias:
+            layers["bqkv"] = stack(bqkv)
+        if a.sandwich_norms:
+            layers["post_attn_out_norm"] = stack(pao_n)
+            layers["post_ffw_norm"] = stack(pff_n)
         params = {
             "embed": leaf(t("model.embed_tokens.weight")),
-            "layers": {
-                "wqkv": stack(wqkv),
-                "wo": stack(wo),
-                "w_gate_up": stack(gate_up),
-                "w_down": stack(down),
-                "input_norm": stack(in_n),
-                "post_norm": stack(post_n),
-            },
+            "layers": layers,
             "final_norm": leaf(t("model.norm.weight")),
         }
         if not a.tie_word_embeddings:
@@ -260,34 +365,50 @@ class LlamaModel:
         """
         a = self.arch
         h = self.embed(params, token_ids)
+        if a.embed_scale is not None:
+            # Gemma normalizer: cast to model dtype first (HF rounds the
+            # sqrt(hidden) constant to bf16 before multiplying).
+            h = h * jnp.asarray(a.embed_scale, self.dtype)
         cos, sin = rope_cos_sin(positions, a.head_dim, a.rope_theta,
                                 scaling=a.rope_scaling)
         q_sz = a.num_heads * a.head_dim
         kv_sz = a.num_kv_heads * a.head_dim
         t = token_ids.shape[0]
+        act = jax.nn.silu if a.hidden_act == "silu" else (
+            lambda x: jax.nn.gelu(x, approximate=True))
+        norm = functools.partial(rms_norm, eps=a.rms_norm_eps,
+                                 unit_offset=a.norm_unit_offset)
 
         def layer_fn(h, xs):
             lp, state = xs
-            x = rms_norm(h, lp["input_norm"], a.rms_norm_eps)
+            x = norm(h, lp["input_norm"])
             qkv = matmul(x, lp["wqkv"])
+            if a.qkv_bias:
+                qkv = qkv + lp["bqkv"]
             q = qkv[:, :q_sz].reshape(t, a.num_heads, a.head_dim)
             k = qkv[:, q_sz:q_sz + kv_sz].reshape(t, a.num_kv_heads,
                                                   a.head_dim)
             v = qkv[:, q_sz + kv_sz:].reshape(t, a.num_kv_heads, a.head_dim)
             q, k = apply_rope(q, k, cos, sin)
             attn_out, new_state = attn_fn(q, k, v, state)
-            h = h + matmul(attn_out.reshape(t, q_sz), lp["wo"])
+            attn_res = matmul(attn_out.reshape(t, q_sz), lp["wo"])
+            if a.sandwich_norms:
+                attn_res = norm(attn_res, lp["post_attn_out_norm"])
+            h = h + attn_res
 
-            x = rms_norm(h, lp["post_norm"], a.rms_norm_eps)
+            x = norm(h, lp["post_norm"])
             gate_up = matmul(x, lp["w_gate_up"])
             gate = gate_up[:, :a.intermediate_size]
             up = gate_up[:, a.intermediate_size:]
-            h = h + matmul(jax.nn.silu(gate) * up, lp["w_down"])
+            mlp_res = matmul(act(gate) * up, lp["w_down"])
+            if a.sandwich_norms:
+                mlp_res = norm(mlp_res, lp["post_ffw_norm"])
+            h = h + mlp_res
             return h, new_state
 
         h, new_state = jax.lax.scan(layer_fn, h,
                                     (params["layers"], attn_state))
-        return rms_norm(h, params["final_norm"], a.rms_norm_eps), new_state
+        return norm(h, params["final_norm"]), new_state
 
     def embed(self, params: dict, token_ids: jnp.ndarray) -> jnp.ndarray:
         e = params["embed"]
@@ -303,9 +424,15 @@ class LlamaModel:
             if isinstance(e, QuantizedWeight):
                 y = jnp.dot(hidden, e.q.T.astype(hidden.dtype),
                             preferred_element_type=jnp.float32)
-                return (y * e.s).astype(hidden.dtype)
-            return hidden @ e.T
-        return matmul(hidden, params["lm_head"])
+                y = (y * e.s).astype(hidden.dtype)
+            else:
+                y = hidden @ e.T
+        else:
+            y = matmul(hidden, params["lm_head"])
+        cap = self.arch.final_logit_softcap
+        if cap is not None:
+            y = (cap * jnp.tanh(y.astype(jnp.float32) / cap)).astype(y.dtype)
+        return y
 
     # ---- sizing ---------------------------------------------------------
 

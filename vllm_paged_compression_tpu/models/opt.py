@@ -27,6 +27,11 @@ class OPTArch:
     max_position_embeddings: int = 2048
     do_layer_norm_before: bool = True
     tie_word_embeddings: bool = True
+    # variant knobs (GPT-2 reuses this module: same pre-LN + learned-pos
+    # structure, different activation / offsets / checkpoint layout)
+    hidden_act: str = "relu"      # gpt2: "gelu_tanh"
+    pos_offset: int = 2           # HF OPTLearnedPositionalEmbedding; gpt2: 0
+    hf_style: str = "opt"         # checkpoint key layout: "opt" | "gpt2"
 
     # OPT uses MHA only.
     @property
@@ -48,6 +53,30 @@ class OPTArch:
             max_position_embeddings=cfg.get("max_position_embeddings", 2048),
             do_layer_norm_before=cfg.get("do_layer_norm_before", True),
             tie_word_embeddings=cfg.get("tie_word_embeddings", True),
+        )
+
+
+@dataclass
+class GPT2Arch(OPTArch):
+    """GPT-2 (reference vllm/model_executor/models/gpt2.py): pre-LN
+    decoder with tanh-GELU MLP, no positional offset, Conv1D ([in, out])
+    checkpoint weights, tied lm_head."""
+
+    @classmethod
+    def from_hf_config(cls, cfg: dict) -> "GPT2Arch":
+        hidden = cfg.get("n_embd", cfg.get("hidden_size"))
+        return cls(
+            vocab_size=cfg["vocab_size"],
+            hidden_size=hidden,
+            ffn_dim=cfg.get("n_inner") or 4 * hidden,
+            num_layers=cfg.get("n_layer", cfg.get("num_hidden_layers")),
+            num_heads=cfg.get("n_head", cfg.get("num_attention_heads")),
+            max_position_embeddings=cfg.get("n_positions", 1024),
+            do_layer_norm_before=True,
+            tie_word_embeddings=True,
+            hidden_act="gelu_tanh",
+            pos_offset=0,
+            hf_style="gpt2",
         )
 
 
@@ -106,7 +135,8 @@ class OPTModel:
         }
         return {
             "embed": w(a.vocab_size, a.hidden_size),
-            "embed_pos": w(a.max_position_embeddings + 2, a.hidden_size),
+            "embed_pos": w(a.max_position_embeddings + a.pos_offset,
+                           a.hidden_size),
             "layers": layers,
             "final_ln_w": jnp.ones((a.hidden_size,), self.dtype),
             "final_ln_b": zeros(a.hidden_size),
@@ -114,6 +144,8 @@ class OPTModel:
 
     def load_hf_state_dict(self, tensors: dict[str, np.ndarray],
                            as_numpy: bool = False) -> dict:
+        if self.arch.hf_style == "gpt2":
+            return self._load_gpt2_state_dict(tensors, as_numpy)
         a = self.arch
 
         def t(name):
@@ -166,6 +198,51 @@ class OPTModel:
             "final_ln_b": leaf(t("final_layer_norm.bias")),
         }
 
+    def _load_gpt2_state_dict(self, tensors, as_numpy: bool) -> dict:
+        """HF GPT2LMHeadModel layout: Conv1D weights are already
+        [in, out] — no transpose."""
+        a = self.arch
+
+        def t(name):
+            for cand in (name, "transformer." + name):
+                if cand in tensors:
+                    return np.asarray(tensors[cand])
+            raise KeyError(name)
+
+        cols = {k: [] for k in ("wqkv", "bqkv", "wo", "bo", "attn_ln_w",
+                                "attn_ln_b", "fc1_w", "fc1_b", "fc2_w",
+                                "fc2_b", "final_ln_w", "final_ln_b")}
+        for i in range(a.num_layers):
+            p = f"h.{i}."
+            cols["wqkv"].append(t(p + "attn.c_attn.weight"))
+            cols["bqkv"].append(t(p + "attn.c_attn.bias"))
+            cols["wo"].append(t(p + "attn.c_proj.weight"))
+            cols["bo"].append(t(p + "attn.c_proj.bias"))
+            cols["attn_ln_w"].append(t(p + "ln_1.weight"))
+            cols["attn_ln_b"].append(t(p + "ln_1.bias"))
+            cols["fc1_w"].append(t(p + "mlp.c_fc.weight"))
+            cols["fc1_b"].append(t(p + "mlp.c_fc.bias"))
+            cols["fc2_w"].append(t(p + "mlp.c_proj.weight"))
+            cols["fc2_b"].append(t(p + "mlp.c_proj.bias"))
+            cols["final_ln_w"].append(t(p + "ln_2.weight"))
+            cols["final_ln_b"].append(t(p + "ln_2.bias"))
+
+        def stack(xs):
+            arr = np.stack(xs)
+            return arr if as_numpy else jnp.asarray(arr, self.dtype)
+
+        def leaf(x):
+            return np.asarray(x) if as_numpy \
+                else jnp.asarray(x, self.dtype)
+
+        return {
+            "embed": leaf(t("wte.weight")),
+            "embed_pos": leaf(t("wpe.weight")),
+            "layers": {k: stack(v) for k, v in cols.items()},
+            "final_ln_w": leaf(t("ln_f.weight")),
+            "final_ln_b": leaf(t("ln_f.bias")),
+        }
+
     def forward_hidden(self, params, token_ids, positions,
                        attn_fn: Callable, attn_state=None):
         """Same scan-over-layers contract as LlamaModel.forward_hidden."""
@@ -173,7 +250,10 @@ class OPTModel:
         t = token_ids.shape[0]
         # OPT's learned positional table is offset by 2 (HF
         # OPTLearnedPositionalEmbedding).
-        h = params["embed"][token_ids] + params["embed_pos"][positions + 2]
+        h = (params["embed"][token_ids]
+             + params["embed_pos"][positions + a.pos_offset])
+        act = jax.nn.relu if a.hidden_act == "relu" else (
+            lambda x: jax.nn.gelu(x, approximate=True))
 
         def layer_fn(h, xs):
             lp, state = xs
@@ -194,7 +274,7 @@ class OPTModel:
             res = h
             x = layer_norm(h, lp["final_ln_w"], lp["final_ln_b"]) \
                 if a.do_layer_norm_before else h
-            x = jax.nn.relu(x @ lp["fc1_w"] + lp["fc1_b"])
+            x = act(x @ lp["fc1_w"] + lp["fc1_b"])
             h = res + x @ lp["fc2_w"] + lp["fc2_b"]
             if not a.do_layer_norm_before:
                 h = layer_norm(h, lp["final_ln_w"], lp["final_ln_b"])
@@ -214,7 +294,7 @@ class OPTModel:
         itemsize = jnp.dtype(self.dtype).itemsize
         per_layer = (4 * a.hidden_size ** 2 + 2 * a.hidden_size * a.ffn_dim
                      + 8 * a.hidden_size + a.ffn_dim)
-        total = (a.vocab_size + a.max_position_embeddings + 2) \
+        total = (a.vocab_size + a.max_position_embeddings + a.pos_offset) \
             * a.hidden_size + a.num_layers * per_layer
         return total * itemsize
 

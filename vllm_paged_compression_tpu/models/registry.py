@@ -20,12 +20,18 @@ def register_model(hf_arch: str):
 def _ensure_builtin():
     if _REGISTRY:
         return
-    from .llama import LlamaArch, LlamaModel
-    from .opt import OPTArch, OPTModel
+    from .llama import (Gemma2Arch, GemmaArch, LlamaArch, LlamaModel,
+                        Phi3Arch, Qwen2Arch)
+    from .opt import GPT2Arch, OPTArch, OPTModel
     _REGISTRY.update({
         "LlamaForCausalLM": (LlamaModel, LlamaArch),
         "MistralForCausalLM": (LlamaModel, LlamaArch),
+        "Qwen2ForCausalLM": (LlamaModel, Qwen2Arch),
+        "GemmaForCausalLM": (LlamaModel, GemmaArch),
+        "Gemma2ForCausalLM": (LlamaModel, Gemma2Arch),
+        "Phi3ForCausalLM": (LlamaModel, Phi3Arch),
         "OPTForCausalLM": (OPTModel, OPTArch),
+        "GPT2LMHeadModel": (OPTModel, GPT2Arch),
     })
 
 

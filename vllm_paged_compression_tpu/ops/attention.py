@@ -43,8 +43,16 @@ def _masked_softmax(scores: jnp.ndarray, mask: jnp.ndarray):
     return probs / (jnp.sum(probs, axis=-1, keepdims=True) + 1e-9)
 
 
+def _softcap(scores: jnp.ndarray, cap):
+    """Gemma2-style attention logit soft-capping (applied pre-mask)."""
+    if cap is None:
+        return scores
+    return cap * jnp.tanh(scores / cap)
+
+
 def prefill_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                      scale: float, q_len: jnp.ndarray | int) -> jnp.ndarray:
+                      scale: float, q_len: jnp.ndarray | int,
+                      softcap: float | None = None) -> jnp.ndarray:
     """Causal self-attention for one (padded) prompt.
 
     q: [T, H, d], k/v: [T, Hkv, d]; positions beyond ``q_len`` are padding.
@@ -52,8 +60,9 @@ def prefill_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     """
     t = q.shape[0]
     qg, group = _group_query(q, k.shape[1])
-    scores = jnp.einsum("tkgd,skd->kgts", qg.astype(jnp.float32),
-                        k.astype(jnp.float32)) * scale
+    scores = _softcap(
+        jnp.einsum("tkgd,skd->kgts", qg.astype(jnp.float32),
+                   k.astype(jnp.float32)) * scale, softcap)
     pos = jnp.arange(t)
     causal = pos[:, None] >= pos[None, :]
     valid = pos[None, :] < q_len
@@ -65,7 +74,8 @@ def prefill_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 def pruned_prefill_attention(q: jnp.ndarray, k_kept: jnp.ndarray,
                              v_kept: jnp.ndarray, scale: float,
                              q_len: jnp.ndarray | int,
-                             kept_len: jnp.ndarray | int) -> jnp.ndarray:
+                             kept_len: jnp.ndarray | int,
+                             softcap: float | None = None) -> jnp.ndarray:
     """Evict-then-attend prefill: all queries vs the pruned key set.
 
     torch.sdpa with ``is_causal=True`` on an [L, S] problem builds a
@@ -76,8 +86,9 @@ def pruned_prefill_attention(q: jnp.ndarray, k_kept: jnp.ndarray,
     t = q.shape[0]
     s = k_kept.shape[0]
     qg, group = _group_query(q, k_kept.shape[1])
-    scores = jnp.einsum("tkgd,skd->kgts", qg.astype(jnp.float32),
-                        k_kept.astype(jnp.float32)) * scale
+    scores = _softcap(
+        jnp.einsum("tkgd,skd->kgts", qg.astype(jnp.float32),
+                   k_kept.astype(jnp.float32)) * scale, softcap)
     qpos = jnp.arange(t)[:, None]
     kpos = jnp.arange(s)[None, :]
     mask = (kpos <= qpos) & (kpos < kept_len) & (qpos < q_len)
@@ -88,7 +99,8 @@ def pruned_prefill_attention(q: jnp.ndarray, k_kept: jnp.ndarray,
 
 def paged_decode_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
                            v_cache: jnp.ndarray, block_tables: jnp.ndarray,
-                           kv_lens: jnp.ndarray, scale: float) -> jnp.ndarray:
+                           kv_lens: jnp.ndarray, scale: float,
+                           softcap: float | None = None) -> jnp.ndarray:
     """Single-token decode attention through block tables.
 
     q:            [B, H, d]
@@ -106,8 +118,9 @@ def paged_decode_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
     k = k_cache[block_tables].reshape(b, max_pages * page_size, num_kv, d)
     v = v_cache[block_tables].reshape(b, max_pages * page_size, num_kv, d)
     qg = q.reshape(b, num_kv, h // num_kv, d)
-    scores = jnp.einsum("bkgd,bskd->bkgs", qg.astype(jnp.float32),
-                        k.astype(jnp.float32)) * scale
+    scores = _softcap(
+        jnp.einsum("bkgd,bskd->bkgs", qg.astype(jnp.float32),
+                   k.astype(jnp.float32)) * scale, softcap)
     valid = jnp.arange(max_pages * page_size)[None, :] < kv_lens[:, None]
     probs = _masked_softmax(scores, valid[:, None, None, :])
     out = jnp.einsum("bkgs,bskd->bkgd", probs, v.astype(jnp.float32))

@@ -48,7 +48,7 @@ def _round_up(x: int, m: int) -> int:
 
 def _decode_kernel(tables_ref, lens_ref, q_ref, k_ref, v_ref, o_ref,
                    m_ref, l_ref, acc_ref, *, scale: float, page_size: int,
-                   num_kv_heads: int, group: int):
+                   num_kv_heads: int, group: int, softcap):
     b = pl.program_id(0)
     i = pl.program_id(1)
     num_pages = pl.num_programs(1)
@@ -72,6 +72,8 @@ def _decode_kernel(tables_ref, lens_ref, q_ref, k_ref, v_ref, o_ref,
         s = jax.lax.dot_general(                           # [H, ps*Hkv]
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
+        if softcap is not None:
+            s = softcap * jnp.tanh(s / softcap)
 
         # Column c holds (token t = c // Hkv, kv head kh = c % Hkv).
         col = jax.lax.broadcasted_iota(jnp.int32, (h, cols), 1)
@@ -101,12 +103,14 @@ def _decode_kernel(tables_ref, lens_ref, q_ref, k_ref, v_ref, o_ref,
         o_ref[0] = o.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale",))
+@functools.partial(jax.jit, static_argnames=("scale", "softcap"))
 def paged_decode_attention_pallas(q: jnp.ndarray, k_cache: jnp.ndarray,
                                   v_cache: jnp.ndarray,
                                   block_tables: jnp.ndarray,
                                   kv_lens: jnp.ndarray,
-                                  scale: float) -> jnp.ndarray:
+                                  scale: float,
+                                  softcap: float | None = None
+                                  ) -> jnp.ndarray:
     """Drop-in Pallas version of ops.attention.paged_decode_attention.
 
     q:            [B, H, d]
@@ -150,7 +154,7 @@ def paged_decode_attention_pallas(q: jnp.ndarray, k_cache: jnp.ndarray,
     )
     kernel = functools.partial(_decode_kernel, scale=scale,
                                page_size=page_size, num_kv_heads=num_kv,
-                               group=group)
+                               group=group, softcap=softcap)
     bytes_per = (2 * page_size * num_kv * d * k_cache.dtype.itemsize
                  * b * max_pages)
     out = pl.pallas_call(

@@ -39,7 +39,7 @@ _NEG_INF = -2.0**30
 
 def _prefill_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref,
                     m_ref, l_ref, acc_ref, *, scale: float, bq: int,
-                    bk: int):
+                    bk: int, softcap):
     iq = pl.program_id(1)
     ik = pl.program_id(2)
     n_k = pl.num_programs(2)
@@ -62,6 +62,8 @@ def _prefill_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref,
         s = jax.lax.dot_general(                            # [Bq, Bk]
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
+        if softcap is not None:
+            s = softcap * jnp.tanh(s / softcap)
         row = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
         col = ik * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
         mask = (col <= row) & (col < kept_len)
@@ -91,9 +93,10 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-@functools.partial(jax.jit, static_argnames=("scale",))
+@functools.partial(jax.jit, static_argnames=("scale", "softcap"))
 def flash_prefill_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                            scale: float, q_len, kept_len) -> jnp.ndarray:
+                            scale: float, q_len, kept_len,
+                            softcap: float | None = None) -> jnp.ndarray:
     """Flash version of ops.attention.pruned_prefill_attention (and, with
     kept_len == q_len, of prefill_attention).
 
@@ -140,7 +143,8 @@ def flash_prefill_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             pltpu.VMEM((bq, d), jnp.float32),
         ],
     )
-    kernel = functools.partial(_prefill_kernel, scale=scale, bq=bq, bk=bk)
+    kernel = functools.partial(_prefill_kernel, scale=scale, bq=bq, bk=bk,
+                               softcap=softcap)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -44,11 +44,14 @@ _LLAMA_PARAM_SPECS = {
     "lm_head": P(None, "model"),
     "layers": {
         "wqkv": P(None, None, "model"),
+        "bqkv": P(None, "model"),
         "wo": P(None, "model", None),
         "w_gate_up": P(None, None, "model"),
         "w_down": P(None, "model", None),
         "input_norm": P(None, None),
         "post_norm": P(None, None),
+        "post_attn_out_norm": P(None, None),
+        "post_ffw_norm": P(None, None),
     },
 }
 

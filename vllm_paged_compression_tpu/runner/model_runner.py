@@ -82,7 +82,9 @@ class ModelRunner:
         self.block_size = config.cache.block_size
         ev = config.cache.paged_evict
         self.evict = ev if (ev is not None and ev.enabled) else None
-        self.scale = model.arch.head_dim ** -0.5
+        self.scale = getattr(model.arch, "attn_scale",
+                             model.arch.head_dim ** -0.5)
+        self.attn_softcap = getattr(model.arch, "attn_logit_softcap", None)
 
         sched = config.scheduler
         if self.evict is not None and self.evict.frees_pages:
@@ -110,16 +112,22 @@ class ModelRunner:
 
         self.attn_backend = select_attention_backend()
         logger.info("Attention backend: %s", self.attn_backend)
+        import functools
+        cap = dict(softcap=self.attn_softcap)
         if self.attn_backend == "pallas":
-            self._paged_decode = paged_decode_attention_pallas
+            self._paged_decode = functools.partial(
+                paged_decode_attention_pallas, **cap)
             self._prefill_attn = (
                 lambda q, k, v, scale, q_len:
-                flash_prefill_attention(q, k, v, scale, q_len, q_len))
-            self._pruned_prefill_attn = flash_prefill_attention
+                flash_prefill_attention(q, k, v, scale, q_len, q_len, **cap))
+            self._pruned_prefill_attn = functools.partial(
+                flash_prefill_attention, **cap)
         else:
-            self._paged_decode = paged_decode_attention
-            self._prefill_attn = prefill_attention
-            self._pruned_prefill_attn = pruned_prefill_attention
+            self._paged_decode = functools.partial(
+                paged_decode_attention, **cap)
+            self._prefill_attn = functools.partial(prefill_attention, **cap)
+            self._pruned_prefill_attn = functools.partial(
+                pruned_prefill_attention, **cap)
 
         import functools
         self._decode_window_jits = {

@@ -33,7 +33,8 @@ logger = init_logger(__name__)
 _DTYPES = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
            "float16": jnp.float16}
 _KV_DTYPES = {"auto": None, "bfloat16": jnp.bfloat16,
-              "float32": jnp.float32}
+              "float32": jnp.float32, "int8": jnp.int8,
+              "fp8": jnp.float8_e4m3fn, "fp8_e4m3": jnp.float8_e4m3fn}
 
 
 def _enable_compile_cache() -> None:

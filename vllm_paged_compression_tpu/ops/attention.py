@@ -110,13 +110,28 @@ def paged_decode_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
     kv_lens:      [B] physical KV length per sequence
     Returns [B, H, d].
     """
-    b, h, d = q.shape
-    page_size = k_cache.shape[1]
-    num_kv = k_cache.shape[2]
-    max_pages = block_tables.shape[1]
-    # Gather pages: [B, max_pages, page_size, Hkv, d] -> [B, S, Hkv, d]
-    k = k_cache[block_tables].reshape(b, max_pages * page_size, num_kv, d)
-    v = v_cache[block_tables].reshape(b, max_pages * page_size, num_kv, d)
+    from .quant import QuantKV
+    if isinstance(k_cache, QuantKV):
+        # Gather quantized pages + scales, dequantize in fp32.
+        k_cache = (k_cache.q[block_tables].astype(jnp.float32)
+                   * k_cache.s[block_tables][..., None])
+        v_cache = (v_cache.q[block_tables].astype(jnp.float32)
+                   * v_cache.s[block_tables][..., None])
+        b, h, d = q.shape
+        page_size, num_kv = k_cache.shape[2], k_cache.shape[3]
+        max_pages = block_tables.shape[1]
+        k = k_cache.reshape(b, max_pages * page_size, num_kv, d)
+        v = v_cache.reshape(b, max_pages * page_size, num_kv, d)
+    else:
+        b, h, d = q.shape
+        page_size = k_cache.shape[1]
+        num_kv = k_cache.shape[2]
+        max_pages = block_tables.shape[1]
+        # Gather pages: [B, max_pages, page_size, Hkv, d] -> [B, S, Hkv, d]
+        k = k_cache[block_tables].reshape(b, max_pages * page_size, num_kv,
+                                          d)
+        v = v_cache[block_tables].reshape(b, max_pages * page_size, num_kv,
+                                          d)
     qg = q.reshape(b, num_kv, h // num_kv, d)
     scores = _softcap(
         jnp.einsum("bkgd,bskd->bkgs", qg.astype(jnp.float32),

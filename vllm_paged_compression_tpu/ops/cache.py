@@ -11,31 +11,49 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from .quant import QuantKV, quantize_kv_rows
 
-def write_kv_slots(k_cache: jnp.ndarray, v_cache: jnp.ndarray,
-                   k: jnp.ndarray, v: jnp.ndarray,
+
+def _scatter_rows(cache: jnp.ndarray, rows: jnp.ndarray,
+                  slots: jnp.ndarray) -> jnp.ndarray:
+    num_pages, page_size = cache.shape[:2]
+    flat = cache.reshape(num_pages * page_size, *cache.shape[2:])
+    flat = flat.at[slots].set(rows.astype(cache.dtype), mode="drop")
+    return flat.reshape(cache.shape)
+
+
+def write_kv_slots(k_cache, v_cache, k: jnp.ndarray, v: jnp.ndarray,
                    slots: jnp.ndarray):
     """Scatter new K/V rows into flat slots.
 
     k/v_cache: [num_pages, page_size, Hkv, d]  (the last page is the
                engine's trash page — padding writes are steered there by
                the caller, never via negative indices, which jnp would wrap)
+               or QuantKV pools (int8/fp8 values + per-row scales), in which
+               case the incoming rows are quantized online before scatter.
     k/v:       [N, Hkv, d]
     slots:     [N] flat slot ids (page * page_size + offset), all >= 0.
     """
-    num_pages, page_size = k_cache.shape[:2]
-    flat_k = k_cache.reshape(num_pages * page_size, *k_cache.shape[2:])
-    flat_v = v_cache.reshape(num_pages * page_size, *v_cache.shape[2:])
-    flat_k = flat_k.at[slots].set(k.astype(k_cache.dtype), mode="drop")
-    flat_v = flat_v.at[slots].set(v.astype(v_cache.dtype), mode="drop")
-    return flat_k.reshape(k_cache.shape), flat_v.reshape(v_cache.shape)
+    if isinstance(k_cache, QuantKV):
+        kq, ks = quantize_kv_rows(k, k_cache.q.dtype)
+        vq, vs = quantize_kv_rows(v, v_cache.q.dtype)
+        return (QuantKV(q=_scatter_rows(k_cache.q, kq, slots),
+                        s=_scatter_rows(k_cache.s, ks, slots)),
+                QuantKV(q=_scatter_rows(v_cache.q, vq, slots),
+                        s=_scatter_rows(v_cache.s, vs, slots)))
+    return (_scatter_rows(k_cache, k, slots),
+            _scatter_rows(v_cache, v, slots))
 
 
-def zero_kv_slots(k_cache: jnp.ndarray, v_cache: jnp.ndarray,
-                  slots: jnp.ndarray):
+def zero_kv_slots(k_cache, v_cache, slots: jnp.ndarray):
     """Overwrite slots with zeros (streamingLLM-1 / inverse_key_l2 side
     writes, torch_cuda_sdpa.py:919-933).  slots: [N], -1 entries dropped."""
     n = slots.shape[0]
+    if isinstance(k_cache, QuantKV):
+        shape = (n,) + k_cache.q.shape[2:]
+        return write_kv_slots(k_cache, v_cache,
+                              jnp.zeros(shape, jnp.float32),
+                              jnp.zeros(shape, jnp.float32), slots)
     zeros_k = jnp.zeros((n,) + k_cache.shape[2:], k_cache.dtype)
     zeros_v = jnp.zeros((n,) + v_cache.shape[2:], v_cache.dtype)
     return write_kv_slots(k_cache, v_cache, zeros_k, zeros_v, slots)

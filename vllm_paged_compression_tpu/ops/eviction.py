@@ -53,13 +53,32 @@ def token_scores(k: jnp.ndarray, v: jnp.ndarray, method: str) -> jnp.ndarray:
     raise ValueError(f"no token scores for method {method!r}")
 
 
-def page_scores_from_cache(v_cache_pages: jnp.ndarray) -> jnp.ndarray:
+def index_cache_pages(cache, pages: jnp.ndarray):
+    """Gather pages from a cache pool leaf (plain array or QuantKV)."""
+    from .quant import QuantKV
+    if isinstance(cache, QuantKV):
+        return QuantKV(q=cache.q[pages], s=cache.s[pages])
+    return cache[pages]
+
+
+def page_scores_from_cache(v_cache_pages) -> jnp.ndarray:
     """Value-L2 page scores for a batch of pages.
 
-    v_cache_pages: [..., page_size, Hkv, d] -> [...] scalar per page:
-    ||v||2 over d, mean over heads, sum over page tokens
-    (get_block_score value_l2 branch, kvcache_prunner.py:54-56).
+    v_cache_pages: [..., page_size, Hkv, d] (or the QuantKV equivalent,
+    scored on dequantized values — quantized-KV eviction scoring has no
+    reference prior art; the reference rejects fp8 KV with eviction,
+    torch_cuda_sdpa.py:769-772) -> [...] scalar per page: ||v||2 over d,
+    mean over heads, sum over page tokens (get_block_score value_l2 branch,
+    kvcache_prunner.py:54-56).
     """
+    from .quant import QuantKV
+    if isinstance(v_cache_pages, QuantKV):
+        # ||q*s||2 over d = s * ||q||2 (s >= 0): score without
+        # materializing the dequantized page.
+        norms = (jnp.linalg.norm(
+            v_cache_pages.q.astype(jnp.float32), axis=-1)
+            * v_cache_pages.s)
+        return norms.mean(axis=-1).sum(axis=-1)
     norms = jnp.linalg.norm(v_cache_pages.astype(jnp.float32), axis=-1)
     return norms.mean(axis=-1).sum(axis=-1)
 

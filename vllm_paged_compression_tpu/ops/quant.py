@@ -57,6 +57,46 @@ def matmul(x: jnp.ndarray,
     return x @ w
 
 
+class QuantKV(NamedTuple):
+    """Quantized KV-cache pool leaf: int8 (or fp8) values + per-(token,
+    kv-head) f32 scales.
+
+    TPU-native successor of the reference's fp8 KV cache
+    (vllm/model_executor/layers/quantization/kv_cache.py:63-73 — which used
+    checkpoint-calibrated per-tensor scales and could NOT combine with paged
+    eviction, torch_cuda_sdpa.py:769-772).  Here scales are computed online
+    per written row, dequant fuses into the attention kernels, and eviction
+    scoring reads the quantized pages directly — the combination works.
+
+    q: [..., page_size, Hkv, head_dim] int8/fp8
+    s: [..., page_size, Hkv] f32
+    """
+
+    q: jnp.ndarray
+    s: jnp.ndarray
+
+
+def quantize_kv_rows(x: jnp.ndarray, qdtype=jnp.int8):
+    """Per-(token, head) symmetric quantization over head_dim.
+
+    x: [N, Hkv, d] -> (q [N, Hkv, d] qdtype, s [N, Hkv] f32).
+    """
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=-1)
+    if qdtype == jnp.int8:
+        scale = absmax / 127.0
+        q = jnp.clip(jnp.round(xf / jnp.maximum(scale, 1e-12)[..., None]),
+                     -127, 127).astype(jnp.int8)
+    else:  # fp8 e4m3: max normal 448
+        scale = absmax / 448.0
+        q = (xf / jnp.maximum(scale, 1e-12)[..., None]).astype(qdtype)
+    return q, scale
+
+
+def dequantize_kv(kv: QuantKV) -> jnp.ndarray:
+    return kv.q.astype(jnp.float32) * kv.s[..., None]
+
+
 def quantize_params_tree(params, leaf_names: tuple[str, ...],
                          model_dtype=jnp.bfloat16):
     """Quantize the named leaves of a model params dict.  Projection

@@ -76,8 +76,12 @@ class CacheEngine:
         self.num_layers = model.arch.num_layers
         self.num_kv_heads = model.arch.num_kv_heads
         self.head_dim = model.arch.head_dim
-        page_bytes = (2 * self.block_size * self.num_kv_heads * self.head_dim
-                      * jnp.dtype(kv_dtype).itemsize * self.num_layers)
+        self.quantized_kv = jnp.dtype(kv_dtype).itemsize == 1
+        scale_bytes = (4 * self.block_size * self.num_kv_heads
+                       if self.quantized_kv else 0)
+        page_bytes = (2 * self.num_layers
+                      * (self.block_size * self.num_kv_heads * self.head_dim
+                         * jnp.dtype(kv_dtype).itemsize + scale_bytes))
         if cache_config.num_device_blocks is not None:
             self.num_pages = cache_config.num_device_blocks
         else:
@@ -125,7 +129,17 @@ class CacheEngine:
         """
         shape = (self.num_layers, self.num_pages + 1, self.block_size,
                  self.num_kv_heads, self.head_dim)
-        caches = (jnp.zeros(shape, self.kv_dtype),
-                  jnp.zeros(shape, self.kv_dtype))
+        if self.quantized_kv:
+            from ..ops.quant import QuantKV
+            sshape = shape[:-1]
+
+            def pool():
+                return QuantKV(q=jnp.zeros(shape, self.kv_dtype),
+                               s=jnp.zeros(sshape, jnp.float32))
+
+            caches = (pool(), pool())
+        else:
+            caches = (jnp.zeros(shape, self.kv_dtype),
+                      jnp.zeros(shape, self.kv_dtype))
         page_scores = jnp.zeros((self.num_pages + 1,), jnp.float32)
         return caches, page_scores

@@ -38,9 +38,9 @@ from ..ops.attention import (paged_decode_attention, prefill_attention,
 from ..ops.pallas import (flash_prefill_attention,
                           paged_decode_attention_pallas)
 from ..ops.cache import write_kv_slots, zero_kv_slots
-from ..ops.eviction import (gather_pruned_kv, page_scores_from_cache,
-                            prompt_keep_indices, select_victims,
-                            shift_block_tables, token_scores)
+from ..ops.eviction import (gather_pruned_kv, index_cache_pages,
+                            page_scores_from_cache, prompt_keep_indices,
+                            select_victims, shift_block_tables, token_scores)
 from ..ops.sampling import SamplingTensors, sample
 from ..utils import cdiv, init_logger, next_bucket
 from .cache_engine import CacheEngine
@@ -155,11 +155,14 @@ class ModelRunner:
             temperature=batch["temperature"], top_p=batch["top_p"],
             top_k=batch["top_k"], seed=batch["seed"], step=batch["step"])
 
-    def _update_page_scores(self, page_scores, v_cache0, fill_pages):
+    def _update_page_scores(self, page_scores, v_pool, fill_pages):
         """Record value-L2 scores of pages that just became full (layer 0 —
         the reference's feedback also acts on layer 0's decision,
-        model_runner.py:1797-1802)."""
-        scores = page_scores_from_cache(v_cache0[fill_pages])
+        model_runner.py:1797-1802).  ``v_pool`` is the layer-stacked V pool
+        (plain array or QuantKV)."""
+        v0 = jax.tree.map(lambda x: x[0], v_pool)
+        scores = page_scores_from_cache(
+            index_cache_pages(v0, fill_pages))
         return page_scores.at[fill_pages].set(scores)
 
     # Field order of the per-step plan pack [K, NF, B].
@@ -225,7 +228,7 @@ class ModelRunner:
                 params, tokens, positions, attn_fn, caches)
             if self.track_page_scores:
                 page_scores = self._update_page_scores(
-                    page_scores, new_caches[1][0], fill_pages)
+                    page_scores, new_caches[1], fill_pages)
             logits = self.model.logits(params, hidden)
             toks = sample(logits, SamplingTensors(
                 temperature=temp, top_p=top_p, top_k=topk, seed=seeds,
@@ -294,7 +297,7 @@ class ModelRunner:
             params, batch["tokens"], batch["positions"], attn_fn, caches)
         if self.track_page_scores:
             page_scores = self._update_page_scores(
-                page_scores, new_caches[1][0], batch["fill_pages"])
+                page_scores, new_caches[1], batch["fill_pages"])
         last = hidden[batch["q_len"] - 1][None]
         logits = self.model.logits(params, last)
         tokens = sample(logits, self._sampling_tensors(batch),

@@ -99,3 +99,49 @@ def test_flash_prefill_non_divisible_lengths():
     out = flash_prefill_attention(q, k, v, scale, t, t)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_context_prefill_oracle_vs_naive_full():
+    """context_prefill_attention(ctx + chunk) must equal a full-prompt
+    prefill restricted to the chunk rows."""
+    from vllm_paged_compression_tpu.ops.attention import (
+        context_prefill_attention)
+    rng = np.random.default_rng(5)
+    total, ctx_len, h, hkv, d = 96, 60, 4, 2, 64
+    tc = total - ctx_len
+    q_all = rng.standard_normal((total, h, d)).astype(np.float32)
+    k_all = rng.standard_normal((total, hkv, d)).astype(np.float32)
+    v_all = rng.standard_normal((total, hkv, d)).astype(np.float32)
+    scale = d ** -0.5
+    full = prefill_attention(jnp.asarray(q_all), jnp.asarray(k_all),
+                             jnp.asarray(v_all), scale, total)
+    out = context_prefill_attention(
+        jnp.asarray(q_all[ctx_len:]), jnp.asarray(k_all[:ctx_len]),
+        jnp.asarray(v_all[:ctx_len]), jnp.asarray(k_all[ctx_len:]),
+        jnp.asarray(v_all[ctx_len:]), scale, tc, ctx_len)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(full)[ctx_len:],
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_context_prefill_matches_oracle():
+    from vllm_paged_compression_tpu.ops.attention import (
+        context_prefill_attention)
+    from vllm_paged_compression_tpu.ops.pallas import (
+        flash_context_prefill_attention)
+    rng = np.random.default_rng(6)
+    tc, c, h, hkv, d = 160, 200, 8, 4, 64
+    q = jnp.asarray(rng.standard_normal((tc, h, d)).astype(np.float32))
+    kc_ = jnp.asarray(rng.standard_normal((c, hkv, d)).astype(np.float32))
+    vc_ = jnp.asarray(rng.standard_normal((c, hkv, d)).astype(np.float32))
+    kn = jnp.asarray(rng.standard_normal((tc, hkv, d)).astype(np.float32))
+    vn = jnp.asarray(rng.standard_normal((tc, hkv, d)).astype(np.float32))
+    q_len, ctx_len = tc - 7, c - 13
+    scale = d ** -0.5
+    ref = context_prefill_attention(q, kc_, vc_, kn, vn, scale, q_len,
+                                    ctx_len)
+    out = flash_context_prefill_attention(q, kc_, vc_, kn, vn, scale,
+                                          q_len, ctx_len)
+    np.testing.assert_allclose(np.asarray(out)[:q_len],
+                               np.asarray(ref)[:q_len],
+                               rtol=2e-5, atol=2e-5)

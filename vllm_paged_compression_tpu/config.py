@@ -163,6 +163,7 @@ class CacheConfig:
     num_device_blocks: Optional[int] = None  # None => profile to size
     cache_dtype: str = "auto"
     paged_evict: Optional[PagedEvictConfig] = None
+    enable_prefix_caching: bool = False
 
     def verify(self) -> None:
         if self.block_size < 1:
@@ -246,6 +247,12 @@ class EngineConfig:
             # (torch_cuda_sdpa.py:877, arg_utils.py:1185).
             raise ValueError(
                 "chunked prefill is not supported with paged eviction")
+        if self.cache.evict_enabled and self.cache.enable_prefix_caching:
+            # Eviction rewrites/frees page contents, which would poison
+            # content-addressed reuse (the reference never combines them
+            # either: prefix caching lives in the upstream allocator only).
+            raise ValueError(
+                "prefix caching is not supported with paged eviction")
 
     def compute_hash(self) -> str:
         def enc(o: Any):

@@ -36,16 +36,20 @@ class BlockTable:
 
     # ---- allocation -----------------------------------------------------
 
-    def allocate_prompt(self, num_stored_tokens: int) -> None:
+    def allocate_prompt(self, num_stored_tokens: int,
+                        prefix_pages=None) -> None:
         """Reserve pages for a (possibly pruned) prompt.
 
         ``num_stored_tokens`` is the pruned KV length actually written
         (reference block_table.py:317-323 truncates token_ids to the pruned
-        length before allocating).
+        length before allocating).  ``prefix_pages`` are already-referenced
+        cached pages adopted at the front (prefix caching).
         """
         assert not self.pages, "prompt already allocated"
-        n = cdiv(num_stored_tokens, self.block_size)
-        self.pages = self._allocator.allocate(n)
+        prefix = list(prefix_pages) if prefix_pages else []
+        n = cdiv(num_stored_tokens, self.block_size) - len(prefix)
+        assert n >= 0, "cached prefix longer than the stored prompt"
+        self.pages = prefix + self._allocator.allocate(n)
         self.num_kv_slots = num_stored_tokens
 
     def append_slot(self) -> int:

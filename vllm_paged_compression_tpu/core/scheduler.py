@@ -39,6 +39,15 @@ class ScheduledPrefill:
     seq: Sequence
     prompt_len: int          # logical prompt length fed to the model
     stored_len: int          # pruned KV length that will be written
+    # Chunked prefill / prefix-cache skip (reference _schedule_chunked_prefill
+    # scheduler.py:1167 + prefix caching; both off under eviction):
+    chunk_start: int = 0     # first prompt position computed this call
+    chunk_end: int = 0       # one past the last position (0 => prompt_len)
+    is_last: bool = True     # sample a token after this chunk
+
+    def __post_init__(self):
+        if self.chunk_end == 0:
+            self.chunk_end = self.prompt_len
 
 
 @dataclass
@@ -81,7 +90,13 @@ class Scheduler:
         self.cache_config = cache_config
         self.evict = cache_config.paged_evict
         self.block_size = cache_config.block_size
-        self.allocator = BlockAllocator(num_blocks)
+        if cache_config.enable_prefix_caching:
+            from .prefix_cache import PrefixCachingAllocator
+            self.allocator: BlockAllocator = PrefixCachingAllocator(
+                num_blocks)
+        else:
+            self.allocator = BlockAllocator(num_blocks)
+        self.prefix_caching = cache_config.enable_prefix_caching
         self.waiting: deque[Sequence] = deque()
         self.running: list[Sequence] = []
         self.watermark_blocks = max(
@@ -140,35 +155,86 @@ class Scheduler:
 
     def _schedule_prefills(self, out: SchedulerOutput) -> None:
         budget_tokens = self.config.max_num_batched_tokens
+        chunked = self.config.enable_chunked_prefill
+        bs = self.block_size
         queue = self._sorted_waiting()
         admitted: list[Sequence] = []
         for seq in list(queue):
             if len(self.running) + len(admitted) >= self.config.max_num_seqs:
                 break
-            if len(admitted) >= self.config.max_prefill_seqs:
+            if len(out.prefills) >= self.config.max_prefill_seqs:
+                break
+            if budget_tokens <= 0:
                 break
             prompt_len = seq.num_prompt_tokens
-            if prompt_len > budget_tokens:
-                break
-            if self.evict is not None and self.evict.enabled:
-                blocks, stored = num_required_blocks_after_prune(
-                    prompt_len, self.evict, self.block_size)
+            if seq.block_table is None:
+                # ---- admission: size + allocate the whole (stored) prompt.
+                if not chunked and prompt_len > budget_tokens:
+                    break
+                if self.evict is not None and self.evict.enabled:
+                    blocks, stored = num_required_blocks_after_prune(
+                        prompt_len, self.evict, self.block_size)
+                else:
+                    blocks, stored = (-(-prompt_len // bs), prompt_len)
+                cached_pages: list[int] = []
+                if self.prefix_caching:
+                    from .prefix_cache import hash_chain
+                    hashes = hash_chain(seq.prompt_token_ids, bs)
+                    # Keep at least the last prompt token uncached so the
+                    # first-token logits are computed.
+                    usable = min(len(self.allocator.lookup(hashes)),
+                                 (prompt_len - 1) // bs)
+                    cached_pages = self.allocator.acquire(hashes[:usable])
+                fresh = blocks - len(cached_pages)
+                if not self.allocator.can_allocate(fresh,
+                                                   self.watermark_blocks):
+                    if cached_pages:
+                        self.allocator.free(cached_pages)
+                    break  # FCFS head-of-line: don't starve the head request
+                table = BlockTable(bs, self.allocator)
+                table.allocate_prompt(stored, prefix_pages=cached_pages)
+                seq.block_table = table
+                seq.prefill_pos = len(cached_pages) * bs
             else:
-                blocks, stored = (-(-prompt_len // self.block_size),
-                                  prompt_len)
-            if not self.allocator.can_allocate(blocks, self.watermark_blocks):
-                break  # FCFS head-of-line: don't starve the head request
-            table = BlockTable(self.block_size, self.allocator)
-            table.allocate_prompt(stored)
-            seq.block_table = table
-            seq.status = SequenceStatus.RUNNING
-            admitted.append(seq)
-            budget_tokens -= prompt_len
-            out.prefills.append(
-                ScheduledPrefill(seq, prompt_len, stored))
+                stored = seq.block_table.num_kv_slots
+
+            # ---- emit one chunk (the whole remainder when not chunking).
+            start = seq.prefill_pos
+            remaining = prompt_len - start
+            size = min(remaining, budget_tokens) if chunked else remaining
+            if chunked and size < remaining:
+                # Non-final chunks end on a page boundary so the next
+                # chunk's cache writes stay page-granular.
+                size -= size % bs
+                if size <= 0:
+                    break
+            end = start + size
+            is_last = end == prompt_len
+            budget_tokens -= size
+            seq.prefill_pos = end
+            out.prefills.append(ScheduledPrefill(
+                seq, prompt_len, stored, chunk_start=start, chunk_end=end,
+                is_last=is_last))
+            if is_last:
+                seq.status = SequenceStatus.RUNNING
+                admitted.append(seq)
+            else:
+                break  # finish this prompt's chunks before admitting more
         for seq in admitted:
             self.waiting.remove(seq)
             self.running.append(seq)
+
+    def register_prefix(self, seq: Sequence) -> None:
+        """Publish the prompt's full pages for content-addressed reuse
+        (called by the engine after the prompt's KV is fully written)."""
+        if not self.prefix_caching:
+            return
+        from .prefix_cache import hash_chain
+        table = seq.block_table
+        if table is None:
+            return
+        hashes = hash_chain(seq.prompt_token_ids, self.block_size)
+        self.allocator.register(hashes, table.pages[:len(hashes)])
 
     # ---- decode window planning ----------------------------------------
 

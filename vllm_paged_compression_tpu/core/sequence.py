@@ -55,6 +55,10 @@ class Sequence:
         self.eos_token_id = eos_token_id
         self.status = SequenceStatus.WAITING
         self.block_table: Optional[BlockTable] = None
+        # Prompt tokens whose KV is already in cache (cached prefix +
+        # completed prefill chunks); prompt positions below this are not
+        # recomputed.
+        self.prefill_pos = 0
         # Timing for metrics (TTFT/TPOT, reference engine/metrics.py).
         self.first_token_time: Optional[float] = None
         self.finish_time: Optional[float] = None
@@ -105,6 +109,7 @@ class Sequence:
             self.block_table = None
         self.prompt_token_ids = self.prompt_token_ids + self.output_token_ids
         self.output_token_ids = []
+        self.prefill_pos = 0
         self.status = SequenceStatus.PREEMPTED
         self.num_preemptions += 1
 

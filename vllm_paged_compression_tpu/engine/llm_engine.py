@@ -172,6 +172,9 @@ class LLMEngine:
                 self.kv_caches, self.page_scores, tok = \
                     self.runner.run_prefill(self.params, self.kv_caches,
                                             self.page_scores, sp)
+                if not sp.is_last:
+                    continue  # mid-prompt chunk: no token sampled yet
+                self.scheduler.register_prefix(sp.seq)
                 sp.seq.append_token(int(tok))
                 num_gen_tokens += 1
                 self._postprocess(sp.seq, results, finished)

@@ -27,6 +27,9 @@ class LLM:
                  kv_cache_dtype: str = "auto",
                  num_scheduler_steps: int = 1,
                  quantization: Optional[str] = None,
+                 enable_prefix_caching: bool = False,
+                 enable_chunked_prefill: bool = False,
+                 max_num_batched_tokens: Optional[int] = None,
                  params=None, seed: int = 0):
         evict = None
         if enable_paged_eviction:
@@ -43,10 +46,15 @@ class LLM:
                               num_device_blocks=num_device_blocks,
                               gpu_memory_utilization=gpu_memory_utilization,
                               cache_dtype=kv_cache_dtype,
+                              enable_prefix_caching=enable_prefix_caching,
                               paged_evict=evict),
-            scheduler=SchedulerConfig(max_num_seqs=max_num_seqs,
-                                      max_model_len=max_model_len,
-                                      num_scheduler_steps=num_scheduler_steps))
+            scheduler=SchedulerConfig(
+                max_num_seqs=max_num_seqs,
+                max_model_len=max_model_len,
+                num_scheduler_steps=num_scheduler_steps,
+                enable_chunked_prefill=enable_chunked_prefill,
+                **({"max_num_batched_tokens": max_num_batched_tokens}
+                   if max_num_batched_tokens is not None else {})))
         self.engine = LLMEngine(config, params=params)
 
     def generate(

@@ -140,3 +140,42 @@ def paged_decode_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
     probs = _masked_softmax(scores, valid[:, None, None, :])
     out = jnp.einsum("bkgs,bskd->bkgd", probs, v.astype(jnp.float32))
     return out.reshape(b, h, d).astype(q.dtype)
+
+
+def context_prefill_attention(q: jnp.ndarray, k_ctx: jnp.ndarray,
+                              v_ctx: jnp.ndarray, k_chunk: jnp.ndarray,
+                              v_chunk: jnp.ndarray, scale: float,
+                              q_len, ctx_len,
+                              softcap: float | None = None) -> jnp.ndarray:
+    """Chunked-prefill attention: chunk queries attend to (a) all previously
+    cached context tokens and (b) the chunk itself, causally.
+
+    Reference analog: the chunked-prefill path's prefix-prefill kernel
+    (vllm/attention/ops/prefix_prefill.py — queries over [context | new]
+    keys); functionally re-derived, with context fed as dense gathered rows.
+
+    q:            [Tc, H, d]   chunk queries (global position = ctx_len + i)
+    k/v_ctx:      [C, Hkv, d]  gathered context rows (positions [0, ctx_len);
+                  rows >= ctx_len are padding)
+    k/v_chunk:    [Tc, Hkv, d] this chunk's fresh K/V
+    q_len:        true chunk length (<= Tc)
+    ctx_len:      true context length (<= C)
+    Returns [Tc, H, d] (garbage rows past q_len).
+    """
+    tc = q.shape[0]
+    c = k_ctx.shape[0]
+    k = jnp.concatenate([k_ctx, k_chunk], axis=0)
+    v = jnp.concatenate([v_ctx, v_chunk], axis=0)
+    qg, group = _group_query(q, k.shape[1])
+    scores = _softcap(
+        jnp.einsum("tkgd,skd->kgts", qg.astype(jnp.float32),
+                   k.astype(jnp.float32)) * scale, softcap)
+    row = jnp.arange(tc)[:, None]
+    col = jnp.arange(c + tc)[None, :]
+    is_ctx = col < c
+    local = col - c
+    mask = jnp.where(is_ctx, col < ctx_len,
+                     (local <= row) & (local < q_len)) & (row < q_len)
+    probs = _masked_softmax(scores, mask[None, None])
+    out = jnp.einsum("kgts,skd->tkgd", probs, v.astype(jnp.float32))
+    return out.reshape(tc, -1, q.shape[-1]).astype(q.dtype)

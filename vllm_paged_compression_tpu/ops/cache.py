@@ -45,6 +45,44 @@ def write_kv_slots(k_cache, v_cache, k: jnp.ndarray, v: jnp.ndarray,
             _scatter_rows(v_cache, v, slots))
 
 
+def write_kv_pages(k_cache, v_cache, k: jnp.ndarray, v: jnp.ndarray,
+                   pages: jnp.ndarray):
+    """Page-granular cache write for prefill: rows land in whole pages.
+
+    k/v: [N, Hkv, d] with N == len(pages) * page_size; ``pages`` holds the
+    destination page id per page-sized row group (padding groups point at
+    the trash page).  All ids are in-bounds by construction.
+
+    Why this exists: an XLA pathology makes the row-granular scatter
+    (write_kv_slots) inside the scanned layer body explode compile time —
+    measured 324 s (mode="drop") / 61 s (promise_in_bounds) vs 2.8 s for
+    this page-granular form on a 28-layer 1024-token prefill.  Decode
+    keeps the row scatter (B rows/step; no pathology there).
+    """
+    ps = k_cache.q.shape[1] if isinstance(k_cache, QuantKV) \
+        else k_cache.shape[1]
+    n = pages.shape[0]
+    assert k.shape[0] == n * ps, (k.shape, n, ps)
+    if isinstance(k_cache, QuantKV):
+        kq, ks = quantize_kv_rows(k, k_cache.q.dtype)
+        vq, vs = quantize_kv_rows(v, v_cache.q.dtype)
+
+        def put(cache, rows):
+            rows = rows.reshape((n, ps) + rows.shape[1:])
+            return cache.at[pages].set(rows.astype(cache.dtype),
+                                       mode="promise_in_bounds")
+
+        return (QuantKV(q=put(k_cache.q, kq), s=put(k_cache.s, ks)),
+                QuantKV(q=put(v_cache.q, vq), s=put(v_cache.s, vs)))
+
+    def put(cache, rows):
+        rows = rows.reshape((n, ps) + rows.shape[1:])
+        return cache.at[pages].set(rows.astype(cache.dtype),
+                                   mode="promise_in_bounds")
+
+    return put(k_cache, k), put(v_cache, v)
+
+
 def zero_kv_slots(k_cache, v_cache, slots: jnp.ndarray):
     """Overwrite slots with zeros (streamingLLM-1 / inverse_key_l2 side
     writes, torch_cuda_sdpa.py:919-933).  slots: [N], -1 entries dropped."""

@@ -5,4 +5,5 @@ tests/ops/test_pallas_kernels.py.
 """
 
 from .paged_attention import paged_decode_attention_pallas  # noqa: F401
-from .prefill_attention import flash_prefill_attention  # noqa: F401
+from .prefill_attention import (flash_context_prefill_attention,  # noqa: F401
+                                flash_prefill_attention)  # noqa: F401

@@ -39,11 +39,16 @@ _NEG_INF = -2.0**30
 
 def _prefill_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref,
                     m_ref, l_ref, acc_ref, *, scale: float, bq: int,
-                    bk: int, softcap):
+                    bk: int, softcap, ctx_cap: int = 0):
+    """``ctx_cap`` > 0 = chunked/context mode: the first ctx_cap KV columns
+    are previously-cached context (valid iff col < lens[2] = ctx_len, no
+    causal constraint); the rest are the chunk itself, causal vs the
+    chunk-local query row."""
     iq = pl.program_id(1)
     ik = pl.program_id(2)
     n_k = pl.num_programs(2)
     kept_len = lens_ref[1]
+    ctx_len = lens_ref[2]
 
     @pl.when(ik == 0)
     def _():
@@ -51,10 +56,16 @@ def _prefill_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # A KV block can contribute only if its first column is <= the last
-    # query row of this Q block (top-left-aligned causal).
-    @pl.when((ik * bk <= iq * bq + bq - 1)
-             & (ik * bk < kept_len))
+    # A context block contributes while it holds real context rows; a chunk
+    # block only if its first column is <= the last query row of this Q
+    # block (top-left-aligned causal).
+    is_ctx_block = ik * bk < ctx_cap
+    contributes = jnp.where(
+        is_ctx_block, ik * bk < ctx_len,
+        (ik * bk - ctx_cap <= iq * bq + bq - 1)
+        & (ik * bk - ctx_cap < kept_len))
+
+    @pl.when(contributes)
     def _():
         q = q_ref[0].astype(jnp.float32) * scale            # [Bq, d]
         k = k_ref[0].astype(jnp.float32)                    # [Bk, d]
@@ -66,7 +77,12 @@ def _prefill_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref,
             s = softcap * jnp.tanh(s / softcap)
         row = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
         col = ik * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-        mask = (col <= row) & (col < kept_len)
+        if ctx_cap:
+            local = col - ctx_cap
+            mask = jnp.where(col < ctx_cap, col < ctx_len,
+                             (local <= row) & (local < kept_len))
+        else:
+            mask = (col <= row) & (col < kept_len)
         s = jnp.where(mask, s, _NEG_INF)
 
         m_prev = m_ref[:, :1]
@@ -120,7 +136,8 @@ def flash_prefill_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         kt = jnp.pad(kt, ((0, 0), (0, s_pad - s), (0, 0)))
         vt = jnp.pad(vt, ((0, 0), (0, s_pad - s), (0, 0)))
     lens = jnp.stack([jnp.asarray(q_len, jnp.int32),
-                      jnp.asarray(kept_len, jnp.int32)])
+                      jnp.asarray(kept_len, jnp.int32),
+                      jnp.int32(0)])
 
     def q_map(ih, iq, ik, lens_):
         return (ih, iq, 0)
@@ -156,3 +173,80 @@ def flash_prefill_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         interpret=jax.default_backend() == "cpu",
     )(lens, qt, kt, vt)
     return jnp.swapaxes(out[:, :t], 0, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "softcap"))
+def flash_context_prefill_attention(q: jnp.ndarray, k_ctx: jnp.ndarray,
+                                    v_ctx: jnp.ndarray,
+                                    k_chunk: jnp.ndarray,
+                                    v_chunk: jnp.ndarray, scale: float,
+                                    q_len, ctx_len,
+                                    softcap: float | None = None
+                                    ) -> jnp.ndarray:
+    """Flash version of ops.attention.context_prefill_attention (chunked
+    prefill / prefix-cache skip): chunk queries vs [context | chunk] keys.
+
+    q/k_chunk/v_chunk: [Tc, ·, d]; k/v_ctx: [C, Hkv, d] (rows >= ctx_len
+    are padding).  The KV axis is the concatenation, context first; the
+    kernel masks context columns by ctx_len and chunk columns causally.
+    """
+    tc, h, d = q.shape
+    c = k_ctx.shape[0]
+    num_kv = k_ctx.shape[1]
+    group = h // num_kv
+    bq = min(128, tc)
+    bk = min(128, c + tc)
+    t_pad = _round_up(tc, bq)
+    ctx_pad = _round_up(c, bk)
+    s_pad = ctx_pad + _round_up(tc, bk)
+
+    qt = jnp.swapaxes(q, 0, 1)
+    if t_pad != tc:
+        qt = jnp.pad(qt, ((0, 0), (0, t_pad - tc), (0, 0)))
+
+    def pad_to(x, n):
+        return x if x.shape[0] == n else jnp.pad(
+            x, ((0, n - x.shape[0]), (0, 0), (0, 0)))
+
+    kt = jnp.swapaxes(jnp.concatenate(
+        [pad_to(k_ctx, ctx_pad), pad_to(k_chunk, s_pad - ctx_pad)]), 0, 1)
+    vt = jnp.swapaxes(jnp.concatenate(
+        [pad_to(v_ctx, ctx_pad), pad_to(v_chunk, s_pad - ctx_pad)]), 0, 1)
+    lens = jnp.stack([jnp.asarray(q_len, jnp.int32),
+                      jnp.asarray(q_len, jnp.int32),
+                      jnp.asarray(ctx_len, jnp.int32)])
+
+    def q_map(ih, iq, ik, lens_):
+        return (ih, iq, 0)
+
+    def kv_map(ih, iq, ik, lens_):
+        return (ih // group, ik, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(h, t_pad // bq, s_pad // bk),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), q_map),
+            pl.BlockSpec((1, bk, d), kv_map),
+            pl.BlockSpec((1, bk, d), kv_map),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), q_map),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(_prefill_kernel, scale=scale, bq=bq, bk=bk,
+                               softcap=softcap, ctx_cap=ctx_pad)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((h, t_pad, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * h * t_pad * s_pad * d,
+            bytes_accessed=(qt.nbytes + kt.nbytes + vt.nbytes + qt.nbytes),
+            transcendentals=h * t_pad * s_pad),
+        interpret=jax.default_backend() == "cpu",
+    )(lens, qt, kt, vt)
+    return jnp.swapaxes(out[:, :tc], 0, 1)

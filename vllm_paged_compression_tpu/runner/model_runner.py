@@ -33,11 +33,13 @@ import numpy as np
 
 from ..config import EngineConfig
 from ..core.scheduler import ScheduledPrefill, SeqWindowPlan
-from ..ops.attention import (paged_decode_attention, prefill_attention,
+from ..ops.attention import (context_prefill_attention,
+                             paged_decode_attention, prefill_attention,
                              pruned_prefill_attention)
-from ..ops.pallas import (flash_prefill_attention,
+from ..ops.pallas import (flash_context_prefill_attention,
+                          flash_prefill_attention,
                           paged_decode_attention_pallas)
-from ..ops.cache import write_kv_slots, zero_kv_slots
+from ..ops.cache import write_kv_pages, write_kv_slots, zero_kv_slots
 from ..ops.eviction import (gather_pruned_kv, index_cache_pages,
                             page_scores_from_cache, prompt_keep_indices,
                             select_victims, shift_block_tables, token_scores)
@@ -92,8 +94,11 @@ class ModelRunner:
         else:
             self.max_table_len = cdiv(sched.max_model_len, self.block_size)
         self.decode_buckets = _pow2_buckets(1, sched.max_num_seqs)
-        self.prefill_buckets = _pow2_buckets(
-            min(32, sched.max_model_len), sched.max_model_len)
+        bs = self.block_size
+        self.prefill_buckets = sorted({
+            -(-b // bs) * bs for b in _pow2_buckets(
+                min(32, sched.max_model_len), sched.max_model_len)})
+        self._ctx_page_buckets = _pow2_buckets(1, self.max_table_len)
         # Static cap on stored (pruned) prompt length.
         if self.evict is not None:
             self.stored_cap = self.evict.cache_budget + self.block_size
@@ -122,12 +127,16 @@ class ModelRunner:
                 flash_prefill_attention(q, k, v, scale, q_len, q_len, **cap))
             self._pruned_prefill_attn = functools.partial(
                 flash_prefill_attention, **cap)
+            self._ctx_attn = functools.partial(
+                flash_context_prefill_attention, **cap)
         else:
             self._paged_decode = functools.partial(
                 paged_decode_attention, **cap)
             self._prefill_attn = functools.partial(prefill_attention, **cap)
             self._pruned_prefill_attn = functools.partial(
                 pruned_prefill_attention, **cap)
+            self._ctx_attn = functools.partial(
+                context_prefill_attention, **cap)
 
         import functools
         self._decode_window_jits = {
@@ -145,6 +154,12 @@ class ModelRunner:
             g: jax.jit(functools.partial(self._prefill_prune, greedy_only=g),
                        donate_argnums=(1, 2))
             for g in (False, True)}
+        self._prefill_ctx_jits = {
+            (g, last): jax.jit(functools.partial(self._prefill_context,
+                                                 greedy_only=g,
+                                                 is_last=last),
+                               donate_argnums=(1, 2))
+            for g in (False, True) for last in (False, True)}
 
     # ------------------------------------------------------------------
     # jitted programs
@@ -248,7 +263,7 @@ class ModelRunner:
                        greedy_only=False):
         def attn_fn(q, k, v, layer_cache):
             kc, vc = layer_cache
-            kc, vc = write_kv_slots(kc, vc, k, v, batch["slot_mapping"])
+            kc, vc = write_kv_pages(kc, vc, k, v, batch["write_pages"])
             out = self._prefill_attn(q, k, v, self.scale, batch["q_len"])
             return out, (kc, vc)
 
@@ -263,7 +278,7 @@ class ModelRunner:
         forward)."""
         ev = self.evict
         assert ev is not None
-        s_pad = batch["slot_mapping"].shape[0]
+        s_pad = batch["write_pages"].shape[0] * self.block_size
         score_based = ev.evict_method in ("local", "global", "inverse_key_l2")
 
         def attn_fn(q, k, v, layer_cache):
@@ -276,8 +291,8 @@ class ModelRunner:
                 ev.evict_method, s_pad)
             k_kept, v_kept = gather_pruned_kv(k, v, keep_idx)
             kc, vc = layer_cache
-            kc, vc = write_kv_slots(kc, vc, k_kept, v_kept,
-                                    batch["slot_mapping"])
+            kc, vc = write_kv_pages(kc, vc, k_kept, v_kept,
+                                    batch["write_pages"])
             if ev.disable_evict_prefill:
                 # Attend-then-evict: full-context attention, pruned storage
                 # (torch_cuda_sdpa.py:1014-1024).
@@ -290,6 +305,41 @@ class ModelRunner:
 
         return self._finish_prefill(params, caches, page_scores, batch,
                                     attn_fn, greedy_only)
+
+    def _prefill_context(self, params, caches, page_scores, batch,
+                         greedy_only=False, is_last=True):
+        """One chunk of a chunked prefill (or the uncached suffix after a
+        prefix-cache hit): chunk queries attend to the already-cached
+        context through the block table plus the chunk itself
+        (reference chunked-prefill path, scheduler.py:1167 +
+        ops/prefix_prefill.py — re-derived as a fixed-shape program)."""
+        from ..ops.quant import QuantKV, dequantize_kv
+
+        def attn_fn(q, k, v, layer_cache):
+            kc, vc = layer_cache
+            kc, vc = write_kv_pages(kc, vc, k, v, batch["write_pages"])
+            k_ctx = index_cache_pages(kc, batch["ctx_tables"])
+            v_ctx = index_cache_pages(vc, batch["ctx_tables"])
+            if isinstance(k_ctx, QuantKV):
+                k_ctx = dequantize_kv(k_ctx).astype(q.dtype)
+                v_ctx = dequantize_kv(v_ctx).astype(q.dtype)
+            cp, ps = k_ctx.shape[0], k_ctx.shape[1]
+            k_ctx = k_ctx.reshape(cp * ps, *k_ctx.shape[2:])
+            v_ctx = v_ctx.reshape(cp * ps, *v_ctx.shape[2:])
+            out = self._ctx_attn(q, k_ctx, v_ctx, k, v, self.scale,
+                                 batch["q_len"], batch["ctx_len"])
+            return out, (kc, vc)
+
+        hidden, new_caches = self.model.forward_hidden(
+            params, batch["tokens"], batch["positions"], attn_fn, caches)
+        if is_last:
+            last = hidden[batch["q_len"] - 1][None]
+            logits = self.model.logits(params, last)
+            tokens = sample(logits, self._sampling_tensors(batch),
+                            greedy_only=greedy_only)
+        else:
+            tokens = jnp.zeros((1,), jnp.int32)
+        return new_caches, page_scores, tokens
 
     def _finish_prefill(self, params, caches, page_scores, batch,
                         attn_fn, greedy_only=False):
@@ -383,6 +433,8 @@ class ModelRunner:
 
     def run_prefill(self, params, caches, page_scores,
                     sp: ScheduledPrefill):
+        if sp.chunk_start > 0 or not sp.is_last:
+            return self._run_prefill_chunk(params, caches, page_scores, sp)
         seq = sp.seq
         bs = self.block_size
         trash_slot = self.cache_engine.trash_slot
@@ -399,13 +451,16 @@ class ModelRunner:
         positions = np.arange(l_pad, dtype=np.int32)
 
         if do_prune:
-            # One static pruned-output width per config (rounded for tiling).
+            # One static pruned-output width per config (rounded for tiling
+            # and to whole pages).
             s_pad = min(((self.stored_cap + 127) // 128) * 128, l_pad)
+            s_pad = -(-s_pad // bs) * bs
         else:
             s_pad = l_pad
-        slot_mapping = np.full(s_pad, trash_slot, np.int32)
-        for i in range(stored):
-            slot_mapping[i] = pages[i // bs] * bs + i % bs
+        # Page-granular write vector (see ops.cache.write_kv_pages).
+        write_pages = np.full(s_pad // bs, trash_page, np.int32)
+        n_full = -(-stored // bs)
+        write_pages[:n_full] = pages[:n_full]
 
         f_max = s_pad // bs + 1
         fill_pages = np.full(f_max, trash_page, np.int32)
@@ -415,11 +470,50 @@ class ModelRunner:
         batch = {
             "tokens": tokens, "positions": positions,
             "q_len": np.int32(q_len), "stored_len": np.int32(stored),
-            "slot_mapping": slot_mapping, "fill_pages": fill_pages,
+            "write_pages": write_pages, "fill_pages": fill_pages,
         }
         batch.update(self._seq_sampling_arrays([seq], 1))
         greedy = seq.params.greedy
         fn = (self._prefill_prune_jits if do_prune
               else self._prefill_plain_jits)[greedy]
+        caches, page_scores, tok = fn(params, caches, page_scores, batch)
+        return caches, page_scores, int(np.asarray(tok)[0])
+
+    def _run_prefill_chunk(self, params, caches, page_scores,
+                           sp: ScheduledPrefill):
+        """Host assembly for one prompt chunk / cached-prefix suffix."""
+        seq = sp.seq
+        bs = self.block_size
+        trash_slot = self.cache_engine.trash_slot
+        trash_page = self.cache_engine.trash_page
+        pages = seq.block_table.pages
+        start, end = sp.chunk_start, sp.chunk_end
+        tc = end - start
+        tc_pad = next_bucket(tc, self.prefill_buckets)
+
+        tokens = np.zeros(tc_pad, np.int32)
+        tokens[:tc] = seq.prompt_token_ids[start:end]
+        positions = np.arange(start, start + tc_pad, dtype=np.int32)
+
+        # start is page-aligned (scheduler aligns non-final chunks);
+        # page-granular write vector for the chunk span.
+        assert start % bs == 0, "chunk start must be page-aligned"
+        write_pages = np.full(tc_pad // bs, trash_page, np.int32)
+        first_pg = start // bs
+        n_full = -(-tc // bs)
+        write_pages[:n_full] = pages[first_pg:first_pg + n_full]
+
+        ctx_pages_used = cdiv(start, bs)
+        cp_pad = next_bucket(max(ctx_pages_used, 1), self._ctx_page_buckets)
+        ctx_tables = np.full(cp_pad, trash_page, np.int32)
+        ctx_tables[:ctx_pages_used] = pages[:ctx_pages_used]
+
+        batch = {
+            "tokens": tokens, "positions": positions,
+            "q_len": np.int32(tc), "ctx_len": np.int32(start),
+            "write_pages": write_pages, "ctx_tables": ctx_tables,
+        }
+        batch.update(self._seq_sampling_arrays([seq], 1))
+        fn = self._prefill_ctx_jits[(seq.params.greedy, sp.is_last)]
         caches, page_scores, tok = fn(params, caches, page_scores, batch)
         return caches, page_scores, int(np.asarray(tok)[0])

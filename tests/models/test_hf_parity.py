@@ -202,3 +202,36 @@ def test_mistral_logits_match_hf():
     ids = np.array([[1, 5, 9, 33, 77, 2, 4, 100]])
     d = cfg.to_dict(); d["architectures"] = ["MistralForCausalLM"]
     _check_parity(hf, d, ids)
+
+
+def test_mixtral_logits_match_hf():
+    cfg = transformers.MixtralConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=128, rope_theta=10000.0, rms_norm_eps=1e-5,
+        tie_word_embeddings=False)
+    torch.manual_seed(9)
+    hf = transformers.MixtralForCausalLM(cfg).eval()
+    ids = np.array([[1, 5, 9, 33, 77, 2, 4, 100]])
+    d = cfg.to_dict(); d["architectures"] = ["MixtralForCausalLM"]
+    _check_parity(hf, d, ids)
+
+
+def test_mixtral_e2e_generation():
+    from vllm_paged_compression_tpu.entrypoints.llm import LLM
+    from vllm_paged_compression_tpu.sampling_params import SamplingParams
+    cfg = {"architectures": ["MixtralForCausalLM"], "vocab_size": 128,
+           "hidden_size": 64, "intermediate_size": 128,
+           "num_hidden_layers": 2, "num_attention_heads": 4,
+           "num_key_value_heads": 2, "num_local_experts": 4,
+           "num_experts_per_tok": 2, "max_position_embeddings": 512,
+           "rope_theta": 10000.0, "rms_norm_eps": 1e-5,
+           "tie_word_embeddings": True, "eos_token_id": None}
+    llm = LLM(hf_config=cfg, dtype="float32", enable_paged_eviction=True,
+              evict_method="global", cache_budget=64, block_size=16,
+              max_model_len=512, num_device_blocks=64, seed=0)
+    outs = llm.generate(prompt_token_ids=[list(range(1, 100))],
+                        sampling_params=SamplingParams(temperature=0.0,
+                                                       max_tokens=16))
+    assert len(outs[0].outputs[0].token_ids) == 16

@@ -69,6 +69,8 @@ class LlamaArch:
     attn_logit_softcap: Optional[float] = None   # gemma2
     final_logit_softcap: Optional[float] = None  # gemma2
     query_pre_attn_scalar: Optional[float] = None  # gemma2 attn scale base
+    num_experts: int = 0              # mixtral: >0 switches the MLP to MoE
+    num_experts_per_tok: int = 2
 
     @classmethod
     def from_hf_config(cls, cfg: dict) -> "LlamaArch":
@@ -141,6 +143,23 @@ class Gemma2Arch(GemmaArch):
 
 
 @dataclass
+class MixtralArch(LlamaArch):
+    """Mixtral sparse-MoE (reference vllm/model_executor/models/mixtral.py):
+    Llama attention + a top-k routed expert MLP.  Round-1 dispatch computes
+    all experts densely and combines by routing weight — exact, MXU-batched
+    over the expert axis (a capacity-based sorted dispatch is the round-2
+    optimization; the reference's fused_moe CUDA kernels have no TPU
+    analog needed for correctness)."""
+
+    @classmethod
+    def from_hf_config(cls, cfg: dict) -> "MixtralArch":
+        a = super().from_hf_config(cfg)
+        a.num_experts = cfg.get("num_local_experts", 8)
+        a.num_experts_per_tok = cfg.get("num_experts_per_tok", 2)
+        return a
+
+
+@dataclass
 class Phi3Arch(LlamaArch):
     """Phi-3 (reference vllm/model_executor/models/phi3.py → llama.py):
     Llama layout with HF-side pre-fused qkv_proj / gate_up_proj weights
@@ -203,12 +222,20 @@ class LlamaModel:
         layers = {
             "wqkv": w(a.num_layers, a.hidden_size, qkv_out),
             "wo": w(a.num_layers, a.num_heads * a.head_dim, a.hidden_size),
-            "w_gate_up": w(a.num_layers, a.hidden_size,
-                           2 * a.intermediate_size),
-            "w_down": w(a.num_layers, a.intermediate_size, a.hidden_size),
             "input_norm": ones((a.num_layers, a.hidden_size)),
             "post_norm": ones((a.num_layers, a.hidden_size)),
         }
+        if a.num_experts:
+            layers["router"] = w(a.num_layers, a.hidden_size, a.num_experts)
+            layers["w_gate_up"] = w(a.num_layers, a.num_experts,
+                                    a.hidden_size, 2 * a.intermediate_size)
+            layers["w_down"] = w(a.num_layers, a.num_experts,
+                                 a.intermediate_size, a.hidden_size)
+        else:
+            layers["w_gate_up"] = w(a.num_layers, a.hidden_size,
+                                    2 * a.intermediate_size)
+            layers["w_down"] = w(a.num_layers, a.intermediate_size,
+                                 a.hidden_size)
         if a.qkv_bias:
             layers["bqkv"] = w(a.num_layers, qkv_out)
         if a.sandwich_norms:
@@ -282,11 +309,27 @@ class LlamaModel:
         # Phi-3 checkpoints ship the projections pre-fused.
         hf_fused = "model.layers.0.self_attn.qkv_proj.weight" in tensors
 
-        wqkv, bqkv, wo, gate_up, down = [], [], [], [], []
+        wqkv, bqkv, wo, gate_up, down, router = [], [], [], [], [], []
         in_n, post_n, pao_n, pff_n = [], [], [], []
         for i in range(a.num_layers):
             p = f"model.layers.{i}."
-            if hf_fused:
+            if a.num_experts:
+                # Mixtral: block_sparse_moe.{gate, experts.N.w1/w2/w3}
+                # (w1 = gate, w3 = up, w2 = down).
+                router.append(proj(p + "block_sparse_moe.gate.weight"))
+                gate_up.append(np.stack([
+                    np.concatenate([
+                        proj(p + f"block_sparse_moe.experts.{e}.w1.weight"),
+                        proj(p + f"block_sparse_moe.experts.{e}.w3.weight"),
+                    ], axis=1) for e in range(a.num_experts)]))
+                down.append(np.stack([
+                    proj(p + f"block_sparse_moe.experts.{e}.w2.weight")
+                    for e in range(a.num_experts)]))
+                wqkv.append(np.concatenate([
+                    proj(p + "self_attn.q_proj.weight"),
+                    proj(p + "self_attn.k_proj.weight"),
+                    proj(p + "self_attn.v_proj.weight")], axis=1))
+            elif hf_fused:
                 wqkv.append(proj(p + "self_attn.qkv_proj.weight"))
                 gate_up.append(proj(p + "mlp.gate_up_proj.weight"))
             else:
@@ -303,7 +346,8 @@ class LlamaModel:
                     t(p + "self_attn.k_proj.bias"),
                     t(p + "self_attn.v_proj.bias")]))
             wo.append(proj(p + "self_attn.o_proj.weight"))
-            down.append(proj(p + "mlp.down_proj.weight"))
+            if not a.num_experts:
+                down.append(proj(p + "mlp.down_proj.weight"))
             in_n.append(t(p + "input_layernorm.weight"))
             if a.sandwich_norms:
                 pao_n.append(t(p + "post_attention_layernorm.weight"))
@@ -330,6 +374,8 @@ class LlamaModel:
         }
         if a.qkv_bias:
             layers["bqkv"] = stack(bqkv)
+        if a.num_experts:
+            layers["router"] = stack(router)
         if a.sandwich_norms:
             layers["post_attn_out_norm"] = stack(pao_n)
             layers["post_ffw_norm"] = stack(pff_n)
@@ -397,10 +443,29 @@ class LlamaModel:
             h = h + attn_res
 
             x = norm(h, lp["post_norm"])
-            gate_up = matmul(x, lp["w_gate_up"])
-            gate = gate_up[:, :a.intermediate_size]
-            up = gate_up[:, a.intermediate_size:]
-            mlp_res = matmul(act(gate) * up, lp["w_down"])
+            if a.num_experts:
+                # Top-k routing, softmax over the selected logits (HF
+                # MixtralSparseMoeBlock semantics), dense expert compute.
+                router_logits = (x @ lp["router"]).astype(jnp.float32)
+                topv, topi = jax.lax.top_k(router_logits,
+                                           a.num_experts_per_tok)
+                rw = jax.nn.softmax(topv, axis=-1)
+                combine = jnp.sum(
+                    jax.nn.one_hot(topi, a.num_experts, dtype=jnp.float32)
+                    * rw[..., None], axis=1)                  # [T, E]
+                gu = jnp.einsum("td,edf->etf", x, lp["w_gate_up"])
+                gate = gu[..., :a.intermediate_size]
+                up = gu[..., a.intermediate_size:]
+                h_e = jnp.einsum("etf,efd->etd", act(gate) * up,
+                                 lp["w_down"])
+                mlp_res = jnp.einsum("etd,te->td",
+                                     h_e.astype(jnp.float32),
+                                     combine).astype(x.dtype)
+            else:
+                gate_up = matmul(x, lp["w_gate_up"])
+                gate = gate_up[:, :a.intermediate_size]
+                up = gate_up[:, a.intermediate_size:]
+                mlp_res = matmul(act(gate) * up, lp["w_down"])
             if a.sandwich_norms:
                 mlp_res = norm(mlp_res, lp["post_ffw_norm"])
             h = h + mlp_res

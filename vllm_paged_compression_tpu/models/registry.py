@@ -21,11 +21,12 @@ def _ensure_builtin():
     if _REGISTRY:
         return
     from .llama import (Gemma2Arch, GemmaArch, LlamaArch, LlamaModel,
-                        Phi3Arch, Qwen2Arch)
+                        MixtralArch, Phi3Arch, Qwen2Arch)
     from .opt import GPT2Arch, OPTArch, OPTModel
     _REGISTRY.update({
         "LlamaForCausalLM": (LlamaModel, LlamaArch),
         "MistralForCausalLM": (LlamaModel, LlamaArch),
+        "MixtralForCausalLM": (LlamaModel, MixtralArch),
         "Qwen2ForCausalLM": (LlamaModel, Qwen2Arch),
         "GemmaForCausalLM": (LlamaModel, GemmaArch),
         "Gemma2ForCausalLM": (LlamaModel, Gemma2Arch),

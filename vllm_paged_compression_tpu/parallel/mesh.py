@@ -48,6 +48,7 @@ _LLAMA_PARAM_SPECS = {
         "wo": P(None, "model", None),
         "w_gate_up": P(None, None, "model"),
         "w_down": P(None, "model", None),
+        "router": P(None, None, None),
         "input_norm": P(None, None),
         "post_norm": P(None, None),
         "post_attn_out_norm": P(None, None),
@@ -83,15 +84,22 @@ def param_shardings(mesh: Mesh, architecture: str, params: dict):
     from ..ops.quant import QuantizedWeight
     specs = PARAM_SPECS[architecture]
 
+    def fit(spec, ndim):
+        """MoE expert leaves carry an extra axis after the layer axis:
+        widen the dense spec with Nones there."""
+        if len(spec) >= ndim:
+            return spec
+        return P(*((spec[0],) + (None,) * (ndim - len(spec)) + spec[1:]))
+
     def walk(spec_node, param_node):
         if isinstance(param_node, QuantizedWeight):
-            spec = spec_node
+            spec = fit(spec_node, param_node.q.ndim)
             s_spec = P(*(spec[:-2] + spec[-1:])) if len(spec) >= 2 else spec
             return QuantizedWeight(q=NamedSharding(mesh, spec),
                                    s=NamedSharding(mesh, s_spec))
         if isinstance(param_node, dict):
             return {k: walk(spec_node[k], v) for k, v in param_node.items()}
-        return NamedSharding(mesh, spec_node)
+        return NamedSharding(mesh, fit(spec_node, param_node.ndim))
 
     return walk(specs, params)
 

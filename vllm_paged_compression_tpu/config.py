@@ -235,11 +235,14 @@ class EngineConfig:
     scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)
     parallel: ParallelConfig = field(default_factory=ParallelConfig)
     observability: ObservabilityConfig = field(default_factory=ObservabilityConfig)
+    lora: Optional[Any] = None   # lora.models.LoRAConfig when enabled
 
     def verify(self) -> None:
         self.model.verify()
         self.cache.verify()
         self.scheduler.verify()
+        if self.lora is not None:
+            self.lora.verify()
         self.scheduler.max_model_len = min(self.scheduler.max_model_len,
                                            self.model.max_model_len)
         if self.cache.evict_enabled and self.scheduler.enable_chunked_prefill:

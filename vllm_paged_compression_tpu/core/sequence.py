@@ -59,6 +59,8 @@ class Sequence:
         # completed prefill chunks); prompt positions below this are not
         # recomputed.
         self.prefill_pos = 0
+        # LoRA adapter device slot (0 = no adapter).
+        self.lora_slot = 0
         # Timing for metrics (TTFT/TPOT, reference engine/metrics.py).
         self.first_token_time: Optional[float] = None
         self.finish_time: Optional[float] = None

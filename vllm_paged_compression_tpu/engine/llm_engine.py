@@ -101,6 +101,16 @@ class LLMEngine:
                 ("wqkv", "wo", "w_gate_up", "w_down", "lm_head", "embed"),
                 model_dtype=dtype)
 
+        self.lora_manager = None
+        if config.lora is not None:
+            from ..lora import LoRAManager
+            from ..lora.manager import empty_lora_params
+            self.lora_manager = LoRAManager(self.model.arch, config.lora,
+                                            dtype=dtype)
+            self.params = {**self.params,
+                           "lora": empty_lora_params(self.model.arch,
+                                                     config.lora, dtype)}
+
         self.tokenizer = maybe_load_tokenizer(mc.tokenizer or mc.model)
 
         kv_dtype = _KV_DTYPES.get(config.cache.cache_dtype) or dtype
@@ -128,7 +138,8 @@ class LLMEngine:
                     prompt_token_ids: Optional[list[int]] = None,
                     sampling_params: Optional[SamplingParams] = None,
                     arrival_time: Optional[float] = None,
-                    priority: int = 0) -> str:
+                    priority: int = 0,
+                    lora_request=None) -> str:
         if request_id is None:
             request_id = f"req-{self._req_counter}"
             self._req_counter += 1
@@ -142,9 +153,37 @@ class LLMEngine:
                        sampling_params or SamplingParams(),
                        arrival_time=arrival_time, priority=priority,
                        eos_token_id=self.eos_token_id)
+        if lora_request is not None:
+            if self.lora_manager is None:
+                raise ValueError("engine built without a LoRAConfig")
+            seq.lora_slot = self.lora_manager.slot_of(
+                lora_request.lora_int_id)
         self._seqs[request_id] = seq
         self.scheduler.add_seq(seq)
         return request_id
+
+    # ------------------------------------------------------------------
+    # LoRA adapters (reference vllm/entrypoints add_lora RPC + worker
+    # manager, SURVEY C15)
+    # ------------------------------------------------------------------
+
+    def add_lora(self, lora_int_id: int, tensors: dict,
+                 scaling: float = 1.0) -> None:
+        """Load an adapter into a free device slot.  ``tensors``:
+        {target: (A [L, in, r], B [L, r, out])} numpy arrays."""
+        if self.lora_manager is None:
+            raise ValueError("engine built without a LoRAConfig")
+        self.params = {**self.params,
+                       "lora": self.lora_manager.add_adapter(
+                           self.params["lora"], lora_int_id, tensors,
+                           scaling)}
+
+    def remove_lora(self, lora_int_id: int) -> None:
+        if self.lora_manager is None:
+            return
+        self.params = {**self.params,
+                       "lora": self.lora_manager.remove_adapter(
+                           self.params["lora"], lora_int_id)}
 
     def abort_request(self, request_id: str) -> bool:
         ok = self.scheduler.abort(request_id)

@@ -30,6 +30,8 @@ class LLM:
                  enable_prefix_caching: bool = False,
                  enable_chunked_prefill: bool = False,
                  max_num_batched_tokens: Optional[int] = None,
+                 enable_lora: bool = False, max_loras: int = 4,
+                 max_lora_rank: int = 16,
                  params=None, seed: int = 0):
         evict = None
         if enable_paged_eviction:
@@ -38,7 +40,13 @@ class LLM:
                 cache_budget=cache_budget, topk_blocks=topk_blocks,
                 disable_evict_prefill=disable_evict_prefill,
                 selection=evict_selection)
+        lora_cfg = None
+        if enable_lora:
+            from ..lora import LoRAConfig
+            lora_cfg = LoRAConfig(max_loras=max_loras,
+                                  max_lora_rank=max_lora_rank)
         config = EngineConfig(
+            lora=lora_cfg,
             model=ModelConfig(model=model, hf_config=hf_config, dtype=dtype,
                               max_model_len=max_model_len, seed=seed,
                               weight_dtype=quantization),
@@ -63,6 +71,7 @@ class LLM:
         sampling_params: Optional[Union[SamplingParams,
                                         Seq[SamplingParams]]] = None,
         prompt_token_ids: Optional[Seq[Seq[int]]] = None,
+        lora_request=None,
     ) -> list[RequestOutput]:
         if prompts is not None and isinstance(prompts, str):
             prompts = [prompts]
@@ -71,6 +80,8 @@ class LLM:
             sampling_params = SamplingParams()
         if isinstance(sampling_params, SamplingParams):
             sampling_params = [sampling_params] * n
+        if lora_request is not None and not isinstance(lora_request, list):
+            lora_request = [lora_request] * n
 
         ids = []
         for i in range(n):
@@ -78,7 +89,8 @@ class LLM:
                 prompt=prompts[i] if prompts is not None else None,
                 prompt_token_ids=(list(prompt_token_ids[i])
                                   if prompt_token_ids is not None else None),
-                sampling_params=sampling_params[i])
+                sampling_params=sampling_params[i],
+                lora_request=(lora_request[i] if lora_request else None))
             ids.append(rid)
 
         finals: dict[str, RequestOutput] = {}

@@ -395,8 +395,14 @@ class LlamaModel:
         positions: jnp.ndarray,
         attn_fn: Callable,
         attn_state: Any = None,
+        lora: Any = None,
+        lora_idx: Any = None,
     ):
         """token_ids/positions [T] -> (hidden [T, D], new_attn_state).
+
+        ``lora``: optional adapter stacks from lora.manager.empty_lora_params
+        (leaves [L, S, ...]); ``lora_idx``: adapter slot per token ([T]) or
+        for the whole call (scalar).  Slot 0 is the zero adapter.
 
         The transformer stack is a ``lax.scan`` over the stacked layer
         parameters: one layer is traced/compiled regardless of depth —
@@ -425,10 +431,27 @@ class LlamaModel:
         norm = functools.partial(rms_norm, eps=a.rms_norm_eps,
                                  unit_offset=a.norm_unit_offset)
 
+        if lora is not None:
+            lora_scale = lora["scale"]
+            lora_layers = {k: v for k, v in lora.items() if k != "scale"}
+            lidx = jnp.asarray(lora_idx, jnp.int32)
+            lora_on = True
+        else:
+            lora_layers = None
+            lora_on = False
+
         def layer_fn(h, xs):
-            lp, state = xs
+            lp, ll, state = xs
+
+            def with_lora(y, name, x):
+                if not lora_on or f"A_{name}" not in ll:
+                    return y
+                from ..lora.models import lora_delta
+                return y + lora_delta(x, ll[f"A_{name}"], ll[f"B_{name}"],
+                                      lidx, lora_scale)
+
             x = norm(h, lp["input_norm"])
-            qkv = matmul(x, lp["wqkv"])
+            qkv = with_lora(matmul(x, lp["wqkv"]), "wqkv", x)
             if a.qkv_bias:
                 qkv = qkv + lp["bqkv"]
             q = qkv[:, :q_sz].reshape(t, a.num_heads, a.head_dim)
@@ -437,7 +460,8 @@ class LlamaModel:
             v = qkv[:, q_sz + kv_sz:].reshape(t, a.num_kv_heads, a.head_dim)
             q, k = apply_rope(q, k, cos, sin)
             attn_out, new_state = attn_fn(q, k, v, state)
-            attn_res = matmul(attn_out.reshape(t, q_sz), lp["wo"])
+            attn2d = attn_out.reshape(t, q_sz)
+            attn_res = with_lora(matmul(attn2d, lp["wo"]), "wo", attn2d)
             if a.sandwich_norms:
                 attn_res = norm(attn_res, lp["post_attn_out_norm"])
             h = h + attn_res
@@ -462,17 +486,20 @@ class LlamaModel:
                                      h_e.astype(jnp.float32),
                                      combine).astype(x.dtype)
             else:
-                gate_up = matmul(x, lp["w_gate_up"])
+                gate_up = with_lora(matmul(x, lp["w_gate_up"]),
+                                    "w_gate_up", x)
                 gate = gate_up[:, :a.intermediate_size]
                 up = gate_up[:, a.intermediate_size:]
-                mlp_res = matmul(act(gate) * up, lp["w_down"])
+                gated = act(gate) * up
+                mlp_res = with_lora(matmul(gated, lp["w_down"]),
+                                    "w_down", gated)
             if a.sandwich_norms:
                 mlp_res = norm(mlp_res, lp["post_ffw_norm"])
             h = h + mlp_res
             return h, new_state
 
-        h, new_state = jax.lax.scan(layer_fn, h,
-                                    (params["layers"], attn_state))
+        h, new_state = jax.lax.scan(
+            layer_fn, h, (params["layers"], lora_layers, attn_state))
         return norm(h, params["final_norm"]), new_state
 
     def embed(self, params: dict, token_ids: jnp.ndarray) -> jnp.ndarray:

@@ -244,8 +244,11 @@ class OPTModel:
         }
 
     def forward_hidden(self, params, token_ids, positions,
-                       attn_fn: Callable, attn_state=None):
+                       attn_fn: Callable, attn_state=None,
+                       lora=None, lora_idx=None):
         """Same scan-over-layers contract as LlamaModel.forward_hidden."""
+        if lora is not None:
+            raise NotImplementedError("LoRA targets llama-family models")
         a = self.arch
         t = token_ids.shape[0]
         # OPT's learned positional table is offset by 2 (HF

@@ -115,6 +115,7 @@ class ModelRunner:
             and self.evict.evict_method in ("local", "global")
             and self.evict.selection == "l2")
 
+        self.lora_enabled = config.lora is not None
         self.attn_backend = select_attention_backend()
         logger.info("Attention backend: %s", self.attn_backend)
         import functools
@@ -165,6 +166,13 @@ class ModelRunner:
     # jitted programs
     # ------------------------------------------------------------------
 
+    def _lora_kwargs(self, params, idx):
+        """forward_hidden kwargs when multi-LoRA is on (absent otherwise so
+        non-LoRA engines keep their traces)."""
+        if not self.lora_enabled:
+            return {}
+        return {"lora": params["lora"], "lora_idx": idx}
+
     def _sampling_tensors(self, batch) -> SamplingTensors:
         return SamplingTensors(
             temperature=batch["temperature"], top_p=batch["top_p"],
@@ -202,6 +210,7 @@ class ModelRunner:
         tok0 = state_pack[:, p + 2]
         seeds = state_pack[:, p + 3]
         topk = state_pack[:, p + 4]
+        lora_slots = state_pack[:, p + 5]
         temp, top_p = f32_pack[0], f32_pack[1]
         zero_writes = ev is not None and ev.evict_method in (
             "streamingLLM-1", "inverse_key_l2")
@@ -240,7 +249,8 @@ class ModelRunner:
                 return out, (kc, vc)
 
             hidden, new_caches = self.model.forward_hidden(
-                params, tokens, positions, attn_fn, caches)
+                params, tokens, positions, attn_fn, caches,
+                **self._lora_kwargs(params, lora_slots))
             if self.track_page_scores:
                 page_scores = self._update_page_scores(
                     page_scores, new_caches[1], fill_pages)
@@ -330,8 +340,11 @@ class ModelRunner:
                                  batch["q_len"], batch["ctx_len"])
             return out, (kc, vc)
 
+        lk = (self._lora_kwargs(params, batch["lora_idx"])
+              if self.lora_enabled else {})
         hidden, new_caches = self.model.forward_hidden(
-            params, batch["tokens"], batch["positions"], attn_fn, caches)
+            params, batch["tokens"], batch["positions"], attn_fn, caches,
+            **lk)
         if is_last:
             last = hidden[batch["q_len"] - 1][None]
             logits = self.model.logits(params, last)
@@ -343,8 +356,11 @@ class ModelRunner:
 
     def _finish_prefill(self, params, caches, page_scores, batch,
                         attn_fn, greedy_only=False):
+        lk = (self._lora_kwargs(params, batch["lora_idx"])
+              if self.lora_enabled else {})
         hidden, new_caches = self.model.forward_hidden(
-            params, batch["tokens"], batch["positions"], attn_fn, caches)
+            params, batch["tokens"], batch["positions"], attn_fn, caches,
+            **lk)
         if self.track_page_scores:
             page_scores = self._update_page_scores(
                 page_scores, new_caches[1], batch["fill_pages"])
@@ -406,7 +422,7 @@ class ModelRunner:
             plan_pack[:, 6, i] = plan.new_pages[:k]
             plan_pack[:, 7, i] = plan.steps[:k]
 
-        state_pack = np.zeros((b, p + 5), np.int32)
+        state_pack = np.zeros((b, p + 6), np.int32)
         state_pack[:, :p] = trash_page
         f32_pack = np.zeros((2, b), np.float32)
         f32_pack[1, :] = 1.0  # top_p
@@ -422,6 +438,7 @@ class ModelRunner:
             state_pack[i, p] = seq.block_table.num_kv_slots
             state_pack[i, p + 1] = len(pages)
             state_pack[i, p + 2] = seq.last_token_id
+            state_pack[i, p + 5] = seq.lora_slot
 
         greedy = all(pl.seq.params.greedy for pl in plans)
         caches, page_scores, out_pack = self._decode_window_jits[greedy](
@@ -473,6 +490,8 @@ class ModelRunner:
             "write_pages": write_pages, "fill_pages": fill_pages,
         }
         batch.update(self._seq_sampling_arrays([seq], 1))
+        if self.lora_enabled:
+            batch["lora_idx"] = np.int32(seq.lora_slot)
         greedy = seq.params.greedy
         fn = (self._prefill_prune_jits if do_prune
               else self._prefill_plain_jits)[greedy]
@@ -514,6 +533,8 @@ class ModelRunner:
             "write_pages": write_pages, "ctx_tables": ctx_tables,
         }
         batch.update(self._seq_sampling_arrays([seq], 1))
+        if self.lora_enabled:
+            batch["lora_idx"] = np.int32(seq.lora_slot)
         fn = self._prefill_ctx_jits[(seq.params.greedy, sp.is_last)]
         caches, page_scores, tok = fn(params, caches, page_scores, batch)
         return caches, page_scores, int(np.asarray(tok)[0])

@@ -236,6 +236,7 @@ class EngineConfig:
     parallel: ParallelConfig = field(default_factory=ParallelConfig)
     observability: ObservabilityConfig = field(default_factory=ObservabilityConfig)
     lora: Optional[Any] = None   # lora.models.LoRAConfig when enabled
+    speculative: Optional[Any] = None  # spec_decode.SpeculativeConfig
 
     def verify(self) -> None:
         self.model.verify()
@@ -243,6 +244,12 @@ class EngineConfig:
         self.scheduler.verify()
         if self.lora is not None:
             self.lora.verify()
+        if self.speculative is not None:
+            self.speculative.verify()
+            if self.cache.evict_enabled:
+                # Matches the reference's assert (llm_engine.py:1182).
+                raise ValueError("speculative decoding is not supported "
+                                 "with paged eviction")
         self.scheduler.max_model_len = min(self.scheduler.max_model_len,
                                            self.model.max_model_len)
         if self.cache.evict_enabled and self.scheduler.enable_chunked_prefill:

@@ -83,6 +83,18 @@ class SeqWindowPlan:
     steps: list[int]          # sampling step counters
 
 
+@dataclass
+class SpecStepPlan:
+    """One speculative step for one sequence: the k proposals plus slots
+    and positions for the k+1 in-flight KV rows."""
+
+    seq: Sequence
+    proposals: list[int]
+    slots: list[int]
+    positions: list[int]
+    base_kv: int
+
+
 class Scheduler:
     def __init__(self, scheduler_config: SchedulerConfig,
                  cache_config: CacheConfig, num_blocks: int):
@@ -386,6 +398,52 @@ class Scheduler:
                     page = table.pages.pop(v)
                     self.allocator.free([page])
                     table.num_kv_slots -= self.block_size
+
+    # ---- speculative decoding (reference vllm/spec_decode/, C16) --------
+
+    def plan_spec_step(self, k: int, ngram_max: int, ngram_min: int):
+        """Plan one speculative step for all running sequences: ngram
+        proposals + slots for the k+1 in-flight KV rows.  Returns
+        (plans, preempted)."""
+        from ..spec_decode.ngram import propose_ngram
+        preempted: list[Sequence] = []
+        bs = self.block_size
+        while True:
+            seqs = list(self.running)
+            if not seqs:
+                return [], preempted
+            need = 0
+            for seq in seqs:
+                t = seq.block_table
+                need += max(0, -(-(t.num_kv_slots + k + 1) // bs)
+                            - len(t.pages))
+            if self.allocator.can_allocate(need):
+                break
+            victim = self._pick_preemption_victim()
+            self._preempt(victim)
+            preempted.append(victim)
+        plans = []
+        for seq in seqs:
+            t = seq.block_table
+            kv = t.num_kv_slots
+            grow = -(-(kv + k + 1) // bs) - len(t.pages)
+            if grow > 0:
+                t.pages.extend(self.allocator.allocate(grow))
+            slots = [t.pages[(kv + j) // bs] * bs + (kv + j) % bs
+                     for j in range(k + 1)]
+            history = seq.prompt_token_ids + seq.output_token_ids
+            proposals = propose_ngram(history, k, ngram_max, ngram_min)
+            positions = [seq.get_len() - 1 + j for j in range(k + 1)]
+            plans.append(SpecStepPlan(seq=seq, proposals=proposals,
+                                      slots=slots, positions=positions,
+                                      base_kv=kv))
+        return plans, preempted
+
+    def commit_spec(self, plan: "SpecStepPlan", n_appended: int) -> None:
+        """Advance the physical KV by the number of inputs whose rows
+        became valid (rejected proposals' rows sit past kv_len and will be
+        overwritten — free rollback)."""
+        plan.seq.block_table.num_kv_slots = plan.base_kv + n_appended
 
     # ---- preemption -----------------------------------------------------
 

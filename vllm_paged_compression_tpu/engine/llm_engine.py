@@ -217,6 +217,45 @@ class LLMEngine:
                 sp.seq.append_token(int(tok))
                 num_gen_tokens += 1
                 self._postprocess(sp.seq, results, finished)
+        elif self.scheduler.num_running and \
+                self.config.speculative is not None:
+            # Speculative decoding: ngram proposals + batched greedy
+            # verification (reference spec_decode/, greedy path).
+            sc = self.config.speculative
+            plans, _pre = self.scheduler.plan_spec_step(
+                sc.num_speculative_tokens, sc.ngram_prompt_lookup_max,
+                sc.ngram_prompt_lookup_min)
+            if plans:
+                for plan in plans:
+                    if not plan.seq.params.greedy:
+                        raise NotImplementedError(
+                            "ngram speculative decoding currently requires "
+                            "greedy sampling (rejection sampling is a "
+                            "follow-up)")
+                self.kv_caches, self.page_scores, model_toks = \
+                    self.runner.run_spec_verify(
+                        self.params, self.kv_caches, self.page_scores,
+                        plans)
+                for i, plan in enumerate(plans):
+                    seq = plan.seq
+                    m = [int(x) for x in model_toks[i]]
+                    props = plan.proposals
+                    a = 0
+                    while a < len(props) and props[a] == m[a]:
+                        a += 1
+                    new_tokens = props[:a] + [m[a]]
+                    mt = seq.params.max_tokens
+                    if mt is not None:
+                        new_tokens = new_tokens[
+                            :max(mt - seq.num_output_tokens, 1)]
+                    self.scheduler.commit_spec(plan, len(new_tokens))
+                    num_gen_tokens += len(new_tokens)
+                    for j, tok in enumerate(new_tokens):
+                        seq.append_token(tok)
+                        if self._postprocess(seq, results, finished,
+                                             emit=(j == len(new_tokens)
+                                                   - 1)):
+                            break
         elif self.scheduler.num_running:
             # Multi-step decode: chain K steps on device, one fetch.  Drop
             # to single steps while prefills are waiting so new requests

@@ -32,6 +32,7 @@ class LLM:
                  max_num_batched_tokens: Optional[int] = None,
                  enable_lora: bool = False, max_loras: int = 4,
                  max_lora_rank: int = 16,
+                 speculative_config: Optional[dict] = None,
                  params=None, seed: int = 0):
         evict = None
         if enable_paged_eviction:
@@ -45,8 +46,13 @@ class LLM:
             from ..lora import LoRAConfig
             lora_cfg = LoRAConfig(max_loras=max_loras,
                                   max_lora_rank=max_lora_rank)
+        spec_cfg = None
+        if speculative_config is not None:
+            from ..spec_decode import SpeculativeConfig
+            spec_cfg = SpeculativeConfig(**speculative_config)
         config = EngineConfig(
             lora=lora_cfg,
+            speculative=spec_cfg,
             model=ModelConfig(model=model, hf_config=hf_config, dtype=dtype,
                               max_model_len=max_model_len, seed=seed,
                               weight_dtype=quantization),

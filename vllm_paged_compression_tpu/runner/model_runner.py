@@ -161,6 +161,8 @@ class ModelRunner:
                                                  is_last=last),
                                donate_argnums=(1, 2))
             for g in (False, True) for last in (False, True)}
+        self._spec_verify_jit = jax.jit(self._spec_verify,
+                                        donate_argnums=(1, 2))
 
     # ------------------------------------------------------------------
     # jitted programs
@@ -353,6 +355,72 @@ class ModelRunner:
         else:
             tokens = jnp.zeros((1,), jnp.int32)
         return new_caches, page_scores, tokens
+
+    def _spec_verify(self, params, caches, page_scores, batch):
+        """Batched greedy verification of ngram proposals: B sequences x
+        (k+1) query rows in one forward.  Row j of a sequence sees the
+        paged KV up through its own freshly written slot (per-row kv_lens),
+        which reuses the paged-decode attention kernel unchanged — the
+        reference needs a dedicated multi-query scorer (spec_decode/
+        batch_expansion.py); here it is just a bigger decode batch."""
+        tables = batch["tables"]                    # [B, P]
+        rows = batch["tokens"].shape[0]
+        rep = rows // tables.shape[0]
+        tables_rep = jnp.repeat(tables, rep, axis=0)
+
+        def attn_fn(q, k, v, layer_cache):
+            kc, vc = layer_cache
+            kc, vc = write_kv_slots(kc, vc, k, v, batch["slots"])
+            out = self._paged_decode(q, kc, vc, tables_rep,
+                                     batch["kv_lens"], self.scale)
+            return out, (kc, vc)
+
+        lk = (self._lora_kwargs(params, batch["lora_idx"])
+              if self.lora_enabled else {})
+        hidden, new_caches = self.model.forward_hidden(
+            params, batch["tokens"], batch["positions"], attn_fn, caches,
+            **lk)
+        logits = self.model.logits(params, hidden)
+        toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return new_caches, page_scores, toks
+
+    def run_spec_verify(self, params, caches, page_scores, plans):
+        """Host assembly for one speculative step.  Returns
+        (caches, page_scores, model_tokens [n, k+1])."""
+        n = len(plans)
+        kp1 = len(plans[0].slots)
+        b = next_bucket(n, self.decode_buckets)
+        p = self.max_table_len
+        trash_slot = self.cache_engine.trash_slot
+        trash_page = self.cache_engine.trash_page
+        rows = b * kp1
+
+        tokens = np.zeros(rows, np.int32)
+        positions = np.zeros(rows, np.int32)
+        slots = np.full(rows, trash_slot, np.int32)
+        kv_lens = np.ones(rows, np.int32)
+        tables = np.full((b, p), trash_page, np.int32)
+        lora_idx = np.zeros(rows, np.int32)
+        for i, plan in enumerate(plans):
+            seq = plan.seq
+            row0 = i * kp1
+            tokens[row0] = seq.last_token_id
+            tokens[row0 + 1:row0 + kp1] = plan.proposals
+            positions[row0:row0 + kp1] = plan.positions
+            slots[row0:row0 + kp1] = plan.slots
+            kv_lens[row0:row0 + kp1] = plan.base_kv + 1 + np.arange(kp1)
+            pages = seq.block_table.pages
+            tables[i, :len(pages)] = pages
+            lora_idx[row0:row0 + kp1] = seq.lora_slot
+
+        batch = {"tokens": tokens, "positions": positions, "slots": slots,
+                 "kv_lens": kv_lens, "tables": tables}
+        if self.lora_enabled:
+            batch["lora_idx"] = lora_idx
+        caches, page_scores, toks = self._spec_verify_jit(
+            params, caches, page_scores, batch)
+        out = np.asarray(toks).reshape(b, kp1)[:n]
+        return caches, page_scores, out
 
     def _finish_prefill(self, params, caches, page_scores, batch,
                         attn_fn, greedy_only=False):

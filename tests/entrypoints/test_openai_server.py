@@ -137,3 +137,31 @@ class TestOpenAIServer:
         status, body = http_request(server_port, "GET", "/metrics")
         assert status == 200
         assert b"vpc:num_finished" in body
+
+
+def test_run_batch_offline(tmp_path):
+    """Offline batch runner: OpenAI batch JSONL in -> responses out."""
+    import json
+    from vllm_paged_compression_tpu.config import (CacheConfig, EngineConfig,
+                                                   ModelConfig,
+                                                   SchedulerConfig)
+    from vllm_paged_compression_tpu.engine.llm_engine import LLMEngine
+    from vllm_paged_compression_tpu.entrypoints.run_batch import run_batch
+    cfg = EngineConfig(
+        model=ModelConfig(hf_config=TINY, dtype="float32",
+                          max_model_len=256),
+        cache=CacheConfig(block_size=16, num_device_blocks=32),
+        scheduler=SchedulerConfig(max_num_seqs=4, max_model_len=256))
+    engine = LLMEngine(cfg)
+    lines = [json.dumps({
+        "custom_id": f"req-{i}", "method": "POST",
+        "url": "/v1/completions",
+        "body": {"prompt": list(range(1, 20 + i)), "max_tokens": 6,
+                 "temperature": 0.0}}) for i in range(3)]
+    results = run_batch(engine, lines, "tiny")
+    assert len(results) == 3
+    ids = {r["custom_id"] for r in results}
+    assert ids == {"req-0", "req-1", "req-2"}
+    for r in results:
+        usage = r["response"]["body"]["usage"]
+        assert usage["completion_tokens"] == 6

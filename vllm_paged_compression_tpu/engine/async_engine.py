@@ -105,5 +105,9 @@ class AsyncLLMEngine:
     def tokenizer(self):
         return self.engine.tokenizer
 
+    @property
+    def model_path(self):
+        return self.engine.config.model.model or None
+
     def metrics_snapshot(self) -> dict:
         return self.engine.metrics.snapshot()

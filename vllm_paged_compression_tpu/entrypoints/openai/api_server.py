@@ -121,6 +121,10 @@ class OpenAIServer:
                 return await self._completions(writer, body, chat=False)
             elif method == "POST" and path == "/v1/chat/completions":
                 return await self._completions(writer, body, chat=True)
+            elif method == "POST" and path == "/tokenize":
+                await self._tokenize(writer, body)
+            elif method == "POST" and path == "/detokenize":
+                await self._detokenize(writer, body)
             else:
                 await self._send(writer, 404,
                                  {"error": {"message": f"no route {path}"}})
@@ -151,19 +155,36 @@ class OpenAIServer:
             f"content-length: {len(data)}\r\n\r\n".encode() + data)
         await writer.drain()
 
+    # ---- tokenize / detokenize (reference api_server.py:310-429) -------
+
+    async def _tokenize(self, writer, body: bytes) -> None:
+        req = json.loads(body or b"{}")
+        if self.engine.tokenizer is None:
+            raise HTTPError(400, "server has no tokenizer")
+        text = req.get("prompt") or req.get("text")
+        if not isinstance(text, str):
+            raise HTTPError(400, "need a string 'prompt'")
+        ids = self.engine.tokenizer.encode(text).ids
+        await self._send(writer, 200, {"tokens": ids, "count": len(ids)})
+
+    async def _detokenize(self, writer, body: bytes) -> None:
+        req = json.loads(body or b"{}")
+        if self.engine.tokenizer is None:
+            raise HTTPError(400, "server has no tokenizer")
+        toks = req.get("tokens")
+        if not isinstance(toks, list):
+            raise HTTPError(400, "need a 'tokens' list")
+        await self._send(writer, 200,
+                         {"prompt": self.engine.tokenizer.decode(toks)})
+
     # ---- completions ----------------------------------------------------
 
     def _chat_to_prompt(self, messages: list[dict]) -> str:
-        """Minimal chat templating (llama3-style).  Full jinja chat
-        templates are a later-round item."""
-        parts = []
-        for m in messages:
-            role = m.get("role", "user")
-            content = m.get("content", "")
-            parts.append(f"<|start_header_id|>{role}<|end_header_id|>\n\n"
-                         f"{content}<|eot_id|>")
-        parts.append("<|start_header_id|>assistant<|end_header_id|>\n\n")
-        return "".join(parts)
+        """Chat templating: the checkpoint's own jinja template when
+        available, llama3-style fallback otherwise."""
+        from ..chat_utils import apply_chat_template, load_chat_template
+        tpl = load_chat_template(getattr(self.engine, "model_path", None))
+        return apply_chat_template(messages, tpl)
 
     async def _completions(self, writer, body: bytes, chat: bool) -> bool:
         try:

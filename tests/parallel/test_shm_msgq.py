@@ -85,9 +85,9 @@ def test_mp_engine_client_generates():
                            sampling_params=SamplingParams(temperature=0.0,
                                                           max_tokens=8))
         final = None
-        deadline = time.monotonic() + 300
+        deadline = time.monotonic() + 900
         while time.monotonic() < deadline:
-            out = client.get_output(timeout=300)
+            out = client.get_output(timeout=900)
             if out.finished:
                 final = out
                 break

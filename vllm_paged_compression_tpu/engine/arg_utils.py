@@ -35,8 +35,17 @@ class EngineArgs:
     num_scheduler_steps: int = 1
     scheduling_policy: str = "fcfs"
     enable_chunked_prefill: bool = False
+    enable_prefix_caching: bool = False
     tensor_parallel_size: int = 1
     data_parallel_size: int = 1
+    # LoRA
+    enable_lora: bool = False
+    max_loras: int = 4
+    max_lora_rank: int = 16
+    # speculative decoding
+    num_speculative_tokens: Optional[int] = None
+    ngram_prompt_lookup_max: int = 3
+    ngram_prompt_lookup_min: int = 1
     # paged eviction (fork surface)
     enable_paged_eviction: bool = False
     disable_evict_prefill: bool = False
@@ -74,6 +83,19 @@ class EngineArgs:
         g.add_argument("--scheduling-policy", type=str, default="fcfs",
                        choices=["fcfs", "priority"])
         g.add_argument("--enable-chunked-prefill", action="store_true")
+        g.add_argument("--enable-prefix-caching", action="store_true")
+
+        g = parser.add_argument_group("lora")
+        g.add_argument("--enable-lora", action="store_true")
+        g.add_argument("--max-loras", type=int, default=4)
+        g.add_argument("--max-lora-rank", type=int, default=16)
+
+        g = parser.add_argument_group("speculative decoding")
+        g.add_argument("--num-speculative-tokens", type=int, default=None,
+                       help="enable ngram speculative decoding with this "
+                            "many proposed tokens per step")
+        g.add_argument("--ngram-prompt-lookup-max", type=int, default=3)
+        g.add_argument("--ngram-prompt-lookup-min", type=int, default=1)
 
         g = parser.add_argument_group("parallel")
         g.add_argument("--tensor-parallel-size", "-tp", type=int, default=1)
@@ -124,6 +146,7 @@ class EngineArgs:
                 gpu_memory_utilization=self.gpu_memory_utilization,
                 num_device_blocks=self.num_device_blocks,
                 cache_dtype=self.kv_cache_dtype,
+                enable_prefix_caching=self.enable_prefix_caching,
                 paged_evict=evict),
             scheduler=SchedulerConfig(
                 max_num_seqs=self.max_num_seqs,
@@ -135,5 +158,15 @@ class EngineArgs:
             parallel=ParallelConfig(
                 tensor_parallel_size=self.tensor_parallel_size,
                 data_parallel_size=self.data_parallel_size))
+        if self.enable_lora:
+            from ..lora import LoRAConfig
+            cfg.lora = LoRAConfig(max_loras=self.max_loras,
+                                  max_lora_rank=self.max_lora_rank)
+        if self.num_speculative_tokens is not None:
+            from ..spec_decode import SpeculativeConfig
+            cfg.speculative = SpeculativeConfig(
+                num_speculative_tokens=self.num_speculative_tokens,
+                ngram_prompt_lookup_max=self.ngram_prompt_lookup_max,
+                ngram_prompt_lookup_min=self.ngram_prompt_lookup_min)
         cfg.verify()
         return cfg

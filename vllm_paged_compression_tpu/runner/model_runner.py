@@ -195,13 +195,19 @@ class ModelRunner:
                     "fill_pages", "new_pages", "steps")
 
     def _decode_window(self, params, caches, page_scores, plan_pack,
-                       state_pack, f32_pack, greedy_only=False):
+                       state_pack, f32_pack, token_counts=None,
+                       greedy_only=False):
         """K chained decode steps under one jit: tokens feed forward on
         device; the host only uploads the packed plan and fetches one
         [2, K, B] (tokens, victims) array.  This is the multi-step analog of
         the reference's per-step execute_model loop — the reference forbids
         multi-step + eviction (arg_utils.py:1255-1257); here eviction is
-        in-graph so the combination is exact."""
+        in-graph so the combination is exact.
+
+        ``token_counts`` [B, V] (non-greedy path only) carries per-sequence
+        generated-token counts for OpenAI presence/frequency + HF repetition
+        penalties; it rides the scan carry and updates with each sampled
+        token."""
         ev = self.evict
         bs = self.block_size
         p = self.max_table_len
@@ -214,12 +220,17 @@ class ModelRunner:
         topk = state_pack[:, p + 4]
         lora_slots = state_pack[:, p + 5]
         temp, top_p = f32_pack[0], f32_pack[1]
+        if not greedy_only:
+            presence, frequency, repetition = (f32_pack[2], f32_pack[3],
+                                               f32_pack[4])
         zero_writes = ev is not None and ev.evict_method in (
             "streamingLLM-1", "inverse_key_l2")
         iota_p = jnp.arange(p)[None, :]
+        iota_b = jnp.arange(b)
 
         def body(carry, xs):
-            caches, page_scores, tables, kv_lens, num_pages, tokens = carry
+            caches, page_scores, tables, kv_lens, num_pages, tokens, \
+                counts = carry
             positions, slots, evict, victims_in, zero_slots, fill_pages, \
                 new_pages, stepctr = (xs[i] for i in range(len(
                     self._PLAN_FIELDS)))
@@ -257,14 +268,21 @@ class ModelRunner:
                 page_scores = self._update_page_scores(
                     page_scores, new_caches[1], fill_pages)
             logits = self.model.logits(params, hidden)
+            if not greedy_only:
+                from ..ops.sampling import apply_penalties
+                logits = apply_penalties(logits, counts, presence,
+                                         frequency, repetition)
             toks = sample(logits, SamplingTensors(
                 temperature=temp, top_p=top_p, top_k=topk, seed=seeds,
                 step=stepctr), greedy_only=greedy_only).astype(jnp.int32)
+            if counts is not None:
+                counts = counts.at[iota_b, toks].add(1)
             carry = (new_caches, page_scores, eff_tables, eff_kv,
-                     num_pages, toks)
+                     num_pages, toks, counts)
             return carry, jnp.stack([toks, victims])
 
-        init = (caches, page_scores, tables0, kv0, np0, tok0)
+        init = (caches, page_scores, tables0, kv0, np0, tok0,
+                token_counts)
         carry, ys = jax.lax.scan(body, init, plan_pack)
         new_caches, page_scores = carry[0], carry[1]
         # ys: [K, 2, B] -> [2, K, B] single fetchable array.
@@ -448,6 +466,9 @@ class ModelRunner:
         top_k = np.full(n_pad, -1, np.int32)
         seed = np.zeros(n_pad, np.int32)
         step = np.zeros(n_pad, np.int32)
+        presence = np.zeros(n_pad, np.float32)
+        frequency = np.zeros(n_pad, np.float32)
+        repetition = np.ones(n_pad, np.float32)
         for i, seq in enumerate(seqs):
             p = seq.params
             temp[i] = p.temperature
@@ -457,8 +478,12 @@ class ModelRunner:
                        else (zlib.crc32(seq.request_id.encode())
                              & 0x7FFFFFFF))
             step[i] = seq.num_output_tokens
+            presence[i] = p.presence_penalty
+            frequency[i] = p.frequency_penalty
+            repetition[i] = p.repetition_penalty
         return {"temperature": temp, "top_p": top_p, "top_k": top_k,
-                "seed": seed, "step": step}
+                "seed": seed, "step": step, "presence": presence,
+                "frequency": frequency, "repetition": repetition}
 
     def run_decode_window(self, params, caches, page_scores,
                           plans: list[SeqWindowPlan], k: int):
@@ -492,13 +517,17 @@ class ModelRunner:
 
         state_pack = np.zeros((b, p + 6), np.int32)
         state_pack[:, :p] = trash_page
-        f32_pack = np.zeros((2, b), np.float32)
+        f32_pack = np.zeros((5, b), np.float32)
         f32_pack[1, :] = 1.0  # top_p
+        f32_pack[4, :] = 1.0  # repetition
         samp = self._seq_sampling_arrays([pl.seq for pl in plans], b)
         state_pack[:, p + 3] = samp["seed"]
         state_pack[:, p + 4] = samp["top_k"]
         f32_pack[0, :] = samp["temperature"]
         f32_pack[1, :] = samp["top_p"]
+        f32_pack[2, :] = samp["presence"]
+        f32_pack[3, :] = samp["frequency"]
+        f32_pack[4, :] = samp["repetition"]
         for i, plan in enumerate(plans):
             seq = plan.seq
             pages = seq.block_table.pages
@@ -508,9 +537,28 @@ class ModelRunner:
             state_pack[i, p + 2] = seq.last_token_id
             state_pack[i, p + 5] = seq.lora_slot
 
-        greedy = all(pl.seq.params.greedy for pl in plans)
+        has_penalties = any(
+            pl.seq.params.presence_penalty != 0.0
+            or pl.seq.params.frequency_penalty != 0.0
+            or pl.seq.params.repetition_penalty != 1.0 for pl in plans)
+        greedy = (not has_penalties
+                  and all(pl.seq.params.greedy for pl in plans))
+        counts = None
+        if not greedy:
+            # Generated-token counts feed the penalty terms (output-only,
+            # matching the reference's PenaltyComputer semantics for
+            # presence/frequency).
+            vocab = self.model.arch.vocab_size
+            counts = np.zeros((b, vocab), np.int32)
+            for i, pl in enumerate(plans):
+                ids, cnt = np.unique(
+                    np.asarray(pl.seq.output_token_ids, np.int64),
+                    return_counts=True)
+                if len(ids):
+                    counts[i, ids] = cnt
         caches, page_scores, out_pack = self._decode_window_jits[greedy](
-            params, caches, page_scores, plan_pack, state_pack, f32_pack)
+            params, caches, page_scores, plan_pack, state_pack, f32_pack,
+            counts)
         out = np.asarray(out_pack)   # one device->host fetch
         tokens = out[0, :, :n]
         victims = out[1, :, :n]

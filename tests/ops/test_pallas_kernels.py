@@ -145,3 +145,56 @@ def test_flash_context_prefill_matches_oracle():
     np.testing.assert_allclose(np.asarray(out)[:q_len],
                                np.asarray(ref)[:q_len],
                                rtol=2e-5, atol=2e-5)
+
+
+# ---- fused decode (write + attention, in place) --------------------------
+
+def _fused_setup(rng, L=2, pool=24, ps=16, hkv=4, d=64, h=8, b=3, p=5):
+    from vllm_paged_compression_tpu.ops.pallas.fused_decode import (
+        fused_paged_decode_attention, fused_paged_decode_reference)
+    q = jnp.asarray(rng.standard_normal((b, h, d)).astype(np.float32))
+    kn = jnp.asarray(rng.standard_normal((b, hkv, d)).astype(np.float32))
+    vn = jnp.asarray(rng.standard_normal((b, hkv, d)).astype(np.float32))
+    kc = jnp.asarray(
+        rng.standard_normal((L, pool, ps, hkv, d)).astype(np.float32))
+    vc = jnp.asarray(
+        rng.standard_normal((L, pool, ps, hkv, d)).astype(np.float32))
+    tables = jnp.asarray(
+        rng.permutation(pool - 1)[:b * p].reshape(b, p).astype(np.int32))
+    kv_lens = jnp.asarray([7, ps * 2, ps * 5 - 3], jnp.int32)
+    slots = jnp.asarray([
+        int(tables[i, (int(kv_lens[i]) - 1) // ps]) * ps
+        + (int(kv_lens[i]) - 1) % ps for i in range(b)], jnp.int32)
+    return (fused_paged_decode_attention, fused_paged_decode_reference,
+            q, kn, vn, kc, vc, tables, kv_lens, slots)
+
+
+@pytest.mark.parametrize("zero", [False, True])
+def test_fused_decode_matches_reference(zero):
+    """The fused Pallas kernel (interpret mode) must write the new rows,
+    apply zero-overwrites, and attend exactly like the jnp reference."""
+    rng = np.random.default_rng(3)
+    (fused, ref_fn, q, kn, vn, kc, vc, tables, kv_lens,
+     slots) = _fused_setup(rng)
+    zslots = (jnp.asarray([int(tables[i, 1]) * 16 + 2 for i in range(3)],
+                          jnp.int32) if zero else None)
+    o1, kc1, vc1 = fused(q, kn, vn, kc, vc, 1, tables, kv_lens, slots,
+                         zslots, scale=0.125)
+    o2, kc2, vc2 = ref_fn(q, kn, vn, kc, vc, 1, tables, kv_lens, slots,
+                          zslots, scale=0.125)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(kc1), np.asarray(kc2))
+    np.testing.assert_array_equal(np.asarray(vc1), np.asarray(vc2))
+
+
+def test_fused_decode_untouched_layer_intact():
+    """Only the addressed layer's pool may change."""
+    rng = np.random.default_rng(4)
+    (fused, _, q, kn, vn, kc, vc, tables, kv_lens,
+     slots) = _fused_setup(rng)
+    _, kc1, vc1 = fused(q, kn, vn, kc, vc, 1, tables, kv_lens, slots,
+                        scale=0.125)
+    np.testing.assert_array_equal(np.asarray(kc1[0]), np.asarray(kc[0]))
+    np.testing.assert_array_equal(np.asarray(vc1[0]), np.asarray(vc[0]))
+    assert not np.array_equal(np.asarray(kc1[1]), np.asarray(kc[1]))

@@ -397,6 +397,7 @@ class LlamaModel:
         attn_state: Any = None,
         lora: Any = None,
         lora_idx: Any = None,
+        state_mode: str = "scan",
     ):
         """token_ids/positions [T] -> (hidden [T, D], new_attn_state).
 
@@ -414,6 +415,19 @@ class LlamaModel:
         slice of ``attn_state`` (a pytree whose leaves have a leading
         num_layers axis — e.g. the stacked KV cache).  Pass
         ``attn_state=None`` for stateless attention (full-context oracle).
+
+        ``state_mode`` controls how ``attn_state`` threads through the
+        layer scan:
+
+        - "scan" (default): state leaves are scanned over their leading
+          layer axis; attn_fn sees only its layer's slice.  XLA
+          materializes the slice (a copy) — fine for small state or
+          prefill where the copy amortizes over many tokens.
+        - "carry": the WHOLE state is the scan carry and
+          ``attn_fn(q, k, v, state, layer_idx)`` receives it plus the
+          layer index.  In-place kernels (Pallas aliased input/output,
+          e.g. ops.pallas.fused_decode) then update multi-GiB KV pools
+          with zero copies — the decode hot path.
         """
         a = self.arch
         h = self.embed(params, token_ids)
@@ -440,8 +454,7 @@ class LlamaModel:
             lora_layers = None
             lora_on = False
 
-        def layer_fn(h, xs):
-            lp, ll, state = xs
+        def layer_body(h, lp, ll, state, layer_idx=None):
 
             def with_lora(y, name, x):
                 if not lora_on or f"A_{name}" not in ll:
@@ -459,7 +472,10 @@ class LlamaModel:
                                                   a.head_dim)
             v = qkv[:, q_sz + kv_sz:].reshape(t, a.num_kv_heads, a.head_dim)
             q, k = apply_rope(q, k, cos, sin)
-            attn_out, new_state = attn_fn(q, k, v, state)
+            if layer_idx is None:
+                attn_out, new_state = attn_fn(q, k, v, state)
+            else:
+                attn_out, new_state = attn_fn(q, k, v, state, layer_idx)
             attn2d = attn_out.reshape(t, q_sz)
             attn_res = with_lora(matmul(attn2d, lp["wo"]), "wo", attn2d)
             if a.sandwich_norms:
@@ -498,8 +514,24 @@ class LlamaModel:
             h = h + mlp_res
             return h, new_state
 
-        h, new_state = jax.lax.scan(
-            layer_fn, h, (params["layers"], lora_layers, attn_state))
+        if state_mode == "carry":
+            def layer_fn(carry, xs):
+                h, state = carry
+                lp, ll, li = xs
+                h, state = layer_body(h, lp, ll, state, li)
+                return (h, state), None
+
+            (h, new_state), _ = jax.lax.scan(
+                layer_fn, (h, attn_state),
+                (params["layers"], lora_layers,
+                 jnp.arange(a.num_layers, dtype=jnp.int32)))
+        else:
+            def layer_fn(h, xs):
+                lp, ll, state = xs
+                return layer_body(h, lp, ll, state)
+
+            h, new_state = jax.lax.scan(
+                layer_fn, h, (params["layers"], lora_layers, attn_state))
         return norm(h, params["final_norm"]), new_state
 
     def embed(self, params: dict, token_ids: jnp.ndarray) -> jnp.ndarray:

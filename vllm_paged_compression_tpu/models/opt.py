@@ -245,8 +245,9 @@ class OPTModel:
 
     def forward_hidden(self, params, token_ids, positions,
                        attn_fn: Callable, attn_state=None,
-                       lora=None, lora_idx=None):
-        """Same scan-over-layers contract as LlamaModel.forward_hidden."""
+                       lora=None, lora_idx=None, state_mode: str = "scan"):
+        """Same scan-over-layers contract as LlamaModel.forward_hidden
+        (including the "carry" state mode for in-place KV pools)."""
         if lora is not None:
             raise NotImplementedError("LoRA targets llama-family models")
         a = self.arch
@@ -258,8 +259,7 @@ class OPTModel:
         act = jax.nn.relu if a.hidden_act == "relu" else (
             lambda x: jax.nn.gelu(x, approximate=True))
 
-        def layer_fn(h, xs):
-            lp, state = xs
+        def layer_body(h, lp, state, layer_idx=None):
             res = h
             x = layer_norm(h, lp["attn_ln_w"], lp["attn_ln_b"]) \
                 if a.do_layer_norm_before else h
@@ -268,7 +268,10 @@ class OPTModel:
             q = q.reshape(t, a.num_heads, a.head_dim)
             k = k.reshape(t, a.num_heads, a.head_dim)
             v = v.reshape(t, a.num_heads, a.head_dim)
-            attn_out, new_state = attn_fn(q, k, v, state)
+            if layer_idx is None:
+                attn_out, new_state = attn_fn(q, k, v, state)
+            else:
+                attn_out, new_state = attn_fn(q, k, v, state, layer_idx)
             attn_out = attn_out.reshape(t, a.hidden_size)
             h = res + attn_out @ lp["wo"] + lp["bo"]
             if not a.do_layer_norm_before:
@@ -283,8 +286,24 @@ class OPTModel:
                 h = layer_norm(h, lp["final_ln_w"], lp["final_ln_b"])
             return h, new_state
 
-        h, new_state = jax.lax.scan(layer_fn, h,
-                                    (params["layers"], attn_state))
+        if state_mode == "carry":
+            def layer_fn(carry, xs):
+                h, state = carry
+                lp, li = xs
+                h, state = layer_body(h, lp, state, li)
+                return (h, state), None
+
+            (h, new_state), _ = jax.lax.scan(
+                layer_fn, (h, attn_state),
+                (params["layers"],
+                 jnp.arange(a.num_layers, dtype=jnp.int32)))
+        else:
+            def layer_fn(h, xs):
+                lp, state = xs
+                return layer_body(h, lp, state)
+
+            h, new_state = jax.lax.scan(layer_fn, h,
+                                        (params["layers"], attn_state))
         if a.do_layer_norm_before:
             h = layer_norm(h, params["final_ln_w"], params["final_ln_b"])
         return h, new_state

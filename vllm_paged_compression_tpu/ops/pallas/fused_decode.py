@@ -1,0 +1,278 @@
+"""Fused decode-step attention kernel: cache write + paged attention,
+in place on the layer-stacked KV pools.
+
+Why this kernel exists (measured on a v5e chip, Llama-3.2-3B shapes):
+
+- The row-granular XLA scatter (``ops.cache.write_kv_slots``) inside the
+  scanned layer body is NOT lowered in place — XLA materializes a fresh
+  copy of the per-layer pool, ~93 us/layer = 2.6 ms/token of pure HBM
+  copy traffic.
+- The one-page-per-grid-step decode kernel
+  (``paged_attention.paged_decode_attention_pallas``) pays a small
+  sequential DMA per page: ~1.2 us x 66 pages x 28 layers = 2.2 ms/token.
+
+This kernel removes both: the new token's K/V row is DMA'd straight into
+its slot of the **whole stacked pool** (aliased input/output, zero copy),
+and attention reads the block-table pages in chunks of ``ppb`` pages per
+double-buffered DMA round.  The reference keeps these as two separate
+CUDA kernels (csrc/cache_kernels.cu reshape_and_cache :263 +
+csrc/attention/paged_attention_v1/v2); on TPU one fused kernel per layer
+is strictly better — the write rides the first DMA round for free.
+
+GQA trick shared with the unfused kernel: scores for all query heads
+against a chunk are ONE MXU matmul [H, d] @ [d, ppb*ps*Hkv] with
+mismatched (query head, kv head) columns masked to -inf.
+
+Also serves speculative-decode verification batches: rows are (seq,
+draft-position) pairs with per-row kv_lens; the grid walks rows in order,
+and each row's write completes before any later row reads it.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -2.0**30
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _fused_kernel(layer_ref, tables_ref, lens_ref, slots_ref, zslots_ref,
+                  q_ref, knew_ref, vnew_ref, kc_in, vc_in,
+                  o_ref, kc_ref, vc_ref,
+                  kbuf, vbuf, zbuf, csem, wsem,
+                  m_ref, l_ref, acc_ref, *,
+                  scale: float, page_size: int, num_kv_heads: int,
+                  group: int, softcap, ppb: int, zero_writes: bool):
+    del kc_in, vc_in  # aliased with kc_ref/vc_ref; use the output refs
+    b = pl.program_id(0)
+    lay = layer_ref[0]
+    ps = page_size
+    hkv = num_kv_heads
+    h = q_ref.shape[1]
+    d = q_ref.shape[2]
+    cols = ppb * ps * hkv
+    chunk_tokens = ppb * ps
+
+    @pl.when(b == 0)
+    def _():
+        zbuf[:] = jnp.zeros_like(zbuf)
+
+    # ---- write this row's new K/V into its slot (in place, HBM) ----
+    slot = slots_ref[b]
+    pg_w = slot // ps
+    off_w = slot % ps
+    kw = pltpu.make_async_copy(knew_ref.at[0], kc_ref.at[lay, pg_w, off_w],
+                               wsem.at[0])
+    vw = pltpu.make_async_copy(vnew_ref.at[0], vc_ref.at[lay, pg_w, off_w],
+                               wsem.at[1])
+    kw.start()
+    vw.start()
+    if zero_writes:
+        # streamingLLM-1 / inverse_key_l2 zero-overwrites
+        # (torch_cuda_sdpa.py:919-933); -1 is remapped to the trash slot
+        # by the host, so the DMA is unconditional.
+        zs = zslots_ref[b]
+        pz = zs // ps
+        oz = zs % ps
+        kz = pltpu.make_async_copy(zbuf, kc_ref.at[lay, pz, oz], wsem.at[2])
+        vz = pltpu.make_async_copy(zbuf, vc_ref.at[lay, pz, oz], wsem.at[3])
+        kz.start()
+        vz.start()
+        kz.wait()
+        vz.wait()
+    kw.wait()
+    vw.wait()
+
+    # ---- chunked paged attention over this row's block table ----
+    kv_len = lens_ref[b]
+    n_ch = (kv_len + chunk_tokens - 1) // chunk_tokens
+    m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+    l_ref[:] = jnp.zeros_like(l_ref)
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def chunk_copies(c, tog):
+        out = []
+        for j in range(ppb):
+            pg = tables_ref[b, c * ppb + j]
+            out.append(pltpu.make_async_copy(
+                kc_ref.at[lay, pg], kbuf.at[tog, j], csem.at[tog, 0, j]))
+            out.append(pltpu.make_async_copy(
+                vc_ref.at[lay, pg], vbuf.at[tog, j], csem.at[tog, 1, j]))
+        return out
+
+    for dma in chunk_copies(0, 0):
+        dma.start()
+
+    q = q_ref[0].astype(jnp.float32) * scale               # [H, d]
+    col = jax.lax.broadcasted_iota(jnp.int32, (h, cols), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (h, cols), 0)
+    head_ok = (col % hkv) == (row // group)
+    tok_in_chunk = col // hkv
+
+    def body(c, _):
+        tog = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < n_ch)
+        def _():
+            for dma in chunk_copies(c + 1, 1 - tog):
+                dma.start()
+
+        for dma in chunk_copies(c, tog):
+            dma.wait()
+
+        k = kbuf[tog].reshape(cols, d).astype(jnp.float32)
+        v = vbuf[tog].reshape(cols, d).astype(jnp.float32)
+        s = jax.lax.dot_general(                            # [H, cols]
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if softcap is not None:
+            s = softcap * jnp.tanh(s / softcap)
+        tok_ok = (c * chunk_tokens + tok_in_chunk) < kv_len
+        s = jnp.where(head_ok & tok_ok, s, _NEG_INF)
+
+        m_prev = m_ref[:, :1]
+        l_prev = l_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(                           # [H, d]
+            p, v, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_ref[:, :] = acc_ref[:, :] * alpha + pv
+        m_ref[:, :] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[:, :] = jnp.broadcast_to(l_new, l_ref.shape)
+        return 0
+
+    jax.lax.fori_loop(0, n_ch, body, 0)
+
+    lsum = l_ref[:, :1]
+    o_ref[0] = (acc_ref[:, :]
+                / jnp.where(lsum == 0.0, 1.0, lsum)).astype(o_ref.dtype)
+
+
+def fused_paged_decode_attention(q, k_new, v_new, kc_all, vc_all, layer,
+                                 tables, kv_lens, slots, zero_slots=None,
+                                 *, scale: float,
+                                 softcap: float | None = None,
+                                 pages_per_chunk: int = 8):
+    """Write new K/V rows into the stacked pools (in place) and run paged
+    decode attention, as one kernel.
+
+    q:            [B, H, d]      post-rope queries
+    k/v_new:      [B, Hkv, d]    this step's K/V rows
+    kc/vc_all:    [L, num_pages, page_size, Hkv, d]  stacked pools
+                  (returned aliased — pass donated buffers)
+    layer:        scalar int32   which layer's pool slice to touch
+    tables:       [B, P] int32   block tables (invalid entries in-bounds)
+    kv_lens:      [B] int32      physical kv length incl. the new token
+    slots:        [B] int32      flat destination slot of the new token
+    zero_slots:   [B] int32 or None — extra slots to zero-overwrite
+                  (host maps "none" lanes to the trash slot)
+    Returns (out [B, H, d], kc_all, vc_all).
+    """
+    b, h_orig, d = q.shape
+    _, _, page_size, num_kv, _ = kc_all.shape
+    group = h_orig // num_kv
+    h = _round_up(h_orig, 8)
+    if h != h_orig:
+        q = jnp.pad(q, ((0, 0), (0, h - h_orig), (0, 0)))
+
+    p = tables.shape[1]
+    ppb = min(pages_per_chunk, p)
+    n_ch = -(-p // ppb)
+    pad_w = n_ch * ppb - p
+    if pad_w:
+        tables = jnp.pad(tables, ((0, 0), (0, pad_w)), mode="edge")
+
+    zero_writes = zero_slots is not None
+    if zero_slots is None:
+        zero_slots = jnp.zeros_like(slots)
+    layer = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    def q_map(b_, *refs):
+        return (b_, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, d), q_map),            # q
+            pl.BlockSpec((1, num_kv, d), q_map),       # k_new
+            pl.BlockSpec((1, num_kv, d), q_map),       # v_new
+            pl.BlockSpec(memory_space=pltpu.ANY),      # kc_all
+            pl.BlockSpec(memory_space=pltpu.ANY),      # vc_all
+        ],
+        out_specs=[
+            pl.BlockSpec((1, h, d), q_map),            # out
+            pl.BlockSpec(memory_space=pltpu.ANY),      # kc_all (aliased)
+            pl.BlockSpec(memory_space=pltpu.ANY),      # vc_all (aliased)
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, ppb, page_size, num_kv, d), kc_all.dtype),
+            pltpu.VMEM((2, ppb, page_size, num_kv, d), vc_all.dtype),
+            pltpu.VMEM((num_kv, d), kc_all.dtype),     # zeros source
+            pltpu.SemaphoreType.DMA((2, 2, ppb)),      # chunk DMAs
+            pltpu.SemaphoreType.DMA((4,)),             # write DMAs
+            pltpu.VMEM((h, 128), jnp.float32),         # m
+            pltpu.VMEM((h, 128), jnp.float32),         # l
+            pltpu.VMEM((h, d), jnp.float32),           # acc
+        ],
+    )
+    kern = functools.partial(
+        _fused_kernel, scale=scale, page_size=page_size,
+        num_kv_heads=num_kv, group=group, softcap=softcap, ppb=ppb,
+        zero_writes=zero_writes)
+    kv_bytes = (2 * p * page_size * num_kv * d
+                * jnp.dtype(kc_all.dtype).itemsize * b)
+    out, kc_all, vc_all = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, d), q.dtype),
+            jax.ShapeDtypeStruct(kc_all.shape, kc_all.dtype),
+            jax.ShapeDtypeStruct(vc_all.shape, vc_all.dtype),
+        ],
+        # flattened inputs: 5 scalar-prefetch + q(5) knew(6) vnew(7)
+        # kc(8) vc(9); outputs: out(0) kc(1) vc(2)
+        input_output_aliases={8: 1, 9: 2},
+        interpret=jax.default_backend() == "cpu",
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * p * page_size * num_kv * d * h,
+            bytes_accessed=kv_bytes,
+            transcendentals=b * p * page_size * num_kv * h),
+    )(layer, tables, kv_lens, slots, zero_slots, q, k_new, v_new,
+      kc_all, vc_all)
+    return out[:, :h_orig], kc_all, vc_all
+
+
+def fused_paged_decode_reference(q, k_new, v_new, kc_all, vc_all, layer,
+                                 tables, kv_lens, slots, zero_slots=None,
+                                 *, scale: float,
+                                 softcap: float | None = None):
+    """Pure-jnp oracle of the fused op (also the CPU execution path).
+    Handles QuantKV pools (the Pallas fused kernel is bf16-pool only for
+    now; the runner routes quantized-KV configs here / to the unfused
+    quant kernel)."""
+    from ..attention import paged_decode_attention
+    from ..cache import write_kv_slots, zero_kv_slots
+
+    kc = jax.tree.map(lambda x: x[layer], kc_all)
+    vc = jax.tree.map(lambda x: x[layer], vc_all)
+    kc, vc = write_kv_slots(kc, vc, k_new, v_new, slots)
+    if zero_slots is not None:
+        kc, vc = zero_kv_slots(kc, vc, zero_slots)
+    out = paged_decode_attention(q, kc, vc, tables, kv_lens, scale, softcap)
+    kc_all = jax.tree.map(lambda a, s: a.at[layer].set(s), kc_all, kc)
+    vc_all = jax.tree.map(lambda a, s: a.at[layer].set(s), vc_all, vc)
+    return out, kc_all, vc_all

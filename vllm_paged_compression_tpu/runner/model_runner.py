@@ -39,6 +39,7 @@ from ..ops.attention import (context_prefill_attention,
 from ..ops.pallas import (flash_context_prefill_attention,
                           flash_prefill_attention,
                           paged_decode_attention_pallas)
+from ..ops.pallas.fused_decode import fused_paged_decode_attention
 from ..ops.cache import write_kv_pages, write_kv_slots, zero_kv_slots
 from ..ops.eviction import (gather_pruned_kv, index_cache_pages,
                             page_scores_from_cache, prompt_keep_indices,
@@ -194,6 +195,26 @@ class ModelRunner:
     _PLAN_FIELDS = ("positions", "slots", "evict", "victims", "zero_slots",
                     "fill_pages", "new_pages", "steps")
 
+    def _fused_attn(self, q, k, v, kc_all, vc_all, layer, tables, kv_lens,
+                    slots, zero_slots):
+        """One decode-attention layer against the STACKED pools: write this
+        step's K/V rows in place, then paged attention.  Pallas fused
+        kernel on TPU bf16 pools; slice-update fallback elsewhere (CPU
+        oracle path, quantized pools)."""
+        if self.attn_backend == "pallas" and not self.cache_engine.quantized_kv:
+            return fused_paged_decode_attention(
+                q, k, v, kc_all, vc_all, layer, tables, kv_lens, slots,
+                zero_slots, scale=self.scale, softcap=self.attn_softcap)
+        kc = jax.tree.map(lambda x: x[layer], kc_all)
+        vc = jax.tree.map(lambda x: x[layer], vc_all)
+        kc, vc = write_kv_slots(kc, vc, k, v, slots)
+        if zero_slots is not None:
+            kc, vc = zero_kv_slots(kc, vc, zero_slots)
+        out = self._paged_decode(q, kc, vc, tables, kv_lens, self.scale)
+        kc_all = jax.tree.map(lambda a, s: a.at[layer].set(s), kc_all, kc)
+        vc_all = jax.tree.map(lambda a, s: a.at[layer].set(s), vc_all, vc)
+        return out, kc_all, vc_all
+
     def _decode_window(self, params, caches, page_scores, plan_pack,
                        state_pack, f32_pack, token_counts=None,
                        greedy_only=False):
@@ -252,17 +273,16 @@ class ModelRunner:
             eff_kv = kv_lens - bs * evict_b.astype(jnp.int32)
             num_pages = num_pages - evict_b.astype(jnp.int32)
 
-            def attn_fn(q, k, v, layer_cache):
-                kc, vc = layer_cache
-                kc, vc = write_kv_slots(kc, vc, k, v, slots)
-                if zero_writes:
-                    kc, vc = zero_kv_slots(kc, vc, zero_slots)
-                out = self._paged_decode(q, kc, vc, eff_tables, eff_kv,
-                                         self.scale)
-                return out, (kc, vc)
+            def attn_fn(q, k, v, state, layer):
+                kc_all, vc_all = state
+                out, kc_all, vc_all = self._fused_attn(
+                    q, k, v, kc_all, vc_all, layer, eff_tables, eff_kv,
+                    slots, zero_slots if zero_writes else None)
+                return out, (kc_all, vc_all)
 
             hidden, new_caches = self.model.forward_hidden(
                 params, tokens, positions, attn_fn, caches,
+                state_mode="carry",
                 **self._lora_kwargs(params, lora_slots))
             if self.track_page_scores:
                 page_scores = self._update_page_scores(
@@ -386,18 +406,18 @@ class ModelRunner:
         rep = rows // tables.shape[0]
         tables_rep = jnp.repeat(tables, rep, axis=0)
 
-        def attn_fn(q, k, v, layer_cache):
-            kc, vc = layer_cache
-            kc, vc = write_kv_slots(kc, vc, k, v, batch["slots"])
-            out = self._paged_decode(q, kc, vc, tables_rep,
-                                     batch["kv_lens"], self.scale)
-            return out, (kc, vc)
+        def attn_fn(q, k, v, state, layer):
+            kc_all, vc_all = state
+            out, kc_all, vc_all = self._fused_attn(
+                q, k, v, kc_all, vc_all, layer, tables_rep,
+                batch["kv_lens"], batch["slots"], None)
+            return out, (kc_all, vc_all)
 
         lk = (self._lora_kwargs(params, batch["lora_idx"])
               if self.lora_enabled else {})
         hidden, new_caches = self.model.forward_hidden(
             params, batch["tokens"], batch["positions"], attn_fn, caches,
-            **lk)
+            state_mode="carry", **lk)
         logits = self.model.logits(params, hidden)
         toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return new_caches, page_scores, toks

@@ -114,6 +114,9 @@ class Scheduler:
         self.watermark_blocks = max(
             1, int(scheduler_config.watermark * num_blocks))
         self.num_preemptions = 0
+        # End state of the most recently planned decode window
+        # ({request_id: sim}); feed back as ``resume=`` to chain windows.
+        self.last_window_sim = None
 
     # ---- queue management ----------------------------------------------
 
@@ -250,7 +253,7 @@ class Scheduler:
 
     # ---- decode window planning ----------------------------------------
 
-    def plan_decode_window(self, max_steps: int = 1
+    def plan_decode_window(self, max_steps: int = 1, resume=None
                            ) -> tuple[list[SeqWindowPlan], int,
                                       list[Sequence]]:
         """Pre-plan up to ``max_steps`` decode steps for every running
@@ -262,33 +265,56 @@ class Scheduler:
         mid-window the window truncates at that step, and if even the first
         step cannot be supplied, the latest-arrival sequence is preempted by
         recompute (reference scheduler.py:1572-1625) and planning restarts.
+
+        ``resume``: the ``last_window_sim`` of a still-in-flight window —
+        plan the NEXT window from that window's simulated end state instead
+        of the committed tables (device-chained windows, zero host sync).
+        In resume mode nothing is preempted: the caller falls back to a
+        synchronous window on allocation pressure.  After every successful
+        plan, ``self.last_window_sim`` holds {request_id: end state}.
         """
         preempted: list[Sequence] = []
         while True:
             seqs = list(self.running)
             if not seqs:
                 return [], 0, preempted
+            if resume is not None and any(
+                    s.request_id not in resume for s in seqs):
+                return [], 0, preempted
             k_cap = max_steps
             for seq in seqs:
                 mt = seq.params.max_tokens
+                pending = (resume[seq.request_id]["pending"]
+                           if resume is not None else 0)
                 if mt is not None:
-                    k_cap = min(k_cap, max(mt - seq.num_output_tokens, 1))
-            plans, k_done, dry = self._try_plan(seqs, k_cap)
+                    k_cap = min(k_cap, max(
+                        mt - seq.num_output_tokens - pending, 1))
+            plans, k_done, dry = self._try_plan(seqs, k_cap, resume)
             if k_done > 0:
                 return plans, k_done, preempted
+            if resume is not None:
+                return [], 0, preempted
             assert dry, "empty window without allocation pressure"
             victim = self._pick_preemption_victim()
             self._preempt(victim)
             preempted.append(victim)
 
-    def _try_plan(self, seqs: list[Sequence], k_cap: int):
+    def _try_plan(self, seqs: list[Sequence], k_cap: int, resume=None):
         bs = self.block_size
         sim = []
+        steps0 = []
         for seq in seqs:
-            t = seq.block_table
-            sim.append({"kv": t.num_kv_slots, "pages": list(t.pages),
-                        "logical": seq.get_len()})
-            assert t.num_kv_slots > 0, "decode before prefill"
+            if resume is not None:
+                st = resume[seq.request_id]
+                sim.append({"kv": st["kv"], "pages": list(st["pages"]),
+                            "logical": st["logical"]})
+                steps0.append(st["steps0"])
+            else:
+                t = seq.block_table
+                sim.append({"kv": t.num_kv_slots, "pages": list(t.pages),
+                            "logical": seq.get_len()})
+                steps0.append(seq.num_output_tokens)
+                assert t.num_kv_slots > 0, "decode before prefill"
         plans = [SeqWindowPlan(seq, [], [], [], [], [], [], [], [])
                  for seq in seqs]
         reserved: list[int] = []
@@ -299,7 +325,7 @@ class Scheduler:
             if not self.allocator.can_allocate(need):
                 dry = True
                 break
-            for seq, st, plan in zip(seqs, sim, plans):
+            for seq, st, plan, s0 in zip(seqs, sim, plans, steps0):
                 # get_len() already counts this step's input token (its KV
                 # is written now); step k advances it by k.
                 logical_post = st["logical"] + k
@@ -330,10 +356,22 @@ class Scheduler:
                 plan.zero_slots.append(zero)
                 plan.fill_pages.append(fill)
                 plan.new_pages.append(new_page)
-                plan.steps.append(seq.num_output_tokens + k)
+                plan.steps.append(s0 + k)
             k_done = k + 1
         if k_done == 0 and reserved:
             self.allocator.free(reserved)
+        if k_done > 0:
+            pending0 = {s.request_id:
+                        (resume[s.request_id]["pending"]
+                         if resume is not None else 0) for s in seqs}
+            self.last_window_sim = {
+                seq.request_id: {
+                    "kv": st["kv"], "pages": list(st["pages"]),
+                    "logical": st["logical"] + k_done,
+                    "steps0": s0 + k_done,
+                    "pending": pending0[seq.request_id] + k_done,
+                }
+                for seq, st, s0 in zip(seqs, sim, steps0)}
         return plans, k_done, dry
 
     def _host_victim(self, num_pages: int) -> int:

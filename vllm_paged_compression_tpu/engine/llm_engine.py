@@ -128,6 +128,10 @@ class LLMEngine:
         self.tracer = Tracer(config.observability.otlp_traces_endpoint)
         self._seqs: dict[str, Sequence] = {}
         self._req_counter = 0
+        # A dispatched-but-unfetched decode window: (plans, k, handle,
+        # sim-end).  While it is in flight the device keeps decoding; the
+        # host fetches its results one step later (see _decode_pipelined).
+        self._inflight = None
 
     # ------------------------------------------------------------------
     # request API
@@ -186,6 +190,9 @@ class LLMEngine:
                            self.params["lora"], lora_int_id)}
 
     def abort_request(self, request_id: str) -> bool:
+        # The in-flight window writes into pages the abort will free:
+        # commit it first.
+        self._drain_inflight([], [])
         ok = self.scheduler.abort(request_id)
         self._seqs.pop(request_id, None)
         return ok
@@ -201,10 +208,18 @@ class LLMEngine:
     # ------------------------------------------------------------------
 
     def step(self) -> list[RequestOutput]:
-        out: SchedulerOutput = self.scheduler.schedule()
         finished: list[Sequence] = []
         results: list[RequestOutput] = []
         num_gen_tokens = 0
+
+        # Course change ahead (prefill admission / speculative step):
+        # commit the in-flight decode window before tables move.
+        if self._inflight is not None and (
+                self.scheduler.num_waiting
+                or self.config.speculative is not None):
+            num_gen_tokens += self._drain_inflight(results, finished)
+
+        out: SchedulerOutput = self.scheduler.schedule()
 
         if out.prefills:
             for sp in out.prefills:
@@ -264,25 +279,130 @@ class LLMEngine:
             # arg_utils.py:1255-1257).
             k_max = (1 if self.scheduler.num_waiting
                      else self.config.scheduler.num_scheduler_steps)
-            plans, k, _pre = self.scheduler.plan_decode_window(k_max)
-            if k > 0:
-                self.kv_caches, self.page_scores, toks, victims = \
-                    self.runner.run_decode_window(
-                        self.params, self.kv_caches, self.page_scores,
-                        plans, k)
-                self.scheduler.commit_window(plans, k, victims)
-                num_gen_tokens += k * len(plans)
-                for i, plan in enumerate(plans):
-                    for step in range(k):
-                        plan.seq.append_token(int(toks[step][i]))
-                        if self._postprocess(plan.seq, results, finished,
-                                             emit=(step == k - 1)):
-                            break
+            num_gen_tokens += self._decode_pipelined(k_max, results,
+                                                     finished)
 
         for seq in finished:
             self._seqs.pop(seq.request_id, None)
         self.metrics.observe_step(out, results, num_gen_tokens)
         return results
+
+    # ---- pipelined decode windows ------------------------------------
+
+    def _dispatch_decode(self, k_max: int, resume=None, dyn_state=None):
+        """Plan + dispatch one decode window (no fetch).  Returns
+        (plans, k, handle, sim-end) or None when nothing could be planned
+        (resume mode never preempts — the caller just doesn't chain)."""
+        plans, k, _pre = self.scheduler.plan_decode_window(k_max,
+                                                           resume=resume)
+        if k == 0:
+            return None
+        self.kv_caches, self.page_scores, handle = \
+            self.runner.dispatch_decode_window(
+                self.params, self.kv_caches, self.page_scores, plans, k,
+                dyn_state=dyn_state)
+        return (plans, k, handle, self.scheduler.last_window_sim)
+
+    def _can_chain(self, plans) -> bool:
+        """A follow-up window may be dispatched before this one's results
+        arrive iff no external state can interleave (prefill admission)
+        and sampling needs no host-side token feedback (penalty counts)."""
+        import os
+        # Opt-in: on hosts with cheap dispatch, chaining hides the fetch
+        # round trip entirely.  On the tunneled bench chip, argument
+        # uploads of the chained window serialize against the running
+        # window and LOSE throughput (measured 91 -> 51 tok/s), so the
+        # default stays synchronous-per-window.
+        if os.environ.get("VPC_WINDOW_CHAIN") != "1":
+            return False
+        if self.scheduler.num_waiting or self.config.speculative is not None:
+            return False
+        for plan in plans:
+            p = plan.seq.params
+            if (p.presence_penalty != 0.0 or p.frequency_penalty != 0.0
+                    or p.repetition_penalty != 1.0):
+                return False
+        return True
+
+    def _window_finishes_any(self, batches) -> bool:
+        """Conservative host-side preview of the stop checks over fetched
+        (but not yet appended) window tokens — before finish_seq may free
+        tables, any chained in-flight window must be committed."""
+        eos = self.eos_token_id
+        max_len = self.config.scheduler.max_model_len
+        for plans_b, k_b, toks_b in batches:
+            for i, plan in enumerate(plans_b):
+                seq, p = plan.seq, plan.seq.params
+                if p.stop:       # stop strings: assume they can fire
+                    return True
+                n0 = seq.num_output_tokens
+                for step in range(k_b):
+                    n = n0 + step + 1
+                    if p.max_tokens is not None and n >= p.max_tokens:
+                        return True
+                    if seq.get_len() + step + 1 >= max_len:
+                        return True
+                    if n < p.min_tokens:
+                        continue
+                    t = int(toks_b[step][i])
+                    if (not p.ignore_eos and eos is not None and t == eos) \
+                            or t in p.stop_token_ids:
+                        return True
+        return False
+
+    def _process_batches(self, batches, results, finished) -> int:
+        num_gen = 0
+        done: set[str] = set()
+        for plans_b, k_b, toks_b in batches:
+            for i, plan in enumerate(plans_b):
+                seq = plan.seq
+                if seq.request_id in done or seq.is_finished():
+                    continue
+                for step in range(k_b):
+                    seq.append_token(int(toks_b[step][i]))
+                    num_gen += 1
+                    if self._postprocess(seq, results, finished,
+                                         emit=(step == k_b - 1)):
+                        done.add(seq.request_id)
+                        break
+        return num_gen
+
+    def _drain_inflight(self, results, finished) -> int:
+        if self._inflight is None:
+            return 0
+        plans, k, handle, _sim = self._inflight
+        self._inflight = None
+        toks, victims = handle.fetch()
+        self.scheduler.commit_window(plans, k, victims)
+        return self._process_batches([(plans, k, toks)], results, finished)
+
+    def _decode_pipelined(self, k_max: int, results, finished) -> int:
+        """One decode turn with depth-1 window lookahead: fetch window W
+        while window W+1 already runs on device — the host<->device round
+        trip (46 ms on a tunneled chip) disappears from the critical path."""
+        if self._inflight is None:
+            self._inflight = self._dispatch_decode(k_max)
+            if self._inflight is None:
+                return 0
+        plans, k, handle, sim = self._inflight
+        self._inflight = None
+        nxt = (self._dispatch_decode(k_max, resume=sim,
+                                     dyn_state=handle.state)
+               if self._can_chain(plans) else None)
+
+        toks, victims = handle.fetch()
+        self.scheduler.commit_window(plans, k, victims)
+        batches = [(plans, k, toks)]
+        if nxt is not None and self._window_finishes_any(batches):
+            # Someone is about to stop: retire the chained window now so
+            # its table/page commits land before finish_seq frees them.
+            p2, k2, h2, _ = nxt
+            t2, v2 = h2.fetch()
+            self.scheduler.commit_window(p2, k2, v2)
+            batches.append((p2, k2, t2))
+            nxt = None
+        self._inflight = nxt
+        return self._process_batches(batches, results, finished)
 
     def _postprocess(self, seq: Sequence, results, finished,
                      emit: bool = True) -> bool:

@@ -32,6 +32,13 @@ def _engine_main(config: EngineConfig, req_name: str, out_name: str) -> None:
     req_q = ShmMessageQueue(req_name, create=False)
     out_q = ShmMessageQueue(out_name, create=False)
     try:
+        # Honor an explicit platform request from the parent: the host's
+        # sitecustomize imports jax and pins the TPU platform before env
+        # vars are consulted, so a bare JAX_PLATFORMS=cpu (e.g. tests
+        # isolating the chip) would otherwise be ignored here.
+        if os.environ.get("JAX_PLATFORMS"):
+            import jax
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
         from .llm_engine import LLMEngine
         engine = LLMEngine(config)
         out_q.send(("ready",))

@@ -67,6 +67,22 @@ def select_attention_backend() -> str:
     return choice
 
 
+class WindowHandle:
+    """A dispatched-but-unfetched decode window: ``out`` (tokens+victims)
+    and ``state`` (end-of-window dynamic state) are device arrays; calling
+    ``fetch()`` blocks on the device->host transfer."""
+
+    def __init__(self, out_pack, state, k: int, n: int):
+        self.out_pack = out_pack
+        self.state = state
+        self.k = k
+        self.n = n
+
+    def fetch(self):
+        out = np.asarray(self.out_pack)   # one device->host fetch
+        return out[0, :, :self.n], out[1, :, :self.n]
+
+
 def _pow2_buckets(lo: int, hi: int) -> list[int]:
     out, b = [], lo
     while b < hi:
@@ -143,7 +159,7 @@ class ModelRunner:
         import functools
         self._decode_window_jits = {
             g: jax.jit(functools.partial(self._decode_window, greedy_only=g),
-                       donate_argnums=(1, 2))
+                       donate_argnums=(1, 2, 4))
             for g in (False, True)}
         # Greedy-specialized variants: the generic top-p/top-k sampler's
         # full-vocab sort costs ~65 s of XLA compile for a 128k vocab; a
@@ -304,10 +320,18 @@ class ModelRunner:
         init = (caches, page_scores, tables0, kv0, np0, tok0,
                 token_counts)
         carry, ys = jax.lax.scan(body, init, plan_pack)
-        new_caches, page_scores = carry[0], carry[1]
+        (new_caches, page_scores, tables_end, kv_end, np_end, tok_end,
+         _counts) = carry
         # ys: [K, 2, B] -> [2, K, B] single fetchable array.
         out_pack = jnp.swapaxes(ys, 0, 1)
-        return new_caches, page_scores, out_pack
+        # End-of-window dynamic state in state_pack layout, so a chained
+        # window can start from it without a host round trip (the host
+        # param columns seeds/topk/lora pass through untouched).
+        new_state = jnp.concatenate([
+            tables_end, kv_end[:, None], np_end[:, None], tok_end[:, None],
+            state_pack[:, p + 3:],
+        ], axis=1)
+        return new_caches, page_scores, out_pack, new_state
 
     def _prefill_plain(self, params, caches, page_scores, batch,
                        greedy_only=False):
@@ -507,8 +531,26 @@ class ModelRunner:
 
     def run_decode_window(self, params, caches, page_scores,
                           plans: list[SeqWindowPlan], k: int):
-        """Pack K-step plans for B sequences into three arrays, run the
-        window, return (caches, scores, tokens [K, n], victims [K, n])."""
+        """Dispatch one window and fetch its results synchronously.
+        Returns (caches, scores, tokens [K, n], victims [K, n])."""
+        caches, page_scores, handle = self.dispatch_decode_window(
+            params, caches, page_scores, plans, k)
+        tokens, victims = handle.fetch()
+        return caches, page_scores, tokens, victims
+
+    def dispatch_decode_window(self, params, caches, page_scores,
+                               plans: list[SeqWindowPlan], k: int,
+                               dyn_state=None):
+        """Pack K-step plans for B sequences and dispatch the window jit
+        WITHOUT waiting for results: returns (caches, scores, handle).
+
+        ``dyn_state``: a previous window's ``handle.state`` device array —
+        the chained window starts from the device-resident end state
+        (tables/kv/pages/last-token) so no host round trip sits between
+        consecutive windows.  The async-engine analog of the reference's
+        multi-step worker lookahead (vllm/worker/multi_step_model_runner),
+        which upstream forbids together with eviction
+        (arg_utils.py:1255-1257)."""
         n = len(plans)
         b = next_bucket(n, self.decode_buckets)
         p = self.max_table_len
@@ -576,13 +618,15 @@ class ModelRunner:
                     return_counts=True)
                 if len(ids):
                     counts[i, ids] = cnt
-        caches, page_scores, out_pack = self._decode_window_jits[greedy](
-            params, caches, page_scores, plan_pack, state_pack, f32_pack,
-            counts)
-        out = np.asarray(out_pack)   # one device->host fetch
-        tokens = out[0, :, :n]
-        victims = out[1, :, :n]
-        return caches, page_scores, tokens, victims
+        if dyn_state is not None:
+            assert dyn_state.shape == state_pack.shape, \
+                (dyn_state.shape, state_pack.shape)
+            state_pack = dyn_state
+        caches, page_scores, out_pack, new_state = \
+            self._decode_window_jits[greedy](
+                params, caches, page_scores, plan_pack, state_pack,
+                f32_pack, counts)
+        return caches, page_scores, WindowHandle(out_pack, new_state, k, n)
 
     def run_prefill(self, params, caches, page_scores,
                     sp: ScheduledPrefill):

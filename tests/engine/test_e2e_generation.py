@@ -233,3 +233,33 @@ class TestMultiStepDecode:
             sampling_params=SamplingParams(temperature=0.0, max_tokens=12,
                                            stop_token_ids=[stop_at]))[0]
         assert out.outputs[0].token_ids == base[:first + 1]
+
+
+class TestWindowChaining:
+    """Device-chained decode windows (VPC_WINDOW_CHAIN=1) must be token-
+    identical to synchronous per-window execution, including across stop
+    boundaries (max_tokens staggered so sequences finish mid-chain)."""
+
+    def _run(self, monkeypatch, chain: bool):
+        monkeypatch.setenv("VPC_WINDOW_CHAIN", "1" if chain else "0")
+        llm = tiny_llm(enable_paged_eviction=True, evict_method="global",
+                       cache_budget=16, num_scheduler_steps=4)
+        prompts = [[1, 17, 33, 5, 99, 2, 8, 61, 40, 7],
+                   [9, 3, 3, 12, 50]]
+        outs = []
+        for i, p in enumerate(prompts):
+            llm.engine.add_request(
+                prompt_token_ids=p,
+                sampling_params=SamplingParams(temperature=0.0,
+                                               max_tokens=10 + 7 * i))
+        got = {}
+        while llm.engine.has_unfinished_requests():
+            for out in llm.engine.step():
+                got[out.request_id] = out.outputs[0].token_ids
+        return got
+
+    def test_chain_matches_sync(self, monkeypatch):
+        sync = self._run(monkeypatch, chain=False)
+        chained = self._run(monkeypatch, chain=True)
+        assert sync == chained
+        assert sorted(len(v) for v in sync.values()) == [10, 17]

@@ -1,0 +1,67 @@
+"""Pipeline parallelism: PP engines must be token-identical to single-
+device execution (the conftest provides an 8-device CPU mesh).
+
+Reference analog: tests/distributed/test_pipeline_parallel.py compares
+PP output against TP/single-GPU output on one host (SURVEY §4)."""
+
+import numpy as np
+import pytest
+
+from vllm_paged_compression_tpu.entrypoints.llm import LLM
+from vllm_paged_compression_tpu.sampling_params import SamplingParams
+
+TINY_CFG = {
+    "architectures": ["LlamaForCausalLM"],
+    "vocab_size": 128, "hidden_size": 64, "intermediate_size": 128,
+    "num_hidden_layers": 4, "num_attention_heads": 4,
+    "num_key_value_heads": 2, "max_position_embeddings": 512,
+    "rope_theta": 10000.0, "rms_norm_eps": 1e-5,
+    "tie_word_embeddings": True, "eos_token_id": None,
+}
+
+PROMPTS = [[1, 17, 33, 5, 99, 2, 8, 61, 40, 7],
+           [9, 3, 3, 12, 50, 77, 4],
+           [100, 90, 80, 70],
+           [2, 4, 6, 8, 10, 12, 14, 16, 18]]
+
+
+def _generate(pp=1, tp=1, **kw):
+    llm = LLM(hf_config=TINY_CFG, dtype="float32", block_size=4,
+              max_model_len=256, num_device_blocks=128, seed=0,
+              max_num_seqs=8, num_scheduler_steps=4,
+              pipeline_parallel_size=pp, tensor_parallel_size=tp, **kw)
+    outs = llm.generate(
+        prompt_token_ids=PROMPTS,
+        sampling_params=SamplingParams(temperature=0.0, max_tokens=9))
+    return [list(o.outputs[0].token_ids) for o in outs]
+
+
+class TestPipelineParity:
+    def test_pp2_matches_single(self):
+        base = _generate(pp=1)
+        pp2 = _generate(pp=2)
+        assert base == pp2
+
+    def test_pp4_with_eviction_matches_single(self):
+        kw = dict(enable_paged_eviction=True, evict_method="global",
+                  cache_budget=16)
+        base = _generate(pp=1, **kw)
+        pp4 = _generate(pp=4, **kw)
+        assert base == pp4
+
+    def test_pp2_streamingllm1_matches_single(self):
+        kw = dict(enable_paged_eviction=True,
+                  evict_method="streamingLLM-1", cache_budget=16)
+        base = _generate(pp=1, **kw)
+        pp2 = _generate(pp=2, **kw)
+        assert base == pp2
+
+    def test_pp2_tp2_matches_single(self):
+        base = _generate(pp=1)
+        pptp = _generate(pp=2, tp=2)
+        assert base == pptp
+
+    def test_pp_rejects_unsupported(self):
+        with pytest.raises(ValueError, match="chunked prefill"):
+            _generate(pp=2, enable_chunked_prefill=True,
+                      max_num_batched_tokens=32)

@@ -214,10 +214,16 @@ class ParallelConfig:
 
     tensor_parallel_size: int = 1
     data_parallel_size: int = 1
+    # GPipe-style stage parallelism over a "pipe" mesh axis (reference:
+    # one virtual engine per PP stage, vllm/engine/llm_engine.py:1331-1338
+    # + IntermediateTensors send/recv, parallel_state.py:668-845 — here
+    # the stages are a shard_map with ppermute'd hidden states).
+    pipeline_parallel_size: int = 1
 
     @property
     def world_size(self) -> int:
-        return self.tensor_parallel_size * self.data_parallel_size
+        return (self.tensor_parallel_size * self.data_parallel_size
+                * self.pipeline_parallel_size)
 
 
 @dataclass

@@ -38,6 +38,7 @@ class EngineArgs:
     enable_prefix_caching: bool = False
     tensor_parallel_size: int = 1
     data_parallel_size: int = 1
+    pipeline_parallel_size: int = 1
     # LoRA
     enable_lora: bool = False
     max_loras: int = 4
@@ -100,6 +101,8 @@ class EngineArgs:
         g = parser.add_argument_group("parallel")
         g.add_argument("--tensor-parallel-size", "-tp", type=int, default=1)
         g.add_argument("--data-parallel-size", "-dp", type=int, default=1)
+        g.add_argument("--pipeline-parallel-size", "-pp", type=int,
+                       default=1)
 
         g = parser.add_argument_group(
             "paged eviction",
@@ -157,7 +160,8 @@ class EngineArgs:
                 num_scheduler_steps=self.num_scheduler_steps),
             parallel=ParallelConfig(
                 tensor_parallel_size=self.tensor_parallel_size,
-                data_parallel_size=self.data_parallel_size))
+                data_parallel_size=self.data_parallel_size,
+                pipeline_parallel_size=self.pipeline_parallel_size))
         if self.enable_lora:
             from ..lora import LoRAConfig
             cfg.lora = LoRAConfig(max_loras=self.max_loras,

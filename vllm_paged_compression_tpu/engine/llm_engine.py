@@ -116,11 +116,41 @@ class LLMEngine:
         kv_dtype = _KV_DTYPES.get(config.cache.cache_dtype) or dtype
         import jax
         weight_bytes = sum(x.nbytes for x in jax.tree.leaves(self.params))
+        pc = config.parallel
+        num_shards = (pc.tensor_parallel_size * pc.pipeline_parallel_size
+                      if pc is not None else 1)
         self.cache_engine = CacheEngine(config, self.model,
                                         kv_dtype=kv_dtype,
-                                        weight_bytes=weight_bytes)
+                                        weight_bytes=weight_bytes,
+                                        num_shards=num_shards)
         self.kv_caches, self.page_scores = self.cache_engine.allocate()
-        self.runner = ModelRunner(self.model, config, self.cache_engine)
+
+        self.mesh = None
+        if pc is not None and pc.world_size > 1:
+            from ..parallel.mesh import (build_mesh, replicated,
+                                         shard_caches, shard_params)
+            pp = pc.pipeline_parallel_size
+            if pp > 1:
+                if self.model.architecture != "llama":
+                    raise ValueError("pipeline parallelism currently "
+                                     "supports llama-family models")
+                if config.lora is not None or config.speculative is not None:
+                    raise ValueError("pipeline parallelism is incompatible "
+                                     "with LoRA / speculative decoding")
+                if config.scheduler.enable_chunked_prefill \
+                        or config.cache.enable_prefix_caching:
+                    raise ValueError("pipeline parallelism is incompatible "
+                                     "with chunked prefill / prefix "
+                                     "caching (round-2 work)")
+            self.mesh = build_mesh(pc.tensor_parallel_size,
+                                   pc.data_parallel_size, pp)
+            self.params = shard_params(self.params, self.mesh,
+                                       self.model.architecture, pp)
+            self.kv_caches = shard_caches(self.kv_caches, self.mesh, pp)
+            self.page_scores = jax.device_put(self.page_scores,
+                                              replicated(self.mesh))
+        self.runner = ModelRunner(self.model, config, self.cache_engine,
+                                  mesh=self.mesh)
         self.scheduler = Scheduler(config.scheduler, config.cache,
                                    self.cache_engine.num_pages)
         self.metrics = EngineMetrics(self)

@@ -5,7 +5,7 @@ from __future__ import annotations
 from typing import Optional, Sequence as Seq, Union
 
 from ..config import (CacheConfig, EngineConfig, ModelConfig,
-                      PagedEvictConfig, SchedulerConfig)
+                      PagedEvictConfig, ParallelConfig, SchedulerConfig)
 from ..engine.llm_engine import LLMEngine
 from ..outputs import RequestOutput
 from ..sampling_params import SamplingParams
@@ -33,6 +33,9 @@ class LLM:
                  enable_lora: bool = False, max_loras: int = 4,
                  max_lora_rank: int = 16,
                  speculative_config: Optional[dict] = None,
+                 tensor_parallel_size: int = 1,
+                 data_parallel_size: int = 1,
+                 pipeline_parallel_size: int = 1,
                  params=None, seed: int = 0):
         evict = None
         if enable_paged_eviction:
@@ -68,7 +71,11 @@ class LLM:
                 num_scheduler_steps=num_scheduler_steps,
                 enable_chunked_prefill=enable_chunked_prefill,
                 **({"max_num_batched_tokens": max_num_batched_tokens}
-                   if max_num_batched_tokens is not None else {})))
+                   if max_num_batched_tokens is not None else {})),
+            parallel=ParallelConfig(
+                tensor_parallel_size=tensor_parallel_size,
+                data_parallel_size=data_parallel_size,
+                pipeline_parallel_size=pipeline_parallel_size))
         self.engine = LLMEngine(config, params=params)
 
     def generate(

@@ -435,11 +435,32 @@ class LlamaModel:
             # Gemma normalizer: cast to model dtype first (HF rounds the
             # sqrt(hidden) constant to bf16 before multiplying).
             h = h * jnp.asarray(a.embed_scale, self.dtype)
+        h, new_state = self.forward_layers(params, h, positions, attn_fn,
+                                           attn_state, lora, lora_idx,
+                                           state_mode)
+        return rms_norm(h, params["final_norm"], a.rms_norm_eps,
+                        a.norm_unit_offset), new_state
+
+    def forward_layers(
+        self, params: dict, h: jnp.ndarray, positions: jnp.ndarray,
+        attn_fn: Callable,
+        attn_state: Any = None,
+        lora: Any = None,
+        lora_idx: Any = None,
+        state_mode: str = "scan",
+    ):
+        """The decoder stack WITHOUT embedding and final norm: hidden
+        states in, hidden states out.  The number of layers run is the
+        leading axis of ``params["layers"]`` — a pipeline stage passes its
+        local slice (parallel/pipeline.py) and carry-mode layer indices
+        are local to that slice."""
+        a = self.arch
         cos, sin = rope_cos_sin(positions, a.head_dim, a.rope_theta,
                                 scaling=a.rope_scaling)
         q_sz = a.num_heads * a.head_dim
         kv_sz = a.num_kv_heads * a.head_dim
-        t = token_ids.shape[0]
+        t = h.shape[0]
+        num_layers = jax.tree.leaves(params["layers"])[0].shape[0]
         act = jax.nn.silu if a.hidden_act == "silu" else (
             lambda x: jax.nn.gelu(x, approximate=True))
         norm = functools.partial(rms_norm, eps=a.rms_norm_eps,
@@ -524,7 +545,7 @@ class LlamaModel:
             (h, new_state), _ = jax.lax.scan(
                 layer_fn, (h, attn_state),
                 (params["layers"], lora_layers,
-                 jnp.arange(a.num_layers, dtype=jnp.int32)))
+                 jnp.arange(num_layers, dtype=jnp.int32)))
         else:
             def layer_fn(h, xs):
                 lp, ll, state = xs
@@ -532,7 +553,7 @@ class LlamaModel:
 
             h, new_state = jax.lax.scan(
                 layer_fn, h, (params["layers"], lora_layers, attn_state))
-        return norm(h, params["final_norm"]), new_state
+        return h, new_state
 
     def embed(self, params: dict, token_ids: jnp.ndarray) -> jnp.ndarray:
         e = params["embed"]

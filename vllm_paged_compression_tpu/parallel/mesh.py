@@ -25,15 +25,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def build_mesh(tensor_parallel: int = 1, data_parallel: int = 1,
-               devices=None) -> Mesh:
+               pipeline_parallel: int = 1, devices=None) -> Mesh:
+    """("data", "pipe", "model") mesh.  "pipe" is placed between data and
+    model so TP collectives ride the fastest (innermost) axis and stage
+    hops cross it once per microbatch tick."""
     devices = devices if devices is not None else jax.devices()
-    need = tensor_parallel * data_parallel
+    need = tensor_parallel * data_parallel * pipeline_parallel
     if len(devices) < need:
         raise ValueError(
             f"need {need} devices (tp={tensor_parallel} x "
-            f"dp={data_parallel}), have {len(devices)}")
-    grid = np.asarray(devices[:need]).reshape(data_parallel, tensor_parallel)
-    return Mesh(grid, axis_names=("data", "model"))
+            f"dp={data_parallel} x pp={pipeline_parallel}), "
+            f"have {len(devices)}")
+    grid = np.asarray(devices[:need]).reshape(
+        data_parallel, pipeline_parallel, tensor_parallel)
+    return Mesh(grid, axis_names=("data", "pipe", "model"))
 
 
 # ---- parameter shardings -------------------------------------------------
@@ -76,13 +81,23 @@ _OPT_PARAM_SPECS = {
 PARAM_SPECS = {"llama": _LLAMA_PARAM_SPECS, "opt": _OPT_PARAM_SPECS}
 
 
-def param_shardings(mesh: Mesh, architecture: str, params: dict):
+def param_shardings(mesh: Mesh, architecture: str, params: dict,
+                    pipeline_parallel: int = 1):
     """Pytree of NamedShardings matching ``params``' structure.
 
     QuantizedWeight leaves get the weight spec on ``q`` and the spec minus
-    the contraction axis on ``s`` (scales follow the output channels)."""
+    the contraction axis on ``s`` (scales follow the output channels).
+    With ``pipeline_parallel > 1`` the stacked layer axis (leading axis of
+    every ``layers`` leaf) is sharded over "pipe" — each stage holds its
+    own slice of the depth."""
     from ..ops.quant import QuantizedWeight
     specs = PARAM_SPECS[architecture]
+    if pipeline_parallel > 1:
+        def pipe_spec(spec):
+            return P(*(("pipe",) + tuple(spec[1:])))
+        specs = dict(specs)
+        specs["layers"] = {k: pipe_spec(v)
+                           for k, v in specs["layers"].items()}
 
     def fit(spec, ndim):
         """MoE expert leaves carry an extra axis after the layer axis:
@@ -104,23 +119,28 @@ def param_shardings(mesh: Mesh, architecture: str, params: dict):
     return walk(specs, params)
 
 
-def kv_cache_sharding(mesh: Mesh) -> NamedSharding:
+def kv_cache_sharding(mesh: Mesh,
+                      pipeline_parallel: int = 1) -> NamedSharding:
     """[layers, pages, page_size, Hkv, head_dim]: KV heads sharded over
-    "model" (pages replicated across "data" in round 1 — DP replicas serve
-    disjoint request sets but share the pool layout)."""
-    return NamedSharding(mesh, P(None, None, None, "model", None))
+    "model", layers over "pipe" when PP is on (pages replicated across
+    "data" in round 1 — DP replicas serve disjoint request sets but share
+    the pool layout)."""
+    layer_axis = "pipe" if pipeline_parallel > 1 else None
+    return NamedSharding(mesh, P(layer_axis, None, None, "model", None))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_params(params: dict, mesh: Mesh, architecture: str) -> dict:
+def shard_params(params: dict, mesh: Mesh, architecture: str,
+                 pipeline_parallel: int = 1) -> dict:
     return jax.device_put(params,
-                          param_shardings(mesh, architecture, params))
+                          param_shardings(mesh, architecture, params,
+                                          pipeline_parallel))
 
 
-def shard_caches(caches, mesh: Mesh):
-    s = kv_cache_sharding(mesh)
+def shard_caches(caches, mesh: Mesh, pipeline_parallel: int = 1):
+    s = kv_cache_sharding(mesh, pipeline_parallel)
     k, v = caches
     return (jax.device_put(k, s), jax.device_put(v, s))

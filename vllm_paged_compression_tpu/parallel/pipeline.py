@@ -1,0 +1,214 @@
+"""Pipeline parallelism: GPipe-style stage execution over a "pipe" mesh axis.
+
+TPU-native re-design of the reference's pipeline parallelism (one virtual
+engine per PP stage, vllm/engine/llm_engine.py:1331-1338, with
+IntermediateTensors sent between stage processes via
+parallel_state.py:668-845 send/recv).  Here there are no stage processes:
+the decode window runs as ONE shard_map over the "pipe" axis — each device
+holds a contiguous slice of the stacked layer parameters and KV pools
+(mesh.param_shardings / kv_cache_sharding with pipeline_parallel > 1), and
+hidden states hop stages via ``jax.lax.ppermute``.
+
+Decode schedule: the batch is split into S microbatches (S = stage count);
+each window step runs 2S-1 ticks — at tick t, stage s processes microbatch
+(t - s) through its local layers and permutes the hidden state to stage
+s+1.  Stage 0 ingests embeddings; the last stage accumulates finished
+hidden states, computes logits, samples, and broadcasts the tokens (and
+anything else stage-local: page-score updates live on stage 0 because
+global layer 0 is its first local layer) back to every stage via a masked
+psum — all replicated values stay bit-identical across stages, which is
+what lets every stage run the same plan math without synchronization.
+
+Prefill runs the same wave with a single microbatch (the whole prompt):
+stage s is active at tick s; inactive stages execute the same ops with
+their cache writes steered to the trash page.
+
+v1 restrictions (asserted at engine construction): llama-family models,
+no LoRA, no speculative decoding, no TP composition inside the pipe axis.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+
+def pipe_specs_for(tree, leading_pipe: bool):
+    """A matching pytree of PartitionSpecs: P("pipe") on every leaf when
+    ``leading_pipe`` (the leading axis is the stacked layer axis),
+    replicated otherwise."""
+    spec = P("pipe") if leading_pipe else P()
+    return jax.tree.map(lambda _: spec, tree)
+
+
+def param_specs(params: dict):
+    return {k: pipe_specs_for(v, leading_pipe=(k == "layers"))
+            for k, v in params.items()}
+
+
+def _masked_psum(value, cond, axis):
+    """Broadcast ``value`` from the single stage where ``cond`` holds."""
+    z = jax.tree.map(lambda x: jnp.where(cond, x, jnp.zeros_like(x)), value)
+    return jax.lax.psum(z, axis)
+
+
+def _mb_slice(x, m, size, num_mb):
+    start = jnp.clip(m, 0, num_mb - 1) * size
+    return jax.lax.dynamic_slice_in_dim(x, start, size, axis=0)
+
+
+def pp_decode_window_body(runner, params, caches, page_scores, plan_pack,
+                          state_pack, f32_pack, token_counts=None,
+                          greedy_only=False):
+    """shard_map body over ("pipe",): the PP analog of
+    ModelRunner._decode_window.  All plan/table math is replicated; only
+    the transformer layers are stage-local."""
+    from ..models.llama import rms_norm
+    from ..ops.sampling import SamplingTensors, sample
+
+    model = runner.model
+    arch = model.arch
+    pp = runner.pp
+    p = runner.max_table_len
+    b = state_pack.shape[0]
+    assert b % pp == 0, (b, pp)
+    g = b // pp
+    stage = jax.lax.axis_index("pipe")
+    trash_slot = runner.cache_engine.trash_slot
+
+    tables0 = state_pack[:, :p]
+    kv0 = state_pack[:, p]
+    np0 = state_pack[:, p + 1]
+    tok0 = state_pack[:, p + 2]
+    seeds = state_pack[:, p + 3]
+    topk = state_pack[:, p + 4]
+    temp, top_p = f32_pack[0], f32_pack[1]
+    if not greedy_only:
+        presence, frequency, repetition = (f32_pack[2], f32_pack[3],
+                                           f32_pack[4])
+    zero_writes = runner.zero_writes
+    iota_b = jnp.arange(b)
+    hidden_dim = arch.hidden_size
+    dtype = model.dtype
+
+    def body(carry, xs):
+        caches, page_scores, tables, kv_lens, num_pages, tokens, \
+            counts = carry
+        positions, slots, evict, victims_in, zero_slots, fill_pages, \
+            new_pages, stepctr = (xs[i] for i in
+                                  range(len(runner._PLAN_FIELDS)))
+        eff_tables, eff_kv, num_pages, victims = runner._step_tables(
+            page_scores, tables, kv_lens, num_pages, evict, victims_in,
+            new_pages)
+
+        # ---- pipelined forward: S microbatches through S stages ----
+        h_buf = jnp.zeros((g, hidden_dim), dtype)
+        out_h = jnp.zeros((b, hidden_dim), dtype)
+
+        def tick(carry2, t):
+            h_buf, caches, out_h = carry2
+            m = t - stage
+            valid = (m >= 0) & (m < pp)
+            toks_mb = _mb_slice(tokens, m, g, pp)
+            pos_mb = _mb_slice(positions, m, g, pp)
+            emb = model.embed(params, toks_mb)
+            if arch.embed_scale is not None:
+                emb = emb * jnp.asarray(arch.embed_scale, dtype)
+            h_in = jnp.where((stage == 0) & valid, emb, h_buf)
+
+            # Steer writes of out-of-wave ticks to the trash slot.
+            slots_mb = jnp.where(valid, _mb_slice(slots, m, g, pp),
+                                 trash_slot)
+            zslots_mb = (jnp.where(valid, _mb_slice(zero_slots, m, g, pp),
+                                   trash_slot) if zero_writes else None)
+            tbl_mb = _mb_slice(eff_tables, m, g, pp)
+            kv_mb = _mb_slice(eff_kv, m, g, pp)
+
+            def attn_fn(q, k, v, state, layer):
+                kc, vc = state
+                out, kc, vc = runner._fused_attn(
+                    q, k, v, kc, vc, layer, tbl_mb, kv_mb, slots_mb,
+                    zslots_mb)
+                return out, (kc, vc)
+
+            h_out, caches = model.forward_layers(
+                params, h_in, pos_mb, attn_fn, caches, state_mode="carry")
+            h_out = h_out.astype(dtype)
+
+            h_next = jax.lax.ppermute(
+                h_out, "pipe", [(i, i + 1) for i in range(pp - 1)])
+            m_out = t - (pp - 1)
+            upd = jax.lax.dynamic_update_slice_in_dim(
+                out_h, h_out, jnp.clip(m_out, 0, pp - 1) * g, axis=0)
+            out_h = jnp.where(
+                (stage == pp - 1) & (m_out >= 0) & (m_out < pp), upd, out_h)
+            return (h_next, caches, out_h), None
+
+        (h_buf, caches, out_h), _ = jax.lax.scan(
+            tick, (h_buf, caches, out_h), jnp.arange(2 * pp - 1))
+
+        if runner.track_page_scores:
+            # Global layer 0 lives on stage 0.
+            ps_new = runner._update_page_scores(page_scores, caches[1],
+                                                fill_pages)
+            page_scores = _masked_psum(ps_new, stage == 0, "pipe")
+
+        h_final = rms_norm(out_h, params["final_norm"], arch.rms_norm_eps,
+                           arch.norm_unit_offset)
+        logits = model.logits(params, h_final)
+        if not greedy_only:
+            from ..ops.sampling import apply_penalties
+            logits = apply_penalties(logits, counts, presence, frequency,
+                                     repetition)
+        toks = sample(logits, SamplingTensors(
+            temperature=temp, top_p=top_p, top_k=topk, seed=seeds,
+            step=stepctr), greedy_only=greedy_only).astype(jnp.int32)
+        toks = _masked_psum(toks, stage == pp - 1, "pipe")
+        if counts is not None:
+            counts = counts.at[iota_b, toks].add(1)
+        carry = (caches, page_scores, eff_tables, eff_kv, num_pages, toks,
+                 counts)
+        return carry, jnp.stack([toks, victims])
+
+    init = (caches, page_scores, tables0, kv0, np0, tok0, token_counts)
+    carry, ys = jax.lax.scan(body, init, plan_pack)
+    (new_caches, page_scores, tables_end, kv_end, np_end, tok_end,
+     _counts) = carry
+    out_pack = jnp.swapaxes(ys, 0, 1)
+    new_state = jnp.concatenate([
+        tables_end, kv_end[:, None], np_end[:, None], tok_end[:, None],
+        state_pack[:, p + 3:],
+    ], axis=1)
+    return new_caches, page_scores, out_pack, new_state
+
+
+def pp_prefill_wave(runner, params, caches, h0, positions, attn_fn_factory):
+    """Run one prompt through the staged layers: a single-microbatch wave.
+    ``attn_fn_factory(active)`` builds the per-layer attention callback
+    with cache writes steered to the trash page when this stage is not the
+    wave front.  Returns (hidden-after-all-layers on the LAST stage,
+    caches)."""
+    pp = runner.pp
+    stage = jax.lax.axis_index("pipe")
+    h_buf = h0  # meaningful on stage 0 only
+
+    def tick(carry, t):
+        h_buf, caches = carry
+        active = t == stage
+        attn_fn = attn_fn_factory(active)
+        h_out, caches = runner.model.forward_layers(
+            params, h_buf, positions, attn_fn, caches, state_mode="carry")
+        h_out = h_out.astype(h_buf.dtype)
+        keep = jnp.where(active, h_out, h_buf)
+        h_next = jax.lax.ppermute(
+            keep, "pipe", [(i, i + 1) for i in range(pp - 1)])
+        # Every stage adopts what arrives from its predecessor, except the
+        # last stage on the FINAL tick, which retains its own output so
+        # the caller can read the fully-processed hidden state.
+        h_buf = jnp.where((stage == pp - 1) & (t == pp - 1), keep, h_next)
+        return (h_buf, caches), None
+
+    (h_buf, caches), _ = jax.lax.scan(tick, (h_buf, caches),
+                                      jnp.arange(pp))
+    return h_buf, caches

@@ -94,10 +94,19 @@ def _pow2_buckets(lo: int, hi: int) -> list[int]:
 
 class ModelRunner:
     def __init__(self, model, config: EngineConfig,
-                 cache_engine: CacheEngine):
+                 cache_engine: CacheEngine, mesh=None):
         self.model = model
         self.config = config
         self.cache_engine = cache_engine
+        self.mesh = mesh
+        pc = config.parallel
+        self.pp = pc.pipeline_parallel_size if pc is not None else 1
+        if self.pp > 1:
+            assert mesh is not None, "pipeline parallelism needs a mesh"
+            assert self.pp & (self.pp - 1) == 0, \
+                "pipeline_parallel_size must be a power of two"
+            assert model.arch.num_layers % self.pp == 0, \
+                (model.arch.num_layers, self.pp)
         self.block_size = config.cache.block_size
         ev = config.cache.paged_evict
         self.evict = ev if (ev is not None and ev.enabled) else None
@@ -111,6 +120,11 @@ class ModelRunner:
         else:
             self.max_table_len = cdiv(sched.max_model_len, self.block_size)
         self.decode_buckets = _pow2_buckets(1, sched.max_num_seqs)
+        if self.pp > 1:
+            # Microbatching splits the decode batch across stages: lane
+            # buckets must be multiples of the stage count.
+            self.decode_buckets = sorted(
+                {max(bb, self.pp) for bb in self.decode_buckets})
         bs = self.block_size
         self.prefill_buckets = sorted({
             -(-b // bs) * bs for b in _pow2_buckets(
@@ -157,19 +171,25 @@ class ModelRunner:
                 context_prefill_attention, **cap)
 
         import functools
+        decode_body = (self._decode_window_pp if self.pp > 1
+                       else self._decode_window)
         self._decode_window_jits = {
-            g: jax.jit(functools.partial(self._decode_window, greedy_only=g),
+            g: jax.jit(functools.partial(decode_body, greedy_only=g),
                        donate_argnums=(1, 2, 4))
             for g in (False, True)}
         # Greedy-specialized variants: the generic top-p/top-k sampler's
         # full-vocab sort costs ~65 s of XLA compile for a 128k vocab; a
         # greedy request should never pay it.
+        prefill_plain = (self._prefill_plain_pp if self.pp > 1
+                         else self._prefill_plain)
+        prefill_prune = (self._prefill_prune_pp if self.pp > 1
+                         else self._prefill_prune)
         self._prefill_plain_jits = {
-            g: jax.jit(functools.partial(self._prefill_plain, greedy_only=g),
+            g: jax.jit(functools.partial(prefill_plain, greedy_only=g),
                        donate_argnums=(1, 2))
             for g in (False, True)}
         self._prefill_prune_jits = {
-            g: jax.jit(functools.partial(self._prefill_prune, greedy_only=g),
+            g: jax.jit(functools.partial(prefill_prune, greedy_only=g),
                        donate_argnums=(1, 2))
             for g in (False, True)}
         self._prefill_ctx_jits = {
@@ -231,6 +251,41 @@ class ModelRunner:
         vc_all = jax.tree.map(lambda a, s: a.at[layer].set(s), vc_all, vc)
         return out, kc_all, vc_all
 
+    @property
+    def zero_writes(self) -> bool:
+        ev = self.evict
+        return ev is not None and ev.evict_method in ("streamingLLM-1",
+                                                      "inverse_key_l2")
+
+    def _step_tables(self, page_scores, tables, kv_lens, num_pages, evict,
+                     victims_in, new_pages):
+        """One decode step's block-table transition (shared by the
+        single-stage and pipelined window bodies): append the pre-reserved
+        page, resolve the eviction victim (host plan or device L2 argmin),
+        left-shift the table past it.  ``kv_lens`` is the PRE-step count;
+        returns (eff_tables, eff_kv, num_pages, victims) where eff_kv
+        includes this step's token."""
+        ev = self.evict
+        bs = self.block_size
+        iota_p = jnp.arange(tables.shape[1])[None, :]
+        has_new = new_pages >= 0
+        onehot = (iota_p == num_pages[:, None]) & has_new[:, None]
+        tables = jnp.where(onehot, new_pages[:, None], tables)
+        num_pages = num_pages + has_new.astype(jnp.int32)
+        kv_lens = kv_lens + 1
+
+        evict_b = evict.astype(bool)
+        victims = victims_in
+        if self.track_page_scores:
+            sel = select_victims(page_scores, tables, evict_b, num_pages,
+                                 ev.topk_blocks if ev else -1)
+            victims = jnp.where(victims >= 0, victims, sel)
+        victims = jnp.where(evict_b, victims, -1)
+        eff_tables = shift_block_tables(tables, victims)
+        eff_kv = kv_lens - bs * evict_b.astype(jnp.int32)
+        num_pages = num_pages - evict_b.astype(jnp.int32)
+        return eff_tables, eff_kv, num_pages, victims
+
     def _decode_window(self, params, caches, page_scores, plan_pack,
                        state_pack, f32_pack, token_counts=None,
                        greedy_only=False):
@@ -260,9 +315,7 @@ class ModelRunner:
         if not greedy_only:
             presence, frequency, repetition = (f32_pack[2], f32_pack[3],
                                                f32_pack[4])
-        zero_writes = ev is not None and ev.evict_method in (
-            "streamingLLM-1", "inverse_key_l2")
-        iota_p = jnp.arange(p)[None, :]
+        zero_writes = self.zero_writes
         iota_b = jnp.arange(b)
 
         def body(carry, xs):
@@ -271,23 +324,9 @@ class ModelRunner:
             positions, slots, evict, victims_in, zero_slots, fill_pages, \
                 new_pages, stepctr = (xs[i] for i in range(len(
                     self._PLAN_FIELDS)))
-            # Append pre-reserved pages at the table tail.
-            has_new = new_pages >= 0
-            onehot = (iota_p == num_pages[:, None]) & has_new[:, None]
-            tables = jnp.where(onehot, new_pages[:, None], tables)
-            num_pages = num_pages + has_new.astype(jnp.int32)
-            kv_lens = kv_lens + 1
-
-            evict_b = evict.astype(bool)
-            victims = victims_in
-            if self.track_page_scores:
-                sel = select_victims(page_scores, tables, evict_b, num_pages,
-                                     ev.topk_blocks if ev else -1)
-                victims = jnp.where(victims >= 0, victims, sel)
-            victims = jnp.where(evict_b, victims, -1)
-            eff_tables = shift_block_tables(tables, victims)
-            eff_kv = kv_lens - bs * evict_b.astype(jnp.int32)
-            num_pages = num_pages - evict_b.astype(jnp.int32)
+            eff_tables, eff_kv, num_pages, victims = self._step_tables(
+                page_scores, tables, kv_lens, num_pages, evict, victims_in,
+                new_pages)
 
             def attn_fn(q, k, v, state, layer):
                 kc_all, vc_all = state
@@ -332,6 +371,145 @@ class ModelRunner:
             state_pack[:, p + 3:],
         ], axis=1)
         return new_caches, page_scores, out_pack, new_state
+
+    # ------------------------------------------------------------------
+    # pipeline-parallel program wrappers (shard_map over "pipe")
+    # ------------------------------------------------------------------
+
+    def _pp_shard_call(self, body, params, caches, page_scores, *rest,
+                       extra_out_specs):
+        """Run ``body`` as a shard_map over the "pipe" axis.  Layer-stacked
+        leaves (params["layers"], the KV pools) shard on their leading
+        axis; everything else is replicated (the body keeps replicated
+        values bit-identical via masked psums)."""
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.pipeline import param_specs, pipe_specs_for
+        in_specs = (param_specs(params),
+                    pipe_specs_for(caches, True),
+                    P(),
+                    *[jax.tree.map(lambda _: P(), r) for r in rest])
+        out_specs = (pipe_specs_for(caches, True), P(), *extra_out_specs)
+        return jax.shard_map(body, mesh=self.mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)(
+            params, caches, page_scores, *rest)
+
+    def _decode_window_pp(self, params, caches, page_scores, plan_pack,
+                          state_pack, f32_pack, token_counts=None,
+                          greedy_only=False):
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.pipeline import pp_decode_window_body
+
+        def body(params, caches, page_scores, plan_pack, state_pack,
+                 f32_pack, token_counts):
+            return pp_decode_window_body(
+                self, params, caches, page_scores, plan_pack, state_pack,
+                f32_pack, token_counts, greedy_only=greedy_only)
+
+        return self._pp_shard_call(
+            body, params, caches, page_scores, plan_pack, state_pack,
+            f32_pack, token_counts, extra_out_specs=(P(), P()))
+
+    def _finish_prefill_pp(self, params, caches, page_scores, batch,
+                           attn_fn_factory, greedy_only):
+        """Shared tail of the PP prefill programs (inside shard_map)."""
+        from ..models.llama import rms_norm
+        from ..parallel.pipeline import _masked_psum, pp_prefill_wave
+        arch = self.model.arch
+        h0 = self.model.embed(params, batch["tokens"])
+        if arch.embed_scale is not None:
+            h0 = h0 * jnp.asarray(arch.embed_scale, self.model.dtype)
+        h, caches = pp_prefill_wave(self, params, caches, h0,
+                                    batch["positions"], attn_fn_factory)
+        stage = jax.lax.axis_index("pipe")
+        if self.track_page_scores:
+            ps_new = self._update_page_scores(page_scores, caches[1],
+                                              batch["fill_pages"])
+            page_scores = _masked_psum(ps_new, stage == 0, "pipe")
+        h_final = rms_norm(h, params["final_norm"], arch.rms_norm_eps,
+                           arch.norm_unit_offset)
+        last = h_final[batch["q_len"] - 1][None]
+        logits = self.model.logits(params, last)
+        tokens = sample(logits, self._sampling_tensors(batch),
+                        greedy_only=greedy_only).astype(jnp.int32)
+        tokens = _masked_psum(tokens, stage == self.pp - 1, "pipe")
+        return caches, page_scores, tokens
+
+    def _prefill_plain_pp(self, params, caches, page_scores, batch,
+                          greedy_only=False):
+        from jax.sharding import PartitionSpec as P
+        trash_page = self.cache_engine.trash_page
+
+        def body(params, caches, page_scores, batch):
+            def factory(active):
+                def attn_fn(q, k, v, state, layer):
+                    kc_all, vc_all = state
+                    wp = jnp.where(active, batch["write_pages"], trash_page)
+                    kc = jax.tree.map(lambda x: x[layer], kc_all)
+                    vc = jax.tree.map(lambda x: x[layer], vc_all)
+                    kc, vc = write_kv_pages(kc, vc, k, v, wp)
+                    out = self._prefill_attn(q, k, v, self.scale,
+                                             batch["q_len"])
+                    kc_all = jax.tree.map(lambda a, s: a.at[layer].set(s),
+                                          kc_all, kc)
+                    vc_all = jax.tree.map(lambda a, s: a.at[layer].set(s),
+                                          vc_all, vc)
+                    return out, (kc_all, vc_all)
+                return attn_fn
+            return self._finish_prefill_pp(params, caches, page_scores,
+                                           batch, factory, greedy_only)
+
+        return self._pp_shard_call(body, params, caches, page_scores,
+                                   batch, extra_out_specs=(P(),))
+
+    def _prefill_prune_pp(self, params, caches, page_scores, batch,
+                          greedy_only=False):
+        """Evict-at-prefill under PP: per-layer pruning exactly as the
+        single-stage program (each stage prunes at its own layers)."""
+        from jax.sharding import PartitionSpec as P
+        ev = self.evict
+        assert ev is not None
+        trash_page = self.cache_engine.trash_page
+
+        def body(params, caches, page_scores, batch):
+            s_pad = batch["write_pages"].shape[0] * self.block_size
+            score_based = ev.evict_method in ("local", "global",
+                                              "inverse_key_l2")
+
+            def factory(active):
+                def attn_fn(q, k, v, state, layer):
+                    kc_all, vc_all = state
+                    if score_based:
+                        scores = token_scores(k, v, ev.evict_method)
+                    else:
+                        scores = jnp.zeros(k.shape[:2], jnp.float32)
+                    keep_idx = prompt_keep_indices(
+                        scores, batch["q_len"], self.block_size,
+                        ev.cache_budget, ev.evict_method, s_pad)
+                    k_kept, v_kept = gather_pruned_kv(k, v, keep_idx)
+                    wp = jnp.where(active, batch["write_pages"], trash_page)
+                    kc = jax.tree.map(lambda x: x[layer], kc_all)
+                    vc = jax.tree.map(lambda x: x[layer], vc_all)
+                    kc, vc = write_kv_pages(kc, vc, k_kept, v_kept, wp)
+                    kc_all = jax.tree.map(lambda a, s: a.at[layer].set(s),
+                                          kc_all, kc)
+                    vc_all = jax.tree.map(lambda a, s: a.at[layer].set(s),
+                                          vc_all, vc)
+                    if ev.disable_evict_prefill:
+                        out = self._prefill_attn(q, k, v, self.scale,
+                                                 batch["q_len"])
+                    else:
+                        out = self._pruned_prefill_attn(
+                            q, k_kept, v_kept, self.scale, batch["q_len"],
+                            batch["stored_len"])
+                    return out, (kc_all, vc_all)
+                return attn_fn
+            return self._finish_prefill_pp(params, caches, page_scores,
+                                           batch, factory, greedy_only)
+
+        return self._pp_shard_call(body, params, caches, page_scores,
+                                   batch, extra_out_specs=(P(),))
 
     def _prefill_plain(self, params, caches, page_scores, batch,
                        greedy_only=False):

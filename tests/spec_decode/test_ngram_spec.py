@@ -73,3 +73,100 @@ def test_spec_rejects_eviction_combo():
         _llm(speculative_config={"num_speculative_tokens": 4},
              enable_paged_eviction=True, evict_method="global",
              cache_budget=128)
+
+
+# ---- rejection sampler (ops/sampling.rejection_sample) -------------------
+
+def test_rejection_sample_greedy_equals_argmax_match():
+    """One-hot target distributions reduce rejection sampling to exact
+    argmax-match verification."""
+    import jax.numpy as jnp
+    from vllm_paged_compression_tpu.ops.sampling import rejection_sample
+    v, k = 16, 3
+    # Target argmaxes per position: [5, 9, 2, 7]; proposals [5, 9, 3].
+    argmaxes = [5, 9, 2, 7]
+    probs = np.zeros((1, k + 1, v), np.float32)
+    for j, a in enumerate(argmaxes):
+        probs[0, j, a] = 1.0
+    proposals = np.array([[5, 9, 3]], np.int32)
+    toks, n_acc = rejection_sample(jnp.asarray(probs),
+                                   jnp.asarray(proposals),
+                                   jnp.asarray([7], jnp.int32),
+                                   jnp.asarray([0], jnp.int32))
+    assert int(n_acc[0]) == 2             # 5, 9 accepted; 3 != 2 rejected
+    assert [int(x) for x in np.asarray(toks)[0][:3]] == [5, 9, 2]
+
+
+def test_rejection_sample_all_accepted_gets_bonus():
+    import jax.numpy as jnp
+    from vllm_paged_compression_tpu.ops.sampling import rejection_sample
+    v, k = 8, 2
+    probs = np.zeros((1, k + 1, v), np.float32)
+    probs[0, 0, 1] = 1.0
+    probs[0, 1, 2] = 1.0
+    probs[0, 2, 3] = 1.0                  # bonus position
+    proposals = np.array([[1, 2]], np.int32)
+    toks, n_acc = rejection_sample(jnp.asarray(probs),
+                                   jnp.asarray(proposals),
+                                   jnp.asarray([7], jnp.int32),
+                                   jnp.asarray([0], jnp.int32))
+    assert int(n_acc[0]) == 2
+    assert [int(x) for x in np.asarray(toks)[0]] == [1, 2, 3]
+
+
+def test_rejection_sample_matches_target_distribution():
+    """Spec sampling must be UNBIASED: the marginal distribution of the
+    first emitted token equals the target distribution regardless of the
+    proposal (Leviathan et al. guarantee)."""
+    import jax
+    import jax.numpy as jnp
+    from vllm_paged_compression_tpu.ops.sampling import rejection_sample
+    v, k, n_trials = 4, 1, 4000
+    target = np.array([0.5, 0.25, 0.125, 0.125], np.float32)
+    probs = np.zeros((n_trials, k + 1, v), np.float32)
+    probs[:, 0] = target
+    probs[:, 1] = target
+    proposals = np.zeros((n_trials, k), np.int32)   # always propose 0
+    seeds = np.arange(n_trials, dtype=np.int32)
+    toks, n_acc = jax.jit(rejection_sample)(
+        jnp.asarray(probs), jnp.asarray(proposals),
+        jnp.asarray(seeds), jnp.zeros(n_trials, jnp.int32))
+    toks = np.asarray(toks)
+    first = toks[np.arange(n_trials), 0]
+    freq = np.bincount(first, minlength=v) / n_trials
+    np.testing.assert_allclose(freq, target, atol=0.03)
+
+
+# ---- draft-model proposer -------------------------------------------------
+
+DRAFT_CFG = {**CFG, "num_hidden_layers": 1, "hidden_size": 32,
+             "intermediate_size": 64}
+
+
+def test_draft_spec_decode_token_identical():
+    """Greedy output with a draft-model proposer must match plain
+    decoding exactly (bad proposals only cost acceptance rate)."""
+    prompts = [[1, 17, 33, 5, 99, 2, 8, 61, 40, 7], [9, 3, 3, 12, 50]]
+    base = _gen(_llm(), prompts, n=24)
+    spec = _gen(_llm(speculative_config=dict(
+        method="draft", num_speculative_tokens=3,
+        draft_hf_config=DRAFT_CFG, draft_window=32)), prompts, n=24)
+    assert base == spec
+
+
+def test_spec_decode_sampled_runs_and_is_seeded():
+    """Stochastic spec decode: completes, deterministic per seed."""
+    from vllm_paged_compression_tpu.sampling_params import SamplingParams
+    prompts = [[1, 17, 33, 5, 99, 2, 8], [9, 3, 3, 12, 50]]
+    sp = SamplingParams(temperature=0.8, top_p=0.95, seed=1234,
+                        max_tokens=16)
+
+    def run():
+        llm = _llm(speculative_config=dict(method="ngram",
+                                           num_speculative_tokens=3))
+        outs = llm.generate(prompt_token_ids=prompts, sampling_params=sp)
+        return [list(o.outputs[0].token_ids) for o in outs]
+
+    a, b = run(), run()
+    assert a == b
+    assert all(len(t) == 16 for t in a)

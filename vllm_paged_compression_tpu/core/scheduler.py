@@ -439,10 +439,13 @@ class Scheduler:
 
     # ---- speculative decoding (reference vllm/spec_decode/, C16) --------
 
-    def plan_spec_step(self, k: int, ngram_max: int, ngram_min: int):
-        """Plan one speculative step for all running sequences: ngram
-        proposals + slots for the k+1 in-flight KV rows.  Returns
-        (plans, preempted)."""
+    def plan_spec_step(self, k: int, ngram_max: int, ngram_min: int,
+                       proposals=None):
+        """Plan one speculative step for all running sequences: proposals
+        + slots for the k+1 in-flight KV rows.  Returns (plans,
+        preempted).  ``proposals``: optional {request_id: [k tokens]}
+        from an external proposer (draft model); missing entries fall
+        back to ngram lookup."""
         from ..spec_decode.ngram import propose_ngram
         preempted: list[Sequence] = []
         bs = self.block_size
@@ -469,10 +472,14 @@ class Scheduler:
                 t.pages.extend(self.allocator.allocate(grow))
             slots = [t.pages[(kv + j) // bs] * bs + (kv + j) % bs
                      for j in range(k + 1)]
-            history = seq.prompt_token_ids + seq.output_token_ids
-            proposals = propose_ngram(history, k, ngram_max, ngram_min)
+            if proposals is not None and seq.request_id in proposals:
+                props = list(proposals[seq.request_id])[:k]
+                props += [props[-1] if props else 0] * (k - len(props))
+            else:
+                history = seq.prompt_token_ids + seq.output_token_ids
+                props = propose_ngram(history, k, ngram_max, ngram_min)
             positions = [seq.get_len() - 1 + j for j in range(k + 1)]
-            plans.append(SpecStepPlan(seq=seq, proposals=proposals,
+            plans.append(SpecStepPlan(seq=seq, proposals=props,
                                       slots=slots, positions=positions,
                                       base_kv=kv))
         return plans, preempted

@@ -47,6 +47,9 @@ class EngineArgs:
     num_speculative_tokens: Optional[int] = None
     ngram_prompt_lookup_max: int = 3
     ngram_prompt_lookup_min: int = 1
+    speculative_method: str = "ngram"
+    speculative_draft_model: str = ""
+    speculative_draft_window: int = 128
     # paged eviction (fork surface)
     enable_paged_eviction: bool = False
     disable_evict_prefill: bool = False
@@ -97,6 +100,12 @@ class EngineArgs:
                             "many proposed tokens per step")
         g.add_argument("--ngram-prompt-lookup-max", type=int, default=3)
         g.add_argument("--ngram-prompt-lookup-min", type=int, default=1)
+        g.add_argument("--speculative-method", type=str, default="ngram",
+                       choices=["ngram", "draft"])
+        g.add_argument("--speculative-draft-model", type=str, default="",
+                       help="HF path of the small draft model "
+                            "(--speculative-method draft)")
+        g.add_argument("--speculative-draft-window", type=int, default=128)
 
         g = parser.add_argument_group("parallel")
         g.add_argument("--tensor-parallel-size", "-tp", type=int, default=1)
@@ -169,8 +178,11 @@ class EngineArgs:
         if self.num_speculative_tokens is not None:
             from ..spec_decode import SpeculativeConfig
             cfg.speculative = SpeculativeConfig(
+                method=self.speculative_method,
                 num_speculative_tokens=self.num_speculative_tokens,
                 ngram_prompt_lookup_max=self.ngram_prompt_lookup_max,
-                ngram_prompt_lookup_min=self.ngram_prompt_lookup_min)
+                ngram_prompt_lookup_min=self.ngram_prompt_lookup_min,
+                draft_model=self.speculative_draft_model,
+                draft_window=self.speculative_draft_window)
         cfg.verify()
         return cfg

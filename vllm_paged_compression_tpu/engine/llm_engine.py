@@ -113,6 +113,23 @@ class LLMEngine:
 
         self.tokenizer = maybe_load_tokenizer(mc.tokenizer or mc.model)
 
+        self.draft_proposer = None
+        sc = config.speculative
+        if sc is not None and sc.method == "draft":
+            from ..spec_decode.draft import DraftProposer
+            if sc.draft_hf_config is not None:
+                draft_model = build_model(sc.draft_hf_config, dtype=dtype)
+                draft_params = draft_model.init_params(mc.seed + 1)
+            else:
+                logger.info("Loading draft weights from %s", sc.draft_model)
+                draft_model = build_model(load_hf_config(sc.draft_model),
+                                          dtype=dtype)
+                draft_params = draft_model.load_hf_state_dict(
+                    load_state_dict(sc.draft_model))
+            self.draft_proposer = DraftProposer(
+                draft_model, draft_params, sc.num_speculative_tokens,
+                sc.draft_window)
+
         kv_dtype = _KV_DTYPES.get(config.cache.cache_dtype) or dtype
         import jax
         weight_bytes = sum(x.nbytes for x in jax.tree.leaves(self.params))
@@ -264,31 +281,52 @@ class LLMEngine:
                 self._postprocess(sp.seq, results, finished)
         elif self.scheduler.num_running and \
                 self.config.speculative is not None:
-            # Speculative decoding: ngram proposals + batched greedy
-            # verification (reference spec_decode/, greedy path).
+            # Speculative decoding (reference spec_decode/): ngram or
+            # draft-model proposals; greedy batches verify by argmax
+            # match, stochastic batches by in-graph rejection sampling.
             sc = self.config.speculative
+            proposals = None
+            if self.draft_proposer is not None and self.scheduler.running:
+                running = list(self.scheduler.running)
+                props = self.draft_proposer.propose(
+                    [s.prompt_token_ids + list(s.output_token_ids)
+                     for s in running])
+                proposals = {s.request_id: props[i].tolist()
+                             for i, s in enumerate(running)}
             plans, _pre = self.scheduler.plan_spec_step(
                 sc.num_speculative_tokens, sc.ngram_prompt_lookup_max,
-                sc.ngram_prompt_lookup_min)
+                sc.ngram_prompt_lookup_min, proposals=proposals)
             if plans:
                 for plan in plans:
-                    if not plan.seq.params.greedy:
+                    p = plan.seq.params
+                    if (p.presence_penalty != 0.0
+                            or p.frequency_penalty != 0.0
+                            or p.repetition_penalty != 1.0):
                         raise NotImplementedError(
-                            "ngram speculative decoding currently requires "
-                            "greedy sampling (rejection sampling is a "
-                            "follow-up)")
-                self.kv_caches, self.page_scores, model_toks = \
-                    self.runner.run_spec_verify(
-                        self.params, self.kv_caches, self.page_scores,
-                        plans)
-                for i, plan in enumerate(plans):
+                            "speculative decoding with token penalties")
+                accepted: list[list[int]] = []
+                if all(pl.seq.params.greedy for pl in plans):
+                    self.kv_caches, self.page_scores, model_toks = \
+                        self.runner.run_spec_verify(
+                            self.params, self.kv_caches, self.page_scores,
+                            plans)
+                    for i, plan in enumerate(plans):
+                        m = [int(x) for x in model_toks[i]]
+                        props = plan.proposals
+                        a = 0
+                        while a < len(props) and props[a] == m[a]:
+                            a += 1
+                        accepted.append(props[:a] + [m[a]])
+                else:
+                    self.kv_caches, self.page_scores, toks, n_acc = \
+                        self.runner.run_spec_verify_sampled(
+                            self.params, self.kv_caches, self.page_scores,
+                            plans)
+                    for i in range(len(plans)):
+                        n = int(n_acc[i])
+                        accepted.append([int(x) for x in toks[i][:n + 1]])
+                for plan, new_tokens in zip(plans, accepted):
                     seq = plan.seq
-                    m = [int(x) for x in model_toks[i]]
-                    props = plan.proposals
-                    a = 0
-                    while a < len(props) and props[a] == m[a]:
-                        a += 1
-                    new_tokens = props[:a] + [m[a]]
                     mt = seq.params.max_tokens
                     if mt is not None:
                         new_tokens = new_tokens[

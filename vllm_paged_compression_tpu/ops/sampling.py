@@ -39,12 +39,22 @@ def sample(logits: jnp.ndarray, t: SamplingTensors,
     the full path costs three [B, V] sorts per step, which dominates small
     decode batches on TPU.
     """
-    b, v = logits.shape
     logits = logits.astype(jnp.float32)
     greedy_ids = jnp.argmax(logits, axis=-1)
     if greedy_only:
         return greedy_ids
 
+    scaled = _filter_logits(logits, t)
+    sampled = jax.vmap(
+        lambda seed, step, lg: jax.random.categorical(
+            jax.random.fold_in(jax.random.PRNGKey(seed), step), lg)
+    )(t.seed, t.step, scaled)
+    return jnp.where(t.temperature <= 0.0, greedy_ids, sampled)
+
+
+def _filter_logits(logits: jnp.ndarray, t: SamplingTensors) -> jnp.ndarray:
+    """Temperature + top-k + top-p filtered logits (f32 in, f32 out)."""
+    v = logits.shape[-1]
     temp = jnp.maximum(t.temperature, 1e-6)[:, None]
     scaled = logits / temp
 
@@ -64,13 +74,67 @@ def sample(logits: jnp.ndarray, t: SamplingTensors,
     thresh = jnp.take_along_axis(
         jnp.sort(scaled, axis=-1)[:, ::-1],
         jnp.clip(cutoff_rank[:, None], 0, v - 1), axis=1)
-    scaled = jnp.where(scaled < thresh, -jnp.inf, scaled)
+    return jnp.where(scaled < thresh, -jnp.inf, scaled)
 
-    sampled = jax.vmap(
-        lambda seed, step, lg: jax.random.categorical(
-            jax.random.fold_in(jax.random.PRNGKey(seed), step), lg)
-    )(t.seed, t.step, scaled)
-    return jnp.where(t.temperature <= 0.0, greedy_ids, sampled)
+
+def sampling_probs(logits: jnp.ndarray, t: SamplingTensors) -> jnp.ndarray:
+    """The actual per-token sampling distribution [B, V] after temperature
+    / top-k / top-p filtering; greedy rows (temp <= 0) become one-hot.
+    This is the target distribution the rejection sampler verifies
+    speculative proposals against (reference
+    vllm/model_executor/layers/rejection_sampler.py)."""
+    v = logits.shape[-1]
+    logits = logits.astype(jnp.float32)
+    greedy = jax.nn.one_hot(jnp.argmax(logits, axis=-1), v,
+                            dtype=jnp.float32)
+    probs = jax.nn.softmax(_filter_logits(logits, t), axis=-1)
+    return jnp.where(t.temperature[:, None] <= 0.0, greedy, probs)
+
+
+def rejection_sample(probs: jnp.ndarray, proposals: jnp.ndarray,
+                     seeds: jnp.ndarray, steps: jnp.ndarray):
+    """Leviathan-style speculative verification for one-hot drafts.
+
+    Both of this engine's proposers (ngram, greedy draft model) emit
+    deterministic proposals, i.e. draft distribution q = one-hot(x_j).
+    Then accept x_j with prob min(1, p(x_j)/q(x_j)) = p(x_j), and on
+    rejection resample from the residual max(0, p - q) normalized = p with
+    the proposed token zeroed out.  Greedy targets (one-hot p) reduce
+    exactly to argmax-match verification.
+
+    probs:      [B, k+1, V] target sampling distributions per position
+    proposals:  [B, k] proposed token ids
+    Returns (tokens [B, k+1], n_accepted [B]): tokens[:, :n] are accepted
+    proposals, tokens[:, n] the resampled/bonus token; positions past n
+    are garbage (the caller appends n+1 tokens).
+    """
+    b, kp1, v = probs.shape
+    k = kp1 - 1
+    iota_b = jnp.arange(b)
+    p_prop = jnp.take_along_axis(probs[:, :k, :], proposals[:, :, None],
+                                 axis=2)[..., 0]            # [B, k]
+
+    def per_row(seed, step):
+        key = jax.random.fold_in(
+            jax.random.fold_in(jax.random.PRNGKey(seed), step), 0x5EC)
+        ku, kr = jax.random.split(key)
+        return jax.random.uniform(ku, (k,)), kr
+
+    u, rkeys = jax.vmap(per_row)(seeds, steps)
+    accept = u < p_prop
+    n_acc = jnp.sum(jnp.cumprod(accept.astype(jnp.int32), axis=1), axis=1)
+    row = probs[iota_b, n_acc]                              # [B, V]
+    rej_tok = proposals[iota_b, jnp.clip(n_acc, 0, k - 1)]
+    zeroed = row.at[iota_b, rej_tok].set(0.0)
+    zsum = jnp.sum(zeroed, axis=-1, keepdims=True)
+    resid = jnp.where(zsum > 0, zeroed / jnp.maximum(zsum, 1e-20), row)
+    dist = jnp.where((n_acc < k)[:, None], resid, row)
+    final = jax.vmap(lambda kk, d: jax.random.categorical(
+        kk, jnp.log(jnp.maximum(d, 1e-20))))(rkeys, dist)
+    tokens = jnp.concatenate(
+        [proposals, jnp.zeros((b, 1), proposals.dtype)], axis=1)
+    tokens = tokens.at[iota_b, n_acc].set(final.astype(tokens.dtype))
+    return tokens, n_acc
 
 
 def apply_penalties(logits: jnp.ndarray, output_token_counts: jnp.ndarray,

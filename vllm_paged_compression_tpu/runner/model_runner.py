@@ -200,6 +200,8 @@ class ModelRunner:
             for g in (False, True) for last in (False, True)}
         self._spec_verify_jit = jax.jit(self._spec_verify,
                                         donate_argnums=(1, 2))
+        self._spec_verify_sampled_jit = jax.jit(self._spec_verify_sampled,
+                                                donate_argnums=(1, 2))
 
     # ------------------------------------------------------------------
     # jitted programs
@@ -624,9 +626,41 @@ class ModelRunner:
         toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return new_caches, page_scores, toks
 
-    def run_spec_verify(self, params, caches, page_scores, plans):
-        """Host assembly for one speculative step.  Returns
-        (caches, page_scores, model_tokens [n, k+1])."""
+    def _spec_verify_sampled(self, params, caches, page_scores, batch):
+        """Rejection-sampling verification (reference
+        vllm/model_executor/layers/rejection_sampler.py, here in-graph):
+        the same multi-row forward as _spec_verify, then per-row target
+        sampling distributions and Leviathan accept/resample."""
+        from ..ops.sampling import rejection_sample, sampling_probs
+        tables = batch["tables"]
+        rows = batch["tokens"].shape[0]
+        rep = rows // tables.shape[0]
+        tables_rep = jnp.repeat(tables, rep, axis=0)
+
+        def attn_fn(q, k, v, state, layer):
+            kc_all, vc_all = state
+            out, kc_all, vc_all = self._fused_attn(
+                q, k, v, kc_all, vc_all, layer, tables_rep,
+                batch["kv_lens"], batch["slots"], None)
+            return out, (kc_all, vc_all)
+
+        lk = (self._lora_kwargs(params, batch["lora_idx"])
+              if self.lora_enabled else {})
+        hidden, new_caches = self.model.forward_hidden(
+            params, batch["tokens"], batch["positions"], attn_fn, caches,
+            state_mode="carry", **lk)
+        logits = self.model.logits(params, hidden)          # [rows, V]
+        zeros = jnp.zeros(rows, jnp.int32)
+        probs = sampling_probs(logits, SamplingTensors(
+            temperature=batch["row_temp"], top_p=batch["row_top_p"],
+            top_k=batch["row_top_k"], seed=zeros, step=zeros))
+        b = batch["proposals"].shape[0]
+        probs = probs.reshape(b, rep, -1)
+        toks, n_acc = rejection_sample(probs, batch["proposals"],
+                                       batch["seed"], batch["step"])
+        return new_caches, page_scores, (toks, n_acc)
+
+    def _spec_batch(self, plans):
         n = len(plans)
         kp1 = len(plans[0].slots)
         b = next_bucket(n, self.decode_buckets)
@@ -657,10 +691,39 @@ class ModelRunner:
                  "kv_lens": kv_lens, "tables": tables}
         if self.lora_enabled:
             batch["lora_idx"] = lora_idx
+        return batch, n, b, kp1
+
+    def run_spec_verify(self, params, caches, page_scores, plans):
+        """Host assembly for one speculative step (greedy verification).
+        Returns (caches, page_scores, model_tokens [n, k+1])."""
+        batch, n, b, kp1 = self._spec_batch(plans)
         caches, page_scores, toks = self._spec_verify_jit(
             params, caches, page_scores, batch)
         out = np.asarray(toks).reshape(b, kp1)[:n]
         return caches, page_scores, out
+
+    def run_spec_verify_sampled(self, params, caches, page_scores, plans):
+        """Speculative step with in-graph rejection sampling (stochastic
+        requests; greedy rows reduce to argmax-match).  Returns
+        (caches, page_scores, tokens [n, k+1], n_accepted [n])."""
+        batch, n, b, kp1 = self._spec_batch(plans)
+        k = kp1 - 1
+        rows = b * kp1
+        samp = self._seq_sampling_arrays([pl.seq for pl in plans], b)
+        batch["row_temp"] = np.repeat(samp["temperature"], kp1)
+        batch["row_top_p"] = np.repeat(samp["top_p"], kp1)
+        batch["row_top_k"] = np.repeat(samp["top_k"], kp1)
+        assert batch["row_temp"].shape == (rows,)
+        batch["seed"] = samp["seed"]
+        batch["step"] = samp["step"]
+        proposals = np.zeros((b, k), np.int32)
+        for i, plan in enumerate(plans):
+            proposals[i] = plan.proposals
+        batch["proposals"] = proposals
+        caches, page_scores, (toks, n_acc) = self._spec_verify_sampled_jit(
+            params, caches, page_scores, batch)
+        return (caches, page_scores, np.asarray(toks)[:n],
+                np.asarray(n_acc)[:n])
 
     def _finish_prefill(self, params, caches, page_scores, batch,
                         attn_fn, greedy_only=False):

@@ -8,16 +8,26 @@ from dataclasses import dataclass
 
 @dataclass
 class SpeculativeConfig:
-    method: str = "ngram"
+    method: str = "ngram"              # "ngram" | "draft"
     num_speculative_tokens: int = 4
     ngram_prompt_lookup_max: int = 3
     ngram_prompt_lookup_min: int = 1
+    # draft-model proposer (method="draft"): an HF path or an inline hf
+    # config dict (synthetic weights) for the small model; the draft is
+    # stateless over a recent token window (spec_decode/draft.py).
+    draft_model: str = ""
+    draft_hf_config: dict | None = None
+    draft_window: int = 128
 
     def verify(self) -> None:
-        if self.method != "ngram":
+        if self.method not in ("ngram", "draft"):
             raise NotImplementedError(
-                "round 1 ships the ngram proposer (draft-model / Medusa "
-                "proposers are follow-ups)")
+                "speculative method must be 'ngram' or 'draft' (Medusa / "
+                "MLP-speculator heads are follow-ups)")
+        if self.method == "draft" and not self.draft_model \
+                and self.draft_hf_config is None:
+            raise ValueError("method='draft' needs draft_model or "
+                             "draft_hf_config")
         if self.num_speculative_tokens < 1:
             raise ValueError("num_speculative_tokens must be >= 1")
         if self.ngram_prompt_lookup_min < 1 or \

@@ -61,6 +61,10 @@ class Sequence:
         self.prefill_pos = 0
         # LoRA adapter device slot (0 = no adapter).
         self.lora_slot = 0
+        # Multimodal: pixel tensor [3, H, W] and the contiguous
+        # placeholder span start in the (expanded) prompt.
+        self.pixel_values = None
+        self.mm_start = -1
         # Timing for metrics (TTFT/TPOT, reference engine/metrics.py).
         self.first_token_time: Optional[float] = None
         self.finish_time: Optional[float] = None

@@ -190,7 +190,8 @@ class LLMEngine:
                     sampling_params: Optional[SamplingParams] = None,
                     arrival_time: Optional[float] = None,
                     priority: int = 0,
-                    lora_request=None) -> str:
+                    lora_request=None,
+                    multi_modal_data: Optional[dict] = None) -> str:
         if request_id is None:
             request_id = f"req-{self._req_counter}"
             self._req_counter += 1
@@ -200,10 +201,17 @@ class LLMEngine:
             if self.tokenizer is None:
                 raise ValueError("no tokenizer available; pass token ids")
             prompt_token_ids = self.tokenizer.encode(prompt).ids
+        pixel_values = None
+        mm_start = -1
+        if multi_modal_data:
+            pixel_values, prompt_token_ids, mm_start = \
+                self._prepare_image(multi_modal_data, prompt_token_ids)
         seq = Sequence(request_id, prompt_token_ids,
                        sampling_params or SamplingParams(),
                        arrival_time=arrival_time, priority=priority,
                        eos_token_id=self.eos_token_id)
+        seq.pixel_values = pixel_values
+        seq.mm_start = mm_start
         if lora_request is not None:
             if self.lora_manager is None:
                 raise ValueError("engine built without a LoRAConfig")
@@ -212,6 +220,43 @@ class LLMEngine:
         self._seqs[request_id] = seq
         self.scheduler.add_seq(seq)
         return request_id
+
+    def _prepare_image(self, multi_modal_data: dict,
+                       prompt_token_ids: list[int]):
+        """Validate an image request and expand its placeholder.
+
+        The prompt may carry the image token once (expanded here to
+        ``num_image_tokens`` copies, HF-processor style) or already
+        expanded.  Returns (pixel_values, expanded_prompt, span_start)."""
+        import numpy as np
+        if not hasattr(self.model, "encode_image"):
+            raise ValueError("model has no vision tower; cannot accept "
+                             "multi_modal_data")
+        if self.config.scheduler.enable_chunked_prefill \
+                or self.config.cache.enable_prefix_caching:
+            raise ValueError("image inputs with chunked prefill / prefix "
+                             "caching are not supported yet")
+        pixel_values = np.asarray(multi_modal_data["image"], np.float32)
+        va = self.model.vision.arch
+        if pixel_values.shape != (3, va.image_size, va.image_size):
+            raise ValueError(
+                f"expected pixel_values [3, {va.image_size}, "
+                f"{va.image_size}], got {pixel_values.shape}")
+        img_tok = self.model.image_token_id
+        n = self.model.num_image_tokens
+        spans = [i for i, t in enumerate(prompt_token_ids) if t == img_tok]
+        if len(spans) == 1:
+            start = spans[0]
+            prompt_token_ids = (prompt_token_ids[:start] + [img_tok] * n
+                                + prompt_token_ids[start + 1:])
+        elif len(spans) == n and spans == list(range(spans[0],
+                                                     spans[0] + n)):
+            start = spans[0]
+        else:
+            raise ValueError(
+                "prompt must contain the image token exactly once (or one "
+                "contiguous pre-expanded span)")
+        return pixel_values, prompt_token_ids, start
 
     # ------------------------------------------------------------------
     # LoRA adapters (reference vllm/entrypoints add_lora RPC + worker

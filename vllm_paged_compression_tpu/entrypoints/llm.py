@@ -85,6 +85,7 @@ class LLM:
                                         Seq[SamplingParams]]] = None,
         prompt_token_ids: Optional[Seq[Seq[int]]] = None,
         lora_request=None,
+        multi_modal_data: Optional[Union[dict, Seq[Optional[dict]]]] = None,
     ) -> list[RequestOutput]:
         if prompts is not None and isinstance(prompts, str):
             prompts = [prompts]
@@ -95,6 +96,8 @@ class LLM:
             sampling_params = [sampling_params] * n
         if lora_request is not None and not isinstance(lora_request, list):
             lora_request = [lora_request] * n
+        if isinstance(multi_modal_data, dict):
+            multi_modal_data = [multi_modal_data] * n
 
         ids = []
         for i in range(n):
@@ -103,7 +106,9 @@ class LLM:
                 prompt_token_ids=(list(prompt_token_ids[i])
                                   if prompt_token_ids is not None else None),
                 sampling_params=sampling_params[i],
-                lora_request=(lora_request[i] if lora_request else None))
+                lora_request=(lora_request[i] if lora_request else None),
+                multi_modal_data=(multi_modal_data[i]
+                                  if multi_modal_data else None))
             ids.append(rid)
 
         finals: dict[str, RequestOutput] = {}

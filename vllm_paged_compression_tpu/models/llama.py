@@ -398,8 +398,13 @@ class LlamaModel:
         lora: Any = None,
         lora_idx: Any = None,
         state_mode: str = "scan",
+        input_embeds: Any = None,
     ):
         """token_ids/positions [T] -> (hidden [T, D], new_attn_state).
+
+        ``input_embeds`` [T, D]: pre-built (and pre-scaled) hidden inputs —
+        the multimodal path splices projected image features over the
+        placeholder span and bypasses token embedding.
 
         ``lora``: optional adapter stacks from lora.manager.empty_lora_params
         (leaves [L, S, ...]); ``lora_idx``: adapter slot per token ([T]) or
@@ -430,11 +435,14 @@ class LlamaModel:
           with zero copies — the decode hot path.
         """
         a = self.arch
-        h = self.embed(params, token_ids)
-        if a.embed_scale is not None:
-            # Gemma normalizer: cast to model dtype first (HF rounds the
-            # sqrt(hidden) constant to bf16 before multiplying).
-            h = h * jnp.asarray(a.embed_scale, self.dtype)
+        if input_embeds is not None:
+            h = input_embeds
+        else:
+            h = self.embed(params, token_ids)
+            if a.embed_scale is not None:
+                # Gemma normalizer: cast to model dtype first (HF rounds
+                # the sqrt(hidden) constant to bf16 before multiplying).
+                h = h * jnp.asarray(a.embed_scale, self.dtype)
         h, new_state = self.forward_layers(params, h, positions, attn_fn,
                                            attn_state, lora, lora_idx,
                                            state_mode)

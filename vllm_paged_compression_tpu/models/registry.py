@@ -47,9 +47,12 @@ def build_model(hf_config: dict, dtype=jnp.bfloat16):
     _ensure_builtin()
     archs = hf_config.get("architectures") or []
     for name in archs:
+        if name == "LlavaForConditionalGeneration":
+            from .llava import LlavaModel
+            return LlavaModel.from_hf_config(hf_config, dtype=dtype)
         if name in _REGISTRY:
             model_cls, arch_cls = _REGISTRY[name]
             return model_cls(arch_cls.from_hf_config(hf_config), dtype=dtype)
     raise ValueError(
         f"No supported architecture in {archs}; "
-        f"supported: {supported_architectures()}")
+        f"supported: {supported_architectures() + ['LlavaForConditionalGeneration']}")

@@ -725,10 +725,25 @@ class ModelRunner:
         return (caches, page_scores, np.asarray(toks)[:n],
                 np.asarray(n_acc)[:n])
 
+    def _mm_input_embeds(self, params, batch):
+        """Token embeddings with projected image features spliced over the
+        placeholder span (multimodal prefill; reference merges inside the
+        llava forward, vllm/model_executor/models/llava.py)."""
+        feats = self.model.encode_image(params, batch["pixel_values"])
+        emb = self.model.embed(params, batch["tokens"])
+        es = getattr(self.model.arch, "embed_scale", None)
+        if es is not None:
+            emb = emb * jnp.asarray(es, emb.dtype)
+        return jax.lax.dynamic_update_slice(
+            emb, feats.astype(emb.dtype),
+            (batch["img_start"], jnp.int32(0)))
+
     def _finish_prefill(self, params, caches, page_scores, batch,
                         attn_fn, greedy_only=False):
         lk = (self._lora_kwargs(params, batch["lora_idx"])
               if self.lora_enabled else {})
+        if "pixel_values" in batch:
+            lk["input_embeds"] = self._mm_input_embeds(params, batch)
         hidden, new_caches = self.model.forward_hidden(
             params, batch["tokens"], batch["positions"], attn_fn, caches,
             **lk)
@@ -913,6 +928,9 @@ class ModelRunner:
         batch.update(self._seq_sampling_arrays([seq], 1))
         if self.lora_enabled:
             batch["lora_idx"] = np.int32(seq.lora_slot)
+        if getattr(seq, "pixel_values", None) is not None:
+            batch["pixel_values"] = seq.pixel_values
+            batch["img_start"] = np.int32(seq.mm_start)
         greedy = seq.params.greedy
         fn = (self._prefill_prune_jits if do_prune
               else self._prefill_plain_jits)[greedy]

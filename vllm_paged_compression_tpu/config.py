@@ -243,6 +243,7 @@ class EngineConfig:
     observability: ObservabilityConfig = field(default_factory=ObservabilityConfig)
     lora: Optional[Any] = None   # lora.models.LoRAConfig when enabled
     speculative: Optional[Any] = None  # spec_decode.SpeculativeConfig
+    kv_transfer: Optional[Any] = None  # kv_transfer.KVTransferConfig
 
     def verify(self) -> None:
         self.model.verify()

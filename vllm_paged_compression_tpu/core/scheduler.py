@@ -138,6 +138,13 @@ class Scheduler:
                     return True
         return False
 
+    def admit_prefilled(self, seq: Sequence) -> None:
+        """Move a waiting sequence whose prompt KV arrived externally
+        (disaggregated prefill, kv_transfer/) straight into decode."""
+        self.waiting.remove(seq)
+        seq.status = SequenceStatus.RUNNING
+        self.running.append(seq)
+
     def has_unfinished(self) -> bool:
         return bool(self.waiting or self.running)
 

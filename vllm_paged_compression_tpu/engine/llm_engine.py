@@ -173,6 +173,15 @@ class LLMEngine:
         self.metrics = EngineMetrics(self)
         from .tracing import Tracer
         self.tracer = Tracer(config.observability.otlp_traces_endpoint)
+        self.kv_pipe = None
+        self.kv_lookup = None
+        if config.kv_transfer is not None:
+            from ..kv_transfer import KVLookupBuffer, build_pipe
+            config.kv_transfer.verify()
+            self.kv_pipe = build_pipe(config.kv_transfer)
+            if config.kv_transfer.role == "consumer":
+                self.kv_lookup = KVLookupBuffer(self.kv_pipe)
+
         self._seqs: dict[str, Sequence] = {}
         self._req_counter = 0
         # A dispatched-but-unfetched decode window: (plans, k, handle,
@@ -311,6 +320,12 @@ class LLMEngine:
                 or self.config.speculative is not None):
             num_gen_tokens += self._drain_inflight(results, finished)
 
+        if self.kv_lookup is not None and self.scheduler.num_waiting:
+            ingested = self._kv_consumer_intake()
+            for seq in ingested:
+                num_gen_tokens += 1
+                self._postprocess(seq, results, finished)
+
         out: SchedulerOutput = self.scheduler.schedule()
 
         if out.prefills:
@@ -323,6 +338,8 @@ class LLMEngine:
                 self.scheduler.register_prefix(sp.seq)
                 sp.seq.append_token(int(tok))
                 num_gen_tokens += 1
+                if self.kv_pipe is not None and self.kv_lookup is None:
+                    self._kv_produce(sp.seq)
                 self._postprocess(sp.seq, results, finished)
         elif self.scheduler.num_running and \
                 self.config.speculative is not None:
@@ -399,6 +416,47 @@ class LLMEngine:
             self._seqs.pop(seq.request_id, None)
         self.metrics.observe_step(out, results, num_gen_tokens)
         return results
+
+    # ---- KV transfer (disaggregated prefill, SURVEY C19) --------------
+
+    def _kv_produce(self, seq: Sequence) -> None:
+        """Export a finished prefill: pruned KV pages + first token."""
+        from ..kv_transfer import prompt_key
+        table = seq.block_table
+        kv = self.runner.extract_seq_kv(self.kv_caches, table.pages)
+        self.kv_pipe.send({
+            "key": prompt_key(seq.prompt_token_ids),
+            "prompt_len": seq.num_prompt_tokens,
+            "kv_len": table.num_kv_slots,
+            "kv": kv,
+            "first_token": seq.output_token_ids[-1],
+        })
+
+    def _kv_consumer_intake(self) -> list[Sequence]:
+        """Claim transferred prefills for waiting requests: allocate a
+        table, scatter the pages in, append the producer's first token,
+        and admit straight to decode (no prefill compute)."""
+        from ..kv_transfer import prompt_key
+        ingested = []
+        for seq in list(self.scheduler.waiting):
+            payload = self.kv_lookup.take(prompt_key(seq.prompt_token_ids))
+            if payload is None:
+                continue
+            n_pages = -(-payload["kv_len"] // self.config.cache.block_size)
+            if not self.scheduler.allocator.can_allocate(n_pages):
+                continue
+            from ..core.block_table import BlockTable
+            table = BlockTable(self.config.cache.block_size,
+                               self.scheduler.allocator)
+            table.allocate_prompt(payload["kv_len"])
+            self.kv_caches = self.runner.inject_seq_kv(
+                self.kv_caches, payload["kv"], table.pages)
+            seq.block_table = table
+            seq.prefill_pos = seq.num_prompt_tokens
+            self.scheduler.admit_prefilled(seq)
+            seq.append_token(int(payload["first_token"]))
+            ingested.append(seq)
+        return ingested
 
     # ---- pipelined decode windows ------------------------------------
 

@@ -33,6 +33,7 @@ class LLM:
                  enable_lora: bool = False, max_loras: int = 4,
                  max_lora_rank: int = 16,
                  speculative_config: Optional[dict] = None,
+                 kv_transfer_config: Optional[dict] = None,
                  tensor_parallel_size: int = 1,
                  data_parallel_size: int = 1,
                  pipeline_parallel_size: int = 1,
@@ -53,9 +54,14 @@ class LLM:
         if speculative_config is not None:
             from ..spec_decode import SpeculativeConfig
             spec_cfg = SpeculativeConfig(**speculative_config)
+        kv_cfg = None
+        if kv_transfer_config is not None:
+            from ..kv_transfer import KVTransferConfig
+            kv_cfg = KVTransferConfig(**kv_transfer_config)
         config = EngineConfig(
             lora=lora_cfg,
             speculative=spec_cfg,
+            kv_transfer=kv_cfg,
             model=ModelConfig(model=model, hf_config=hf_config, dtype=dtype,
                               max_model_len=max_model_len, seed=seed,
                               weight_dtype=quantization),

@@ -738,6 +738,29 @@ class ModelRunner:
             emb, feats.astype(emb.dtype),
             (batch["img_start"], jnp.int32(0)))
 
+    # ------------------------------------------------------------------
+    # KV transfer (disaggregated prefill, SURVEY C19)
+    # ------------------------------------------------------------------
+
+    def extract_seq_kv(self, caches, pages: list[int]):
+        """Gather one sequence's KV pages to host numpy:
+        [L, n_pages, page_size, Hkv, d] per pool (leaves of QuantKV for
+        quantized pools) — the producer half of a KV transfer."""
+        idx = jnp.asarray(pages, jnp.int32)
+        k, v = caches
+        gather = lambda x: np.asarray(x[:, idx])  # noqa: E731
+        return (jax.tree.map(gather, k), jax.tree.map(gather, v))
+
+    def inject_seq_kv(self, caches, kv_host, pages: list[int]):
+        """Scatter transferred pages into this engine's pools (consumer
+        half).  Returns the updated caches."""
+        idx = jnp.asarray(pages, jnp.int32)
+        k, v = caches
+        kh, vh = kv_host
+        put = lambda c, h: c.at[:, idx].set(  # noqa: E731
+            jnp.asarray(h, c.dtype))
+        return (jax.tree.map(put, k, kh), jax.tree.map(put, v, vh))
+
     def _finish_prefill(self, params, caches, page_scores, batch,
                         attn_fn, greedy_only=False):
         lk = (self._lora_kwargs(params, batch["lora_idx"])

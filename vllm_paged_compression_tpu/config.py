@@ -244,6 +244,7 @@ class EngineConfig:
     lora: Optional[Any] = None   # lora.models.LoRAConfig when enabled
     speculative: Optional[Any] = None  # spec_decode.SpeculativeConfig
     kv_transfer: Optional[Any] = None  # kv_transfer.KVTransferConfig
+    prompt_adapter: Optional[Any] = None  # prompt_adapter.PromptAdapterConfig
 
     def verify(self) -> None:
         self.model.verify()

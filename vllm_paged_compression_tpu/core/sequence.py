@@ -65,6 +65,9 @@ class Sequence:
         # placeholder span start in the (expanded) prompt.
         self.pixel_values = None
         self.mm_start = -1
+        # Prompt adapter: device slot + virtual-prefix length.
+        self.pa_slot = 0
+        self.pa_len = 0
         # Timing for metrics (TTFT/TPOT, reference engine/metrics.py).
         self.first_token_time: Optional[float] = None
         self.finish_time: Optional[float] = None

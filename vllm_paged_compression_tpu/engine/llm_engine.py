@@ -101,6 +101,18 @@ class LLMEngine:
                 ("wqkv", "wo", "w_gate_up", "w_down", "lm_head", "embed"),
                 model_dtype=dtype)
 
+        self.prompt_adapter_manager = None
+        if config.prompt_adapter is not None:
+            from ..prompt_adapter import (PromptAdapterManager,
+                                          empty_prompt_adapter_params)
+            config.prompt_adapter.verify()
+            self.prompt_adapter_manager = PromptAdapterManager(
+                self.model.arch, config.prompt_adapter, dtype=dtype)
+            self.params = {**self.params,
+                           "prompt_adapters": empty_prompt_adapter_params(
+                               self.model.arch, config.prompt_adapter,
+                               dtype)}
+
         self.lora_manager = None
         if config.lora is not None:
             from ..lora import LoRAManager
@@ -200,7 +212,8 @@ class LLMEngine:
                     arrival_time: Optional[float] = None,
                     priority: int = 0,
                     lora_request=None,
-                    multi_modal_data: Optional[dict] = None) -> str:
+                    multi_modal_data: Optional[dict] = None,
+                    prompt_adapter_request=None) -> str:
         if request_id is None:
             request_id = f"req-{self._req_counter}"
             self._req_counter += 1
@@ -215,12 +228,30 @@ class LLMEngine:
         if multi_modal_data:
             pixel_values, prompt_token_ids, mm_start = \
                 self._prepare_image(multi_modal_data, prompt_token_ids)
+        pa_slot, pa_len = 0, 0
+        if prompt_adapter_request is not None:
+            if self.prompt_adapter_manager is None:
+                raise ValueError("engine built without a "
+                                 "PromptAdapterConfig")
+            if self.config.scheduler.enable_chunked_prefill \
+                    or self.config.cache.enable_prefix_caching:
+                raise ValueError("prompt adapters with chunked prefill / "
+                                 "prefix caching are not supported yet")
+            pa_slot, pa_len = self.prompt_adapter_manager.slot_of(
+                prompt_adapter_request.prompt_adapter_int_id)
+            # Placeholder tokens reserve the virtual-prefix positions; the
+            # prefill program overwrites their embedding rows.
+            prompt_token_ids = [0] * pa_len + list(prompt_token_ids)
+            if mm_start >= 0:
+                mm_start += pa_len
         seq = Sequence(request_id, prompt_token_ids,
                        sampling_params or SamplingParams(),
                        arrival_time=arrival_time, priority=priority,
                        eos_token_id=self.eos_token_id)
         seq.pixel_values = pixel_values
         seq.mm_start = mm_start
+        seq.pa_slot = pa_slot
+        seq.pa_len = pa_len
         if lora_request is not None:
             if self.lora_manager is None:
                 raise ValueError("engine built without a LoRAConfig")
@@ -289,6 +320,26 @@ class LLMEngine:
         self.params = {**self.params,
                        "lora": self.lora_manager.remove_adapter(
                            self.params["lora"], lora_int_id)}
+
+    def add_prompt_adapter(self, adapter_id: int, embeddings) -> None:
+        """Load a soft-prompt adapter ([n, hidden] virtual-token
+        embeddings) into a free device slot."""
+        if self.prompt_adapter_manager is None:
+            raise ValueError("engine built without a PromptAdapterConfig")
+        import numpy as np
+        self.params = {
+            **self.params,
+            "prompt_adapters": self.prompt_adapter_manager.add_adapter(
+                self.params["prompt_adapters"], adapter_id,
+                np.asarray(embeddings, np.float32))}
+
+    def remove_prompt_adapter(self, adapter_id: int) -> None:
+        if self.prompt_adapter_manager is None:
+            return
+        self.params = {
+            **self.params,
+            "prompt_adapters": self.prompt_adapter_manager.remove_adapter(
+                self.params["prompt_adapters"], adapter_id)}
 
     def abort_request(self, request_id: str) -> bool:
         # The in-flight window writes into pages the abort will free:

@@ -32,6 +32,9 @@ class LLM:
                  max_num_batched_tokens: Optional[int] = None,
                  enable_lora: bool = False, max_loras: int = 4,
                  max_lora_rank: int = 16,
+                 enable_prompt_adapter: bool = False,
+                 max_prompt_adapters: int = 4,
+                 max_prompt_adapter_tokens: int = 16,
                  speculative_config: Optional[dict] = None,
                  kv_transfer_config: Optional[dict] = None,
                  tensor_parallel_size: int = 1,
@@ -54,6 +57,12 @@ class LLM:
         if speculative_config is not None:
             from ..spec_decode import SpeculativeConfig
             spec_cfg = SpeculativeConfig(**speculative_config)
+        pa_cfg = None
+        if enable_prompt_adapter:
+            from ..prompt_adapter import PromptAdapterConfig
+            pa_cfg = PromptAdapterConfig(
+                max_prompt_adapters=max_prompt_adapters,
+                max_prompt_adapter_tokens=max_prompt_adapter_tokens)
         kv_cfg = None
         if kv_transfer_config is not None:
             from ..kv_transfer import KVTransferConfig
@@ -62,6 +71,7 @@ class LLM:
             lora=lora_cfg,
             speculative=spec_cfg,
             kv_transfer=kv_cfg,
+            prompt_adapter=pa_cfg,
             model=ModelConfig(model=model, hf_config=hf_config, dtype=dtype,
                               max_model_len=max_model_len, seed=seed,
                               weight_dtype=quantization),
@@ -92,6 +102,7 @@ class LLM:
         prompt_token_ids: Optional[Seq[Seq[int]]] = None,
         lora_request=None,
         multi_modal_data: Optional[Union[dict, Seq[Optional[dict]]]] = None,
+        prompt_adapter_request=None,
     ) -> list[RequestOutput]:
         if prompts is not None and isinstance(prompts, str):
             prompts = [prompts]
@@ -104,6 +115,9 @@ class LLM:
             lora_request = [lora_request] * n
         if isinstance(multi_modal_data, dict):
             multi_modal_data = [multi_modal_data] * n
+        if prompt_adapter_request is not None and not isinstance(
+                prompt_adapter_request, list):
+            prompt_adapter_request = [prompt_adapter_request] * n
 
         ids = []
         for i in range(n):
@@ -114,7 +128,10 @@ class LLM:
                 sampling_params=sampling_params[i],
                 lora_request=(lora_request[i] if lora_request else None),
                 multi_modal_data=(multi_modal_data[i]
-                                  if multi_modal_data else None))
+                                  if multi_modal_data else None),
+                prompt_adapter_request=(prompt_adapter_request[i]
+                                        if prompt_adapter_request
+                                        else None))
             ids.append(rid)
 
         finals: dict[str, RequestOutput] = {}

@@ -725,18 +725,34 @@ class ModelRunner:
         return (caches, page_scores, np.asarray(toks)[:n],
                 np.asarray(n_acc)[:n])
 
-    def _mm_input_embeds(self, params, batch):
-        """Token embeddings with projected image features spliced over the
-        placeholder span (multimodal prefill; reference merges inside the
-        llava forward, vllm/model_executor/models/llava.py)."""
-        feats = self.model.encode_image(params, batch["pixel_values"])
+    def _build_input_embeds(self, params, batch):
+        """Pre-built prompt embeddings for prefill, or None when plain
+        token embedding suffices.  Composes two splices:
+
+        - image features over the placeholder span (multimodal; reference
+          merges inside the llava forward,
+          vllm/model_executor/models/llava.py)
+        - a soft-prompt virtual prefix over the leading placeholder rows
+          (prompt adapters, reference vllm/prompt_adapter/)."""
+        if "pixel_values" not in batch and "pa_slot" not in batch:
+            return None
         emb = self.model.embed(params, batch["tokens"])
         es = getattr(self.model.arch, "embed_scale", None)
         if es is not None:
             emb = emb * jnp.asarray(es, emb.dtype)
-        return jax.lax.dynamic_update_slice(
-            emb, feats.astype(emb.dtype),
-            (batch["img_start"], jnp.int32(0)))
+        if "pixel_values" in batch:
+            feats = self.model.encode_image(params, batch["pixel_values"])
+            emb = jax.lax.dynamic_update_slice(
+                emb, feats.astype(emb.dtype),
+                (batch["img_start"], jnp.int32(0)))
+        if "pa_slot" in batch:
+            table = params["prompt_adapters"]           # [S, T, D]
+            max_pa = table.shape[1]
+            rows = table[batch["pa_slot"]]
+            mask = (jnp.arange(max_pa) < batch["pa_len"])[:, None]
+            head = jnp.where(mask, rows.astype(emb.dtype), emb[:max_pa])
+            emb = jnp.concatenate([head, emb[max_pa:]], axis=0)
+        return emb
 
     # ------------------------------------------------------------------
     # KV transfer (disaggregated prefill, SURVEY C19)
@@ -765,8 +781,9 @@ class ModelRunner:
                         attn_fn, greedy_only=False):
         lk = (self._lora_kwargs(params, batch["lora_idx"])
               if self.lora_enabled else {})
-        if "pixel_values" in batch:
-            lk["input_embeds"] = self._mm_input_embeds(params, batch)
+        ie = self._build_input_embeds(params, batch)
+        if ie is not None:
+            lk["input_embeds"] = ie
         hidden, new_caches = self.model.forward_hidden(
             params, batch["tokens"], batch["positions"], attn_fn, caches,
             **lk)
@@ -954,6 +971,9 @@ class ModelRunner:
         if getattr(seq, "pixel_values", None) is not None:
             batch["pixel_values"] = seq.pixel_values
             batch["img_start"] = np.int32(seq.mm_start)
+        if getattr(seq, "pa_len", 0) > 0:
+            batch["pa_slot"] = np.int32(seq.pa_slot)
+            batch["pa_len"] = np.int32(seq.pa_len)
         greedy = seq.params.greedy
         fn = (self._prefill_prune_jits if do_prune
               else self._prefill_plain_jits)[greedy]

@@ -263,3 +263,52 @@ class TestWindowChaining:
         chained = self._run(monkeypatch, chain=True)
         assert sync == chained
         assert sorted(len(v) for v in sync.values()) == [10, 17]
+
+
+class TestLogprobs:
+    """SamplingParams.logprobs: per-token top-L dicts + cumulative score
+    (reference vllm/outputs.py Logprob surface)."""
+
+    def test_greedy_logprobs_match_oracle(self):
+        import jax
+        import jax.numpy as jnp
+        llm = tiny_llm()
+        prompt = [1, 17, 33, 5, 99, 2, 8, 61]
+        n = 6
+        outs = llm.generate(
+            prompt_token_ids=[prompt],
+            sampling_params=SamplingParams(temperature=0.0, max_tokens=n,
+                                           logprobs=4))
+        co = outs[0].outputs[0]
+        assert co.logprobs is not None and len(co.logprobs) == n
+        # Oracle: recompute log-softmax at every position.
+        model, params = llm.engine.model, llm.engine.params
+        scale = model.arch.head_dim ** -0.5
+        ids = list(prompt)
+        cum = 0.0
+        for step, tok in enumerate(co.token_ids):
+            t = len(ids)
+            h, _ = model.forward_hidden(
+                params, jnp.array(ids), jnp.arange(t),
+                lambda q, k, v, s: (prefill_attention(q, k, v, scale, t),
+                                    s))
+            lp = jax.nn.log_softmax(
+                model.logits(params, h)[-1].astype(jnp.float32))
+            top_v, top_i = jax.lax.top_k(lp, 4)
+            d = co.logprobs[step]
+            assert tok in d
+            np.testing.assert_allclose(d[tok], float(lp[tok]), atol=1e-3)
+            for j in range(4):
+                assert int(top_i[j]) in d
+                np.testing.assert_allclose(d[int(top_i[j])],
+                                           float(top_v[j]), atol=1e-3)
+            cum += float(lp[tok])
+            ids.append(tok)
+        np.testing.assert_allclose(co.cumulative_logprob, cum, atol=1e-2)
+
+    def test_logprobs_off_by_default(self):
+        llm = tiny_llm()
+        outs = llm.generate(
+            prompt_token_ids=[[1, 2, 3]],
+            sampling_params=SamplingParams(temperature=0.0, max_tokens=3))
+        assert outs[0].outputs[0].logprobs is None

@@ -165,3 +165,25 @@ def test_run_batch_offline(tmp_path):
     for r in results:
         usage = r["response"]["body"]["usage"]
         assert usage["completion_tokens"] == 6
+
+
+class TestEmbeddingsRoute:
+    def test_embeddings_token_ids(self, server_port):
+        status, body = http_request(
+            server_port, "POST", "/v1/embeddings",
+            {"input": [[1, 2, 3, 4], [5, 6]]})
+        assert status == 200
+        data = json.loads(body)
+        assert data["object"] == "list" and len(data["data"]) == 2
+        v = data["data"][0]["embedding"]
+        assert len(v) > 0
+        n = sum(x * x for x in v) ** 0.5
+        assert abs(n - 1.0) < 1e-3          # normalized by default
+        assert data["usage"]["prompt_tokens"] == 6
+
+    def test_completion_logprobs(self, server_port):
+        status, body = http_request(
+            server_port, "POST", "/v1/completions",
+            {"prompt": [1, 2, 3, 4], "max_tokens": 3,
+             "temperature": 0.0, "logprobs": 3})
+        assert status == 200

@@ -68,6 +68,10 @@ class Sequence:
         # Prompt adapter: device slot + virtual-prefix length.
         self.pa_slot = 0
         self.pa_len = 0
+        # Per-generated-token {token_id: logprob} dicts (when
+        # params.logprobs is set) + cumulative chosen-token logprob.
+        self.logprobs: list[dict] = []
+        self.cumulative_logprob = 0.0
         # Timing for metrics (TTFT/TPOT, reference engine/metrics.py).
         self.first_token_time: Optional[float] = None
         self.finish_time: Optional[float] = None

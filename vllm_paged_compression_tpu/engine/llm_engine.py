@@ -381,13 +381,15 @@ class LLMEngine:
 
         if out.prefills:
             for sp in out.prefills:
-                self.kv_caches, self.page_scores, tok = \
+                self.kv_caches, self.page_scores, tok, lp_row = \
                     self.runner.run_prefill(self.params, self.kv_caches,
                                             self.page_scores, sp)
                 if not sp.is_last:
                     continue  # mid-prompt chunk: no token sampled yet
                 self.scheduler.register_prefix(sp.seq)
                 sp.seq.append_token(int(tok))
+                if lp_row is not None:
+                    self._record_logprobs(sp.seq, lp_row)
                 num_gen_tokens += 1
                 if self.kv_pipe is not None and self.kv_lookup is None:
                     self._kv_produce(sp.seq)
@@ -417,6 +419,9 @@ class LLMEngine:
                             or p.repetition_penalty != 1.0):
                         raise NotImplementedError(
                             "speculative decoding with token penalties")
+                    if p.logprobs:
+                        raise NotImplementedError(
+                            "speculative decoding with logprobs")
                 accepted: list[list[int]] = []
                 if all(pl.seq.params.greedy for pl in plans):
                     self.kv_caches, self.page_scores, model_toks = \
@@ -467,6 +472,60 @@ class LLMEngine:
             self._seqs.pop(seq.request_id, None)
         self.metrics.observe_step(out, results, num_gen_tokens)
         return results
+
+    # ---- embeddings / pooling (reference LLM.encode + pooling models) --
+
+    def encode(self, prompt_token_ids: list[list[int]],
+               pooling: str = "last", normalize: bool = True):
+        """Pooled final hidden states (embedding requests have no decode
+        phase, so they bypass the paged cache: each prompt is one bucketed
+        stateless forward)."""
+        import functools
+
+        import jax
+        import numpy as np
+
+        from ..ops.attention import prefill_attention
+        from ..utils import next_bucket
+        if pooling not in ("last", "mean"):
+            raise ValueError("pooling must be 'last' or 'mean'")
+        model, params = self.model, self.params
+        scale = getattr(model.arch, "attn_scale",
+                        model.arch.head_dim ** -0.5)
+        cache = getattr(self, "_encode_jits", None)
+        if cache is None:
+            cache = self._encode_jits = {}
+
+        def make(l_pad):
+            def fn(params, tokens, length):
+                h, _ = model.forward_hidden(
+                    params, tokens, jnp.arange(l_pad),
+                    lambda q, k, v, s: (prefill_attention(
+                        q, k, v, scale, length), s))
+                if pooling == "last":
+                    pooled = h[length - 1]
+                else:
+                    mask = (jnp.arange(l_pad) < length)[:, None]
+                    pooled = jnp.sum(jnp.where(mask, h, 0.0), axis=0) \
+                        / jnp.maximum(length, 1)
+                pooled = pooled.astype(jnp.float32)
+                if normalize:
+                    pooled = pooled / jnp.maximum(
+                        jnp.linalg.norm(pooled), 1e-12)
+                return pooled
+            return jax.jit(fn)
+
+        out = []
+        for ids in prompt_token_ids:
+            l_pad = next_bucket(len(ids), self.runner.prefill_buckets)
+            key = (l_pad, pooling, normalize)
+            if key not in cache:
+                cache[key] = make(l_pad)
+            toks = np.zeros(l_pad, np.int32)
+            toks[:len(ids)] = ids
+            out.append(np.asarray(cache[key](params, toks,
+                                             np.int32(len(ids)))))
+        return out
 
     # ---- KV transfer (disaggregated prefill, SURVEY C19) --------------
 
@@ -552,7 +611,7 @@ class LLMEngine:
         tables, any chained in-flight window must be committed."""
         eos = self.eos_token_id
         max_len = self.config.scheduler.max_model_len
-        for plans_b, k_b, toks_b in batches:
+        for plans_b, k_b, toks_b, _lp_b in batches:
             for i, plan in enumerate(plans_b):
                 seq, p = plan.seq, plan.seq.params
                 if p.stop:       # stop strings: assume they can fire
@@ -572,16 +631,28 @@ class LLMEngine:
                         return True
         return False
 
+    def _record_logprobs(self, seq, lp_row) -> None:
+        """lp_row [2L+1] f32 = (top-L values, top-L ids, chosen-token
+        logprob) -> vLLM-style {token_id: logprob} for the last appended
+        token; also accumulates the beam-search cumulative score."""
+        half = (len(lp_row) - 1) // 2
+        d = {int(lp_row[half + j]): float(lp_row[j]) for j in range(half)}
+        d[seq.output_token_ids[-1]] = float(lp_row[-1])
+        seq.logprobs.append(d)
+        seq.cumulative_logprob += float(lp_row[-1])
+
     def _process_batches(self, batches, results, finished) -> int:
         num_gen = 0
         done: set[str] = set()
-        for plans_b, k_b, toks_b in batches:
+        for plans_b, k_b, toks_b, lp_b in batches:
             for i, plan in enumerate(plans_b):
                 seq = plan.seq
                 if seq.request_id in done or seq.is_finished():
                     continue
                 for step in range(k_b):
                     seq.append_token(int(toks_b[step][i]))
+                    if lp_b is not None:
+                        self._record_logprobs(seq, lp_b[step][i])
                     num_gen += 1
                     if self._postprocess(seq, results, finished,
                                          emit=(step == k_b - 1)):
@@ -594,9 +665,10 @@ class LLMEngine:
             return 0
         plans, k, handle, _sim = self._inflight
         self._inflight = None
-        toks, victims = handle.fetch()
+        toks, victims, lp = handle.fetch()
         self.scheduler.commit_window(plans, k, victims)
-        return self._process_batches([(plans, k, toks)], results, finished)
+        return self._process_batches([(plans, k, toks, lp)], results,
+                                     finished)
 
     def _decode_pipelined(self, k_max: int, results, finished) -> int:
         """One decode turn with depth-1 window lookahead: fetch window W
@@ -612,16 +684,16 @@ class LLMEngine:
                                      dyn_state=handle.state)
                if self._can_chain(plans) else None)
 
-        toks, victims = handle.fetch()
+        toks, victims, lp = handle.fetch()
         self.scheduler.commit_window(plans, k, victims)
-        batches = [(plans, k, toks)]
+        batches = [(plans, k, toks, lp)]
         if nxt is not None and self._window_finishes_any(batches):
             # Someone is about to stop: retire the chained window now so
             # its table/page commits land before finish_seq frees them.
             p2, k2, h2, _ = nxt
-            t2, v2 = h2.fetch()
+            t2, v2, lp2 = h2.fetch()
             self.scheduler.commit_window(p2, k2, v2)
-            batches.append((p2, k2, t2))
+            batches.append((p2, k2, t2, lp2))
             nxt = None
         self._inflight = nxt
         return self._process_batches(batches, results, finished)
@@ -676,8 +748,10 @@ class LLMEngine:
         return RequestOutput(
             request_id=seq.request_id,
             prompt_token_ids=seq.prompt_token_ids,
-            outputs=[CompletionOutput(0, text, list(seq.output_token_ids),
-                                      reason)],
+            outputs=[CompletionOutput(
+                0, text, list(seq.output_token_ids), reason,
+                logprobs=(list(seq.logprobs) if seq.logprobs else None),
+                cumulative_logprob=seq.cumulative_logprob)],
             finished=finished,
             metrics=RequestMetrics(
                 arrival_time=seq.arrival_time,

@@ -140,3 +140,122 @@ class LLM:
                 if out.finished:
                     finals[out.request_id] = out
         return [finals[rid] for rid in ids]
+
+
+from dataclasses import dataclass, field  # noqa: E402
+
+
+@dataclass
+class BeamSearchParams:
+    """Reference analog: vllm/sampling_params.py BeamSearchParams (used by
+    LLM.beam_search, which upstream implements at the entrypoint level on
+    top of 1-token generate calls with logprobs)."""
+
+    beam_width: int = 4
+    max_tokens: int = 16
+    ignore_eos: bool = False
+    length_penalty: float = 1.0
+
+
+@dataclass
+class BeamSearchSequence:
+    tokens: list[int]              # prompt + generated
+    cum_logprob: float
+    finish_reason: Optional[str] = None
+
+
+@dataclass
+class BeamSearchOutput:
+    sequences: list[BeamSearchSequence] = field(default_factory=list)
+
+
+def _beam_score(seq: BeamSearchSequence, prompt_len: int,
+                length_penalty: float) -> float:
+    gen_len = max(len(seq.tokens) - prompt_len, 1)
+    return seq.cum_logprob / (gen_len ** length_penalty)
+
+
+def _llm_beam_search(self, prompt_token_ids, params: BeamSearchParams
+                     ) -> list[BeamSearchOutput]:
+        """Deterministic beam search (reference vllm/entrypoints/llm.py
+        beam_search): expands every live beam with its top-2w next-token
+        logprobs each round via 1-token greedy generate calls, keeps the w
+        best by cumulative logprob, and finally ranks completed beams by
+        length-normalized score."""
+        w = params.beam_width
+        eos = self.engine.eos_token_id
+        results = []
+        for prompt in prompt_token_ids:
+            prompt = list(prompt)
+            beams = [BeamSearchSequence(tokens=prompt, cum_logprob=0.0)]
+            completed: list[BeamSearchSequence] = []
+            for _ in range(params.max_tokens):
+                if not beams:
+                    break
+                outs = self.generate(
+                    prompt_token_ids=[b.tokens for b in beams],
+                    sampling_params=SamplingParams(
+                        temperature=0.0, max_tokens=1, logprobs=2 * w,
+                        ignore_eos=True))
+                new_beams = []
+                for b, o in zip(beams, outs):
+                    dist = o.outputs[0].logprobs[0]
+                    top = sorted(dist.items(),
+                                 key=lambda kv: -kv[1])[:2 * w]
+                    for tok, lp in top:
+                        cand = BeamSearchSequence(
+                            tokens=b.tokens + [tok],
+                            cum_logprob=b.cum_logprob + lp)
+                        if tok == eos and not params.ignore_eos:
+                            cand.finish_reason = "stop"
+                            completed.append(cand)
+                        else:
+                            new_beams.append(cand)
+                beams = sorted(new_beams,
+                               key=lambda b: -b.cum_logprob)[:w]
+            for b in beams:
+                b.finish_reason = "length"
+            completed.extend(beams)
+            completed.sort(key=lambda s: -_beam_score(
+                s, len(prompt), params.length_penalty))
+            results.append(BeamSearchOutput(sequences=completed[:w]))
+        return results
+
+
+LLM.beam_search = _llm_beam_search
+
+
+@dataclass
+class EmbeddingOutput:
+    embedding: list[float]
+
+
+@dataclass
+class EmbeddingRequestOutput:
+    request_id: str
+    outputs: EmbeddingOutput
+    prompt_token_ids: list[int]
+
+
+def _llm_encode(self, prompts=None, prompt_token_ids=None,
+                pooling: str = "last", normalize: bool = True
+                ) -> list[EmbeddingRequestOutput]:
+    """Embedding/pooling API (reference LLM.encode, vllm/entrypoints/
+    llm.py:572 + PoolingParams): pooled final hidden states, optionally
+    L2-normalized.  Delegates to LLMEngine.encode."""
+    eng = self.engine
+    if prompt_token_ids is None:
+        if eng.tokenizer is None:
+            raise ValueError("no tokenizer; pass prompt_token_ids")
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        prompt_token_ids = [eng.tokenizer.encode(p).ids for p in prompts]
+    vecs = eng.encode(prompt_token_ids, pooling=pooling,
+                      normalize=normalize)
+    return [EmbeddingRequestOutput(
+        request_id=f"embd-{i}", prompt_token_ids=list(ids),
+        outputs=EmbeddingOutput(embedding=v.tolist()))
+        for i, (ids, v) in enumerate(zip(prompt_token_ids, vecs))]
+
+
+LLM.encode = _llm_encode

@@ -51,6 +51,7 @@ def _sampling_from_request(body: dict) -> SamplingParams:
             stop_token_ids=list(get("stop_token_ids", [])),
             ignore_eos=bool(get("ignore_eos", False)),
             seed=body.get("seed"),
+            logprobs=body.get("logprobs"),
         )
     except (TypeError, ValueError) as e:
         raise HTTPError(400, f"invalid sampling parameters: {e}")
@@ -121,6 +122,8 @@ class OpenAIServer:
                 return await self._completions(writer, body, chat=False)
             elif method == "POST" and path == "/v1/chat/completions":
                 return await self._completions(writer, body, chat=True)
+            elif method == "POST" and path == "/v1/embeddings":
+                await self._embeddings(writer, body)
             elif method == "POST" and path == "/tokenize":
                 await self._tokenize(writer, body)
             elif method == "POST" and path == "/detokenize":
@@ -154,6 +157,40 @@ class OpenAIServer:
             f"HTTP/1.1 200 OK\r\ncontent-type: text/plain\r\n"
             f"content-length: {len(data)}\r\n\r\n".encode() + data)
         await writer.drain()
+
+    async def _embeddings(self, writer, body: bytes) -> None:
+        """OpenAI /v1/embeddings (reference api_server.py embeddings
+        route): input as string(s) or pre-tokenized id list(s)."""
+        import json as _json
+        req = _json.loads(body or b"{}")
+        inp = req.get("input")
+        if inp is None:
+            raise HTTPError(400, "missing 'input'")
+        if isinstance(inp, str):
+            inp = [inp]
+        if inp and isinstance(inp[0], int):
+            inp = [inp]
+        engine = self.engine.engine  # AsyncLLMEngine -> LLMEngine
+        token_lists = []
+        for item in inp:
+            if isinstance(item, str):
+                if engine.tokenizer is None:
+                    raise HTTPError(400, "server has no tokenizer; send "
+                                    "token id lists")
+                token_lists.append(engine.tokenizer.encode(item).ids)
+            else:
+                token_lists.append([int(t) for t in item])
+        vecs = engine.encode(token_lists,
+                             pooling=req.get("pooling", "last"))
+        total = sum(len(t) for t in token_lists)
+        await self._send(writer, 200, {
+            "object": "list",
+            "model": req.get("model", self.model_name),
+            "data": [{"object": "embedding", "index": i,
+                      "embedding": v.tolist()}
+                     for i, v in enumerate(vecs)],
+            "usage": {"prompt_tokens": total, "total_tokens": total},
+        })
 
     # ---- tokenize / detokenize (reference api_server.py:310-429) -------
 

@@ -12,6 +12,10 @@ class CompletionOutput:
     text: str
     token_ids: list[int]
     finish_reason: Optional[str] = None
+    # Per-token {token_id: logprob} (top-L + the chosen token) when the
+    # request set SamplingParams.logprobs (reference vllm/outputs.py).
+    logprobs: Optional[list[dict]] = None
+    cumulative_logprob: float = 0.0
 
     @property
     def finished(self) -> bool:

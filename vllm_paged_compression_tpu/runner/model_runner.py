@@ -68,19 +68,26 @@ def select_attention_backend() -> str:
 
 
 class WindowHandle:
-    """A dispatched-but-unfetched decode window: ``out`` (tokens+victims)
-    and ``state`` (end-of-window dynamic state) are device arrays; calling
-    ``fetch()`` blocks on the device->host transfer."""
+    """A dispatched-but-unfetched decode window: ``out`` (tokens+victims),
+    ``state`` (end-of-window dynamic state) and optional ``lp`` (top-L
+    logprobs) are device arrays; ``fetch()`` blocks on the device->host
+    transfer."""
 
-    def __init__(self, out_pack, state, k: int, n: int):
+    def __init__(self, out_pack, state, k: int, n: int, lp=None,
+                 logprobs_l: int = 0):
         self.out_pack = out_pack
         self.state = state
         self.k = k
         self.n = n
+        self.lp = lp
+        self.logprobs_l = logprobs_l
 
     def fetch(self):
+        """Returns (tokens [K, n], victims [K, n], logprobs or None) where
+        logprobs is [K, n, 2L+1] f32: top-L values, top-L ids, chosen."""
         out = np.asarray(self.out_pack)   # one device->host fetch
-        return out[0, :, :self.n], out[1, :, :self.n]
+        lp = np.asarray(self.lp)[:, :self.n] if self.lp is not None else None
+        return out[0, :, :self.n], out[1, :, :self.n], lp
 
 
 def _pow2_buckets(lo: int, hi: int) -> list[int]:
@@ -171,27 +178,13 @@ class ModelRunner:
                 context_prefill_attention, **cap)
 
         import functools
-        decode_body = (self._decode_window_pp if self.pp > 1
-                       else self._decode_window)
-        self._decode_window_jits = {
-            g: jax.jit(functools.partial(decode_body, greedy_only=g),
-                       donate_argnums=(1, 2, 4))
-            for g in (False, True)}
-        # Greedy-specialized variants: the generic top-p/top-k sampler's
-        # full-vocab sort costs ~65 s of XLA compile for a 128k vocab; a
-        # greedy request should never pay it.
-        prefill_plain = (self._prefill_plain_pp if self.pp > 1
-                         else self._prefill_plain)
-        prefill_prune = (self._prefill_prune_pp if self.pp > 1
-                         else self._prefill_prune)
-        self._prefill_plain_jits = {
-            g: jax.jit(functools.partial(prefill_plain, greedy_only=g),
-                       donate_argnums=(1, 2))
-            for g in (False, True)}
-        self._prefill_prune_jits = {
-            g: jax.jit(functools.partial(prefill_prune, greedy_only=g),
-                       donate_argnums=(1, 2))
-            for g in (False, True)}
+        # Jit caches keyed (greedy, logprobs_l) — greedy-specialized
+        # because the generic top-p/top-k sampler's full-vocab sort costs
+        # ~65 s of XLA compile for a 128k vocab, and logprobs because the
+        # top-L extraction only belongs in traces that asked for it.
+        self._decode_window_jits: dict = {}
+        self._prefill_plain_jits: dict = {}
+        self._prefill_prune_jits: dict = {}
         self._prefill_ctx_jits = {
             (g, last): jax.jit(functools.partial(self._prefill_context,
                                                  greedy_only=g,
@@ -253,6 +246,37 @@ class ModelRunner:
         vc_all = jax.tree.map(lambda a, s: a.at[layer].set(s), vc_all, vc)
         return out, kc_all, vc_all
 
+    def _decode_jit(self, greedy: bool, logprobs_l: int):
+        import functools
+        key = (greedy, logprobs_l)
+        if key not in self._decode_window_jits:
+            body = (self._decode_window_pp if self.pp > 1
+                    else self._decode_window)
+            self._decode_window_jits[key] = jax.jit(
+                functools.partial(body, greedy_only=greedy,
+                                  logprobs_l=logprobs_l),
+                donate_argnums=(1, 2, 4))
+        return self._decode_window_jits[key]
+
+    def _prefill_jit(self, prune: bool, greedy: bool, logprobs_l: int):
+        import functools
+        cache = self._prefill_prune_jits if prune \
+            else self._prefill_plain_jits
+        key = (greedy, logprobs_l)
+        if key not in cache:
+            if self.pp > 1:
+                assert logprobs_l == 0, \
+                    "logprobs with pipeline parallelism is follow-up work"
+                body = (self._prefill_prune_pp if prune
+                        else self._prefill_plain_pp)
+            else:
+                body = self._prefill_prune if prune else self._prefill_plain
+            cache[key] = jax.jit(
+                functools.partial(body, greedy_only=greedy,
+                                  logprobs_l=logprobs_l),
+                donate_argnums=(1, 2))
+        return cache[key]
+
     @property
     def zero_writes(self) -> bool:
         ev = self.evict
@@ -290,7 +314,7 @@ class ModelRunner:
 
     def _decode_window(self, params, caches, page_scores, plan_pack,
                        state_pack, f32_pack, token_counts=None,
-                       greedy_only=False):
+                       greedy_only=False, logprobs_l=0):
         """K chained decode steps under one jit: tokens feed forward on
         device; the host only uploads the packed plan and fetches one
         [2, K, B] (tokens, victims) array.  This is the multi-step analog of
@@ -356,13 +380,23 @@ class ModelRunner:
                 counts = counts.at[iota_b, toks].add(1)
             carry = (new_caches, page_scores, eff_tables, eff_kv,
                      num_pages, toks, counts)
-            return carry, jnp.stack([toks, victims])
+            ys = jnp.stack([toks, victims])
+            if logprobs_l > 0:
+                lp = jax.nn.log_softmax(logits.astype(jnp.float32))
+                tv, ti = jax.lax.top_k(lp, logprobs_l)
+                chosen = lp[iota_b, toks]
+                ys = (ys, jnp.concatenate(
+                    [tv, ti.astype(jnp.float32), chosen[:, None]], axis=1))
+            return carry, ys
 
         init = (caches, page_scores, tables0, kv0, np0, tok0,
                 token_counts)
         carry, ys = jax.lax.scan(body, init, plan_pack)
         (new_caches, page_scores, tables_end, kv_end, np_end, tok_end,
          _counts) = carry
+        lp_pack = None
+        if logprobs_l > 0:
+            ys, lp_pack = ys          # lp_pack: [K, B, 2L+1] f32
         # ys: [K, 2, B] -> [2, K, B] single fetchable array.
         out_pack = jnp.swapaxes(ys, 0, 1)
         # End-of-window dynamic state in state_pack layout, so a chained
@@ -372,7 +406,7 @@ class ModelRunner:
             tables_end, kv_end[:, None], np_end[:, None], tok_end[:, None],
             state_pack[:, p + 3:],
         ], axis=1)
-        return new_caches, page_scores, out_pack, new_state
+        return new_caches, page_scores, out_pack, new_state, lp_pack
 
     # ------------------------------------------------------------------
     # pipeline-parallel program wrappers (shard_map over "pipe")
@@ -398,10 +432,12 @@ class ModelRunner:
 
     def _decode_window_pp(self, params, caches, page_scores, plan_pack,
                           state_pack, f32_pack, token_counts=None,
-                          greedy_only=False):
+                          greedy_only=False, logprobs_l=0):
         from jax.sharding import PartitionSpec as P
 
         from ..parallel.pipeline import pp_decode_window_body
+        assert logprobs_l == 0, \
+            "logprobs with pipeline parallelism is follow-up work"
 
         def body(params, caches, page_scores, plan_pack, state_pack,
                  f32_pack, token_counts):
@@ -409,9 +445,10 @@ class ModelRunner:
                 self, params, caches, page_scores, plan_pack, state_pack,
                 f32_pack, token_counts, greedy_only=greedy_only)
 
-        return self._pp_shard_call(
+        out = self._pp_shard_call(
             body, params, caches, page_scores, plan_pack, state_pack,
             f32_pack, token_counts, extra_out_specs=(P(), P()))
+        return (*out, None)
 
     def _finish_prefill_pp(self, params, caches, page_scores, batch,
                            attn_fn_factory, greedy_only):
@@ -439,7 +476,8 @@ class ModelRunner:
         return caches, page_scores, tokens
 
     def _prefill_plain_pp(self, params, caches, page_scores, batch,
-                          greedy_only=False):
+                          greedy_only=False, logprobs_l=0):
+        assert logprobs_l == 0
         from jax.sharding import PartitionSpec as P
         trash_page = self.cache_engine.trash_page
 
@@ -462,11 +500,13 @@ class ModelRunner:
             return self._finish_prefill_pp(params, caches, page_scores,
                                            batch, factory, greedy_only)
 
-        return self._pp_shard_call(body, params, caches, page_scores,
-                                   batch, extra_out_specs=(P(),))
+        out = self._pp_shard_call(body, params, caches, page_scores,
+                                  batch, extra_out_specs=(P(),))
+        return (*out, None)
 
     def _prefill_prune_pp(self, params, caches, page_scores, batch,
-                          greedy_only=False):
+                          greedy_only=False, logprobs_l=0):
+        assert logprobs_l == 0
         """Evict-at-prefill under PP: per-layer pruning exactly as the
         single-stage program (each stage prunes at its own layers)."""
         from jax.sharding import PartitionSpec as P
@@ -510,11 +550,12 @@ class ModelRunner:
             return self._finish_prefill_pp(params, caches, page_scores,
                                            batch, factory, greedy_only)
 
-        return self._pp_shard_call(body, params, caches, page_scores,
-                                   batch, extra_out_specs=(P(),))
+        out = self._pp_shard_call(body, params, caches, page_scores,
+                                  batch, extra_out_specs=(P(),))
+        return (*out, None)
 
     def _prefill_plain(self, params, caches, page_scores, batch,
-                       greedy_only=False):
+                       greedy_only=False, logprobs_l=0):
         def attn_fn(q, k, v, layer_cache):
             kc, vc = layer_cache
             kc, vc = write_kv_pages(kc, vc, k, v, batch["write_pages"])
@@ -522,10 +563,10 @@ class ModelRunner:
             return out, (kc, vc)
 
         return self._finish_prefill(params, caches, page_scores, batch,
-                                    attn_fn, greedy_only)
+                                    attn_fn, greedy_only, logprobs_l)
 
     def _prefill_prune(self, params, caches, page_scores, batch,
-                       greedy_only=False):
+                       greedy_only=False, logprobs_l=0):
         """Evict-at-prefill (both orderings).  Per-layer pruning: each layer
         selects its own keep set from its own K/V scores
         (torch_cuda_sdpa.py:882-892 runs the pruner inside every layer's
@@ -558,7 +599,7 @@ class ModelRunner:
             return out, (kc, vc)
 
         return self._finish_prefill(params, caches, page_scores, batch,
-                                    attn_fn, greedy_only)
+                                    attn_fn, greedy_only, logprobs_l)
 
     def _prefill_context(self, params, caches, page_scores, batch,
                          greedy_only=False, is_last=True):
@@ -778,7 +819,7 @@ class ModelRunner:
         return (jax.tree.map(put, k, kh), jax.tree.map(put, v, vh))
 
     def _finish_prefill(self, params, caches, page_scores, batch,
-                        attn_fn, greedy_only=False):
+                        attn_fn, greedy_only=False, logprobs_l=0):
         lk = (self._lora_kwargs(params, batch["lora_idx"])
               if self.lora_enabled else {})
         ie = self._build_input_embeds(params, batch)
@@ -794,7 +835,14 @@ class ModelRunner:
         logits = self.model.logits(params, last)
         tokens = sample(logits, self._sampling_tensors(batch),
                         greedy_only=greedy_only)
-        return new_caches, page_scores, tokens
+        lp_row = None
+        if logprobs_l > 0:
+            lp = jax.nn.log_softmax(logits.astype(jnp.float32))
+            tv, ti = jax.lax.top_k(lp, logprobs_l)
+            chosen = lp[jnp.arange(1), tokens]
+            lp_row = jnp.concatenate(
+                [tv, ti.astype(jnp.float32), chosen[:, None]], axis=1)[0]
+        return new_caches, page_scores, tokens, lp_row
 
     # ------------------------------------------------------------------
     # host-side batch assembly
@@ -831,7 +879,7 @@ class ModelRunner:
         Returns (caches, scores, tokens [K, n], victims [K, n])."""
         caches, page_scores, handle = self.dispatch_decode_window(
             params, caches, page_scores, plans, k)
-        tokens, victims = handle.fetch()
+        tokens, victims, _lp = handle.fetch()
         return caches, page_scores, tokens, victims
 
     def dispatch_decode_window(self, params, caches, page_scores,
@@ -918,11 +966,14 @@ class ModelRunner:
             assert dyn_state.shape == state_pack.shape, \
                 (dyn_state.shape, state_pack.shape)
             state_pack = dyn_state
-        caches, page_scores, out_pack, new_state = \
-            self._decode_window_jits[greedy](
+        logprobs_l = max((pl.seq.params.logprobs or 0) for pl in plans)
+        logprobs_l = min(logprobs_l, 32)
+        caches, page_scores, out_pack, new_state, lp = \
+            self._decode_jit(greedy, logprobs_l)(
                 params, caches, page_scores, plan_pack, state_pack,
                 f32_pack, counts)
-        return caches, page_scores, WindowHandle(out_pack, new_state, k, n)
+        return caches, page_scores, WindowHandle(out_pack, new_state, k, n,
+                                                 lp, logprobs_l)
 
     def run_prefill(self, params, caches, page_scores,
                     sp: ScheduledPrefill):
@@ -975,10 +1026,14 @@ class ModelRunner:
             batch["pa_slot"] = np.int32(seq.pa_slot)
             batch["pa_len"] = np.int32(seq.pa_len)
         greedy = seq.params.greedy
-        fn = (self._prefill_prune_jits if do_prune
-              else self._prefill_plain_jits)[greedy]
-        caches, page_scores, tok = fn(params, caches, page_scores, batch)
-        return caches, page_scores, int(np.asarray(tok)[0])
+        logprobs_l = min(seq.params.logprobs or 0, 32)
+        if self.pp > 1:
+            logprobs_l = 0
+        fn = self._prefill_jit(do_prune, greedy, logprobs_l)
+        caches, page_scores, tok, lp_row = fn(params, caches, page_scores,
+                                              batch)
+        lp = np.asarray(lp_row) if lp_row is not None else None
+        return caches, page_scores, int(np.asarray(tok)[0]), lp
 
     def _run_prefill_chunk(self, params, caches, page_scores,
                            sp: ScheduledPrefill):
@@ -1019,4 +1074,4 @@ class ModelRunner:
             batch["lora_idx"] = np.int32(seq.lora_slot)
         fn = self._prefill_ctx_jits[(seq.params.greedy, sp.is_last)]
         caches, page_scores, tok = fn(params, caches, page_scores, batch)
-        return caches, page_scores, int(np.asarray(tok)[0])
+        return caches, page_scores, int(np.asarray(tok)[0]), None

@@ -111,7 +111,9 @@ def _fused_kernel(layer_ref, tables_ref, lens_ref, slots_ref, zslots_ref,
     for dma in chunk_copies(0, 0):
         dma.start()
 
-    q = q_ref[0].astype(jnp.float32) * scale               # [H, d]
+    # Input-dtype matmul operands (bf16 hits the MXU's full rate; fp32
+    # test inputs stay exact), fp32 accumulation throughout.
+    q = q_ref[0] * jnp.asarray(scale, q_ref.dtype)         # [H, d]
     col = jax.lax.broadcasted_iota(jnp.int32, (h, cols), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (h, cols), 0)
     head_ok = (col % hkv) == (row // group)
@@ -128,8 +130,8 @@ def _fused_kernel(layer_ref, tables_ref, lens_ref, slots_ref, zslots_ref,
         for dma in chunk_copies(c, tog):
             dma.wait()
 
-        k = kbuf[tog].reshape(cols, d).astype(jnp.float32)
-        v = vbuf[tog].reshape(cols, d).astype(jnp.float32)
+        k = kbuf[tog].reshape(cols, d)
+        v = vbuf[tog].reshape(cols, d)
         s = jax.lax.dot_general(                            # [H, cols]
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -145,7 +147,8 @@ def _fused_kernel(layer_ref, tables_ref, lens_ref, slots_ref, zslots_ref,
         p = jnp.exp(s - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
         pv = jax.lax.dot_general(                           # [H, d]
-            p, v, dimension_numbers=(((1,), (0,)), ((), ())),
+            p.astype(v.dtype), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         acc_ref[:, :] = acc_ref[:, :] * alpha + pv
         m_ref[:, :] = jnp.broadcast_to(m_new, m_ref.shape)

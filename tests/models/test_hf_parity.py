@@ -235,3 +235,16 @@ def test_mixtral_e2e_generation():
                         sampling_params=SamplingParams(temperature=0.0,
                                                        max_tokens=16))
     assert len(outs[0].outputs[0].token_ids) == 16
+
+
+def test_qwen3_logits_match_hf():
+    cfg = transformers.Qwen3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=128, rope_theta=10000.0,
+        rms_norm_eps=1e-5, tie_word_embeddings=False)
+    torch.manual_seed(6)
+    hf = transformers.Qwen3ForCausalLM(cfg).eval()
+    ids = np.array([[1, 5, 9, 33, 77, 2, 4, 100, 62, 11]])
+    d = cfg.to_dict(); d["architectures"] = ["Qwen3ForCausalLM"]
+    _check_parity(hf, d, ids)

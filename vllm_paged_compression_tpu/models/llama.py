@@ -62,6 +62,7 @@ class LlamaArch:
     max_position_embeddings: int = 8192
     # --- variant flags ---
     qkv_bias: bool = False            # Qwen2: q/k/v projections carry bias
+    qk_norm: bool = False             # Qwen3: per-head RMSNorm on q/k
     hidden_act: str = "silu"          # gemma: "gelu_tanh"
     norm_unit_offset: bool = False    # gemma RMSNorm scales by (1 + w)
     embed_scale: Optional[float] = None   # gemma: sqrt(hidden_size)
@@ -107,6 +108,18 @@ class Qwen2Arch(LlamaArch):
     def from_hf_config(cls, cfg: dict) -> "Qwen2Arch":
         a = super().from_hf_config(cfg)
         a.qkv_bias = True
+        return a
+
+
+@dataclass
+class Qwen3Arch(LlamaArch):
+    """Qwen3 (reference vllm/model_executor/models/qwen3.py): Llama with
+    per-head RMSNorm applied to q and k before rope (no qkv bias)."""
+
+    @classmethod
+    def from_hf_config(cls, cfg: dict) -> "Qwen3Arch":
+        a = super().from_hf_config(cfg)
+        a.qk_norm = True
         return a
 
 
@@ -238,6 +251,9 @@ class LlamaModel:
                                  a.hidden_size)
         if a.qkv_bias:
             layers["bqkv"] = w(a.num_layers, qkv_out)
+        if a.qk_norm:
+            layers["q_norm"] = ones((a.num_layers, a.head_dim))
+            layers["k_norm"] = ones((a.num_layers, a.head_dim))
         if a.sandwich_norms:
             layers["post_attn_out_norm"] = ones((a.num_layers,
                                                  a.hidden_size))
@@ -310,6 +326,7 @@ class LlamaModel:
         hf_fused = "model.layers.0.self_attn.qkv_proj.weight" in tensors
 
         wqkv, bqkv, wo, gate_up, down, router = [], [], [], [], [], []
+        qn, kn = [], []
         in_n, post_n, pao_n, pff_n = [], [], [], []
         for i in range(a.num_layers):
             p = f"model.layers.{i}."
@@ -345,6 +362,9 @@ class LlamaModel:
                     t(p + "self_attn.q_proj.bias"),
                     t(p + "self_attn.k_proj.bias"),
                     t(p + "self_attn.v_proj.bias")]))
+            if a.qk_norm:
+                qn.append(t(p + "self_attn.q_norm.weight"))
+                kn.append(t(p + "self_attn.k_norm.weight"))
             wo.append(proj(p + "self_attn.o_proj.weight"))
             if not a.num_experts:
                 down.append(proj(p + "mlp.down_proj.weight"))
@@ -374,6 +394,9 @@ class LlamaModel:
         }
         if a.qkv_bias:
             layers["bqkv"] = stack(bqkv)
+        if a.qk_norm:
+            layers["q_norm"] = stack(qn)
+            layers["k_norm"] = stack(kn)
         if a.num_experts:
             layers["router"] = stack(router)
         if a.sandwich_norms:
@@ -500,6 +523,11 @@ class LlamaModel:
             k = qkv[:, q_sz:q_sz + kv_sz].reshape(t, a.num_kv_heads,
                                                   a.head_dim)
             v = qkv[:, q_sz + kv_sz:].reshape(t, a.num_kv_heads, a.head_dim)
+            if a.qk_norm:
+                # Qwen3: per-head RMSNorm on q/k BEFORE rope (HF
+                # Qwen3Attention applies q_norm/k_norm to head_dim).
+                q = rms_norm(q, lp["q_norm"], a.rms_norm_eps)
+                k = rms_norm(k, lp["k_norm"], a.rms_norm_eps)
             q, k = apply_rope(q, k, cos, sin)
             if layer_idx is None:
                 attn_out, new_state = attn_fn(q, k, v, state)

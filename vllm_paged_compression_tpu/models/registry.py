@@ -21,13 +21,14 @@ def _ensure_builtin():
     if _REGISTRY:
         return
     from .llama import (Gemma2Arch, GemmaArch, LlamaArch, LlamaModel,
-                        MixtralArch, Phi3Arch, Qwen2Arch)
+                        MixtralArch, Phi3Arch, Qwen2Arch, Qwen3Arch)
     from .opt import GPT2Arch, OPTArch, OPTModel
     _REGISTRY.update({
         "LlamaForCausalLM": (LlamaModel, LlamaArch),
         "MistralForCausalLM": (LlamaModel, LlamaArch),
         "MixtralForCausalLM": (LlamaModel, MixtralArch),
         "Qwen2ForCausalLM": (LlamaModel, Qwen2Arch),
+        "Qwen3ForCausalLM": (LlamaModel, Qwen3Arch),
         "GemmaForCausalLM": (LlamaModel, GemmaArch),
         "Gemma2ForCausalLM": (LlamaModel, Gemma2Arch),
         "Phi3ForCausalLM": (LlamaModel, Phi3Arch),

@@ -54,6 +54,8 @@ _LLAMA_PARAM_SPECS = {
         "w_gate_up": P(None, None, "model"),
         "w_down": P(None, "model", None),
         "router": P(None, None, None),
+        "q_norm": P(None, None),
+        "k_norm": P(None, None),
         "input_norm": P(None, None),
         "post_norm": P(None, None),
         "post_attn_out_norm": P(None, None),

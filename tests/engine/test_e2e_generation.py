@@ -312,3 +312,30 @@ class TestLogprobs:
             prompt_token_ids=[[1, 2, 3]],
             sampling_params=SamplingParams(temperature=0.0, max_tokens=3))
         assert outs[0].outputs[0].logprobs is None
+
+
+class TestSamplingExtras:
+    def test_n_parallel_samples(self):
+        llm = tiny_llm()
+        outs = llm.generate(
+            prompt_token_ids=[[1, 17, 33, 5, 99]],
+            sampling_params=SamplingParams(temperature=0.9, n=3, seed=7,
+                                           max_tokens=8))
+        assert len(outs) == 1
+        cos = outs[0].outputs
+        assert [c.index for c in cos] == [0, 1, 2]
+        assert all(len(c.token_ids) == 8 for c in cos)
+        # distinct derived seeds should give at least two distinct samples
+        assert len({tuple(c.token_ids) for c in cos}) >= 2
+
+    def test_min_p_masks_tail(self):
+        # min_p=1.0 keeps only the argmax -> deterministic even at temp>0.
+        llm = tiny_llm()
+        sp_minp = SamplingParams(temperature=1.0, min_p=1.0, seed=3,
+                                 max_tokens=8)
+        sp_greedy = SamplingParams(temperature=0.0, max_tokens=8)
+        a = llm.generate(prompt_token_ids=[[1, 17, 33, 5, 99]],
+                         sampling_params=sp_minp)[0].outputs[0].token_ids
+        b = llm.generate(prompt_token_ids=[[1, 17, 33, 5, 99]],
+                         sampling_params=sp_greedy)[0].outputs[0].token_ids
+        assert list(a) == list(b)

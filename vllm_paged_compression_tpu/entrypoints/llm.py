@@ -119,27 +119,50 @@ class LLM:
                 prompt_adapter_request, list):
             prompt_adapter_request = [prompt_adapter_request] * n
 
-        ids = []
+        # n > 1 (parallel sampling): fan out n engine requests per prompt
+        # with derived seeds and merge their completions (reference keeps
+        # n inside the engine via sequence groups; one-request-per-sample
+        # is equivalent under continuous batching).
+        from dataclasses import replace as _replace
+        ids: list[list[str]] = []
         for i in range(n):
-            rid = self.engine.add_request(
-                prompt=prompts[i] if prompts is not None else None,
-                prompt_token_ids=(list(prompt_token_ids[i])
-                                  if prompt_token_ids is not None else None),
-                sampling_params=sampling_params[i],
-                lora_request=(lora_request[i] if lora_request else None),
-                multi_modal_data=(multi_modal_data[i]
-                                  if multi_modal_data else None),
-                prompt_adapter_request=(prompt_adapter_request[i]
-                                        if prompt_adapter_request
-                                        else None))
-            ids.append(rid)
+            sp = sampling_params[i]
+            rids = []
+            for j in range(max(sp.n, 1)):
+                spj = sp if sp.n == 1 else _replace(
+                    sp, n=1,
+                    seed=(sp.seed + j if sp.seed is not None else None))
+                rid = self.engine.add_request(
+                    prompt=prompts[i] if prompts is not None else None,
+                    prompt_token_ids=(list(prompt_token_ids[i])
+                                      if prompt_token_ids is not None
+                                      else None),
+                    sampling_params=spj,
+                    lora_request=(lora_request[i] if lora_request
+                                  else None),
+                    multi_modal_data=(multi_modal_data[i]
+                                      if multi_modal_data else None),
+                    prompt_adapter_request=(prompt_adapter_request[i]
+                                            if prompt_adapter_request
+                                            else None))
+                rids.append(rid)
+            ids.append(rids)
 
         finals: dict[str, RequestOutput] = {}
         while self.engine.has_unfinished_requests():
             for out in self.engine.step():
                 if out.finished:
                     finals[out.request_id] = out
-        return [finals[rid] for rid in ids]
+        results = []
+        for rids in ids:
+            outs = [finals[r] for r in rids]
+            merged = outs[0]
+            if len(outs) > 1:
+                from dataclasses import replace as _r
+                merged = _r(outs[0], outputs=[
+                    _r(o.outputs[0], index=j) for j, o in enumerate(outs)])
+            results.append(merged)
+        return results
 
 
 from dataclasses import dataclass, field  # noqa: E402

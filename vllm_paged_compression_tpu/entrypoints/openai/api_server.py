@@ -41,6 +41,7 @@ def _sampling_from_request(body: dict) -> SamplingParams:
             temperature=float(get("temperature", 1.0)),
             top_p=float(get("top_p", 1.0)),
             top_k=int(get("top_k", -1)),
+            min_p=float(get("min_p", 0.0)),
             presence_penalty=float(get("presence_penalty", 0.0)),
             frequency_penalty=float(get("frequency_penalty", 0.0)),
             repetition_penalty=float(get("repetition_penalty", 1.0)),

@@ -28,6 +28,7 @@ class SamplingTensors(NamedTuple):
     top_k: jnp.ndarray         # i32; <= 0 => disabled
     seed: jnp.ndarray          # i32 per-seq base seed
     step: jnp.ndarray          # i32 decode step counter
+    min_p: jnp.ndarray = None  # f32; 0 => disabled
 
 
 def sample(logits: jnp.ndarray, t: SamplingTensors,
@@ -74,7 +75,16 @@ def _filter_logits(logits: jnp.ndarray, t: SamplingTensors) -> jnp.ndarray:
     thresh = jnp.take_along_axis(
         jnp.sort(scaled, axis=-1)[:, ::-1],
         jnp.clip(cutoff_rank[:, None], 0, v - 1), axis=1)
-    return jnp.where(scaled < thresh, -jnp.inf, scaled)
+    scaled = jnp.where(scaled < thresh, -jnp.inf, scaled)
+
+    # min-p (reference vllm/model_executor/layers/sampler.py _apply_min_p):
+    # drop tokens whose prob < min_p * max_prob.
+    if t.min_p is not None:
+        probs = jax.nn.softmax(scaled, axis=-1)
+        pmax = jnp.max(probs, axis=-1, keepdims=True)
+        scaled = jnp.where(probs < t.min_p[:, None] * pmax, -jnp.inf,
+                           scaled)
+    return scaled
 
 
 def sampling_probs(logits: jnp.ndarray, t: SamplingTensors) -> jnp.ndarray:

@@ -83,7 +83,7 @@ def pp_decode_window_body(runner, params, caches, page_scores, plan_pack,
     tok0 = state_pack[:, p + 2]
     seeds = state_pack[:, p + 3]
     topk = state_pack[:, p + 4]
-    temp, top_p = f32_pack[0], f32_pack[1]
+    temp, top_p, min_p = f32_pack[0], f32_pack[1], f32_pack[5]
     if not greedy_only:
         presence, frequency, repetition = (f32_pack[2], f32_pack[3],
                                            f32_pack[4])
@@ -163,7 +163,8 @@ def pp_decode_window_body(runner, params, caches, page_scores, plan_pack,
                                      repetition)
         toks = sample(logits, SamplingTensors(
             temperature=temp, top_p=top_p, top_k=topk, seed=seeds,
-            step=stepctr), greedy_only=greedy_only).astype(jnp.int32)
+            step=stepctr, min_p=min_p),
+            greedy_only=greedy_only).astype(jnp.int32)
         toks = _masked_psum(toks, stage == pp - 1, "pipe")
         if counts is not None:
             counts = counts.at[iota_b, toks].add(1)

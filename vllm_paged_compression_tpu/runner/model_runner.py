@@ -210,7 +210,8 @@ class ModelRunner:
     def _sampling_tensors(self, batch) -> SamplingTensors:
         return SamplingTensors(
             temperature=batch["temperature"], top_p=batch["top_p"],
-            top_k=batch["top_k"], seed=batch["seed"], step=batch["step"])
+            top_k=batch["top_k"], seed=batch["seed"], step=batch["step"],
+            min_p=batch["min_p"])
 
     def _update_page_scores(self, page_scores, v_pool, fill_pages):
         """Record value-L2 scores of pages that just became full (layer 0 —
@@ -337,7 +338,7 @@ class ModelRunner:
         seeds = state_pack[:, p + 3]
         topk = state_pack[:, p + 4]
         lora_slots = state_pack[:, p + 5]
-        temp, top_p = f32_pack[0], f32_pack[1]
+        temp, top_p, min_p = f32_pack[0], f32_pack[1], f32_pack[5]
         if not greedy_only:
             presence, frequency, repetition = (f32_pack[2], f32_pack[3],
                                                f32_pack[4])
@@ -375,7 +376,8 @@ class ModelRunner:
                                          frequency, repetition)
             toks = sample(logits, SamplingTensors(
                 temperature=temp, top_p=top_p, top_k=topk, seed=seeds,
-                step=stepctr), greedy_only=greedy_only).astype(jnp.int32)
+                step=stepctr, min_p=min_p),
+                greedy_only=greedy_only).astype(jnp.int32)
             if counts is not None:
                 counts = counts.at[iota_b, toks].add(1)
             carry = (new_caches, page_scores, eff_tables, eff_kv,
@@ -694,7 +696,8 @@ class ModelRunner:
         zeros = jnp.zeros(rows, jnp.int32)
         probs = sampling_probs(logits, SamplingTensors(
             temperature=batch["row_temp"], top_p=batch["row_top_p"],
-            top_k=batch["row_top_k"], seed=zeros, step=zeros))
+            top_k=batch["row_top_k"], seed=zeros, step=zeros,
+            min_p=batch["row_min_p"]))
         b = batch["proposals"].shape[0]
         probs = probs.reshape(b, rep, -1)
         toks, n_acc = rejection_sample(probs, batch["proposals"],
@@ -754,6 +757,7 @@ class ModelRunner:
         batch["row_temp"] = np.repeat(samp["temperature"], kp1)
         batch["row_top_p"] = np.repeat(samp["top_p"], kp1)
         batch["row_top_k"] = np.repeat(samp["top_k"], kp1)
+        batch["row_min_p"] = np.repeat(samp["min_p"], kp1)
         assert batch["row_temp"].shape == (rows,)
         batch["seed"] = samp["seed"]
         batch["step"] = samp["step"]
@@ -851,6 +855,7 @@ class ModelRunner:
     def _seq_sampling_arrays(self, seqs, n_pad):
         temp = np.zeros(n_pad, np.float32)
         top_p = np.ones(n_pad, np.float32)
+        min_p = np.zeros(n_pad, np.float32)
         top_k = np.full(n_pad, -1, np.int32)
         seed = np.zeros(n_pad, np.int32)
         step = np.zeros(n_pad, np.int32)
@@ -861,6 +866,7 @@ class ModelRunner:
             p = seq.params
             temp[i] = p.temperature
             top_p[i] = p.top_p
+            min_p[i] = p.min_p
             top_k[i] = p.top_k
             seed[i] = (p.seed if p.seed is not None
                        else (zlib.crc32(seq.request_id.encode())
@@ -871,7 +877,8 @@ class ModelRunner:
             repetition[i] = p.repetition_penalty
         return {"temperature": temp, "top_p": top_p, "top_k": top_k,
                 "seed": seed, "step": step, "presence": presence,
-                "frequency": frequency, "repetition": repetition}
+                "frequency": frequency, "repetition": repetition,
+                "min_p": min_p}
 
     def run_decode_window(self, params, caches, page_scores,
                           plans: list[SeqWindowPlan], k: int):
@@ -923,7 +930,7 @@ class ModelRunner:
 
         state_pack = np.zeros((b, p + 6), np.int32)
         state_pack[:, :p] = trash_page
-        f32_pack = np.zeros((5, b), np.float32)
+        f32_pack = np.zeros((6, b), np.float32)
         f32_pack[1, :] = 1.0  # top_p
         f32_pack[4, :] = 1.0  # repetition
         samp = self._seq_sampling_arrays([pl.seq for pl in plans], b)
@@ -934,6 +941,7 @@ class ModelRunner:
         f32_pack[2, :] = samp["presence"]
         f32_pack[3, :] = samp["frequency"]
         f32_pack[4, :] = samp["repetition"]
+        f32_pack[5, :] = samp["min_p"]
         for i, plan in enumerate(plans):
             seq = plan.seq
             pages = seq.block_table.pages

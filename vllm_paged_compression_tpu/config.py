@@ -164,6 +164,10 @@ class CacheConfig:
     cache_dtype: str = "auto"
     paged_evict: Optional[PagedEvictConfig] = None
     enable_prefix_caching: bool = False
+    # Host swap space for preemption-by-swap (reference CacheConfig
+    # swap_space + CpuGpuBlockAllocator's CPU tier).  On TPU the swapped
+    # pages live as host numpy arrays, moved via gather/scatter programs.
+    swap_space_gb: float = 4.0
 
     def verify(self) -> None:
         if self.block_size < 1:
@@ -195,10 +199,17 @@ class SchedulerConfig:
     # with paged eviction (vllm/engine/arg_utils.py:1255-1257) — eviction
     # here is in-graph, so the combination is exact.
     num_scheduler_steps: int = 1
+    # What preemption does with the victim's KV (reference
+    # PreemptionMode, core/scheduler.py:1572-1625): "recompute" drops it
+    # and replays the whole sequence as a prompt; "swap" copies the pages
+    # to host memory and restores them when the pool frees up.
+    preemption_mode: str = "recompute"
 
     def verify(self) -> None:
         if self.policy not in ("fcfs", "priority"):
             raise ValueError("policy must be 'fcfs' or 'priority'")
+        if self.preemption_mode not in ("recompute", "swap"):
+            raise ValueError("preemption_mode must be 'recompute' or 'swap'")
         if self.max_num_batched_tokens < self.max_model_len \
                 and not self.enable_chunked_prefill:
             # Without chunked prefill a whole prompt must fit in one batch.

@@ -111,6 +111,16 @@ class Scheduler:
         self.prefix_caching = cache_config.enable_prefix_caching
         self.waiting: deque[Sequence] = deque()
         self.running: list[Sequence] = []
+        # Preemption-by-swap tier (reference swapped queue,
+        # core/scheduler.py:696 _schedule_swapped): sequences whose KV
+        # lives in host memory until the pool frees up.  The device copies
+        # are done by engine-installed hooks — the scheduler only owns the
+        # queue and the page accounting.
+        self.swapped: deque[Sequence] = deque()
+        self.swap_out_fn = None   # Sequence -> bool (False: no host space)
+        self.swap_in_fn = None    # Sequence -> None (table pre-allocated)
+        self.num_swap_outs = 0
+        self.num_swap_ins = 0
         self.watermark_blocks = max(
             1, int(scheduler_config.watermark * num_blocks))
         self.num_preemptions = 0
@@ -129,7 +139,7 @@ class Scheduler:
         self.waiting.append(seq)
 
     def abort(self, request_id: str) -> bool:
-        for q in (self.waiting, self.running):
+        for q in (self.waiting, self.running, self.swapped):
             for seq in list(q):
                 if seq.request_id == request_id:
                     seq.status = SequenceStatus.FINISHED_ABORTED
@@ -146,11 +156,15 @@ class Scheduler:
         self.running.append(seq)
 
     def has_unfinished(self) -> bool:
-        return bool(self.waiting or self.running)
+        return bool(self.waiting or self.running or self.swapped)
 
     @property
     def num_waiting(self) -> int:
         return len(self.waiting)
+
+    @property
+    def num_swapped(self) -> int:
+        return len(self.swapped)
 
     @property
     def num_running(self) -> int:
@@ -165,9 +179,36 @@ class Scheduler:
         """Prefill admission.  Decode work is planned separately via
         ``plan_decode_window`` (single-step == a window of 1)."""
         out = SchedulerOutput()
+        if self.swapped:
+            # Swapped sequences resume before new prompts are admitted
+            # (reference ordering: _schedule_running/_swapped/_prefills,
+            # core/scheduler.py:1262).
+            self._schedule_swapped()
         if self.waiting and len(self.running) < self.config.max_num_seqs:
             self._schedule_prefills(out)
         return out
+
+    def _schedule_swapped(self) -> None:
+        queue = list(self.swapped)
+        if self.config.policy == "priority":
+            queue.sort(key=lambda s: (s.priority, s.arrival_time))
+        for seq in queue:
+            if len(self.running) >= self.config.max_num_seqs:
+                break
+            n = -(-seq.swapped_kv_len // self.block_size)
+            # Watermark headroom doubles as swap hysteresis: a victim is
+            # only brought back once the pool has comfortably recovered.
+            if not self.allocator.can_allocate(n, self.watermark_blocks):
+                break
+            table = BlockTable(self.block_size, self.allocator)
+            table.allocate_prompt(seq.swapped_kv_len)
+            seq.block_table = table
+            self.swap_in_fn(seq)
+            assert seq.swap_payload is None, "swap-in hook must consume"
+            seq.status = SequenceStatus.RUNNING
+            self.swapped.remove(seq)
+            self.running.append(seq)
+            self.num_swap_ins += 1
 
     def _sorted_waiting(self) -> deque[Sequence]:
         if self.config.policy == "priority":
@@ -509,8 +550,19 @@ class Scheduler:
 
     def _preempt(self, seq: Sequence) -> None:
         self.running.remove(seq)
-        seq.reset_for_recompute()
-        self.waiting.appendleft(seq)
+        if (self.config.preemption_mode == "swap"
+                and self.swap_out_fn is not None
+                and self.swap_out_fn(seq)):
+            # KV preserved on host: generation state stays intact and the
+            # sequence resumes mid-decode (reference PreemptionMode.SWAP).
+            seq.status = SequenceStatus.SWAPPED
+            seq.num_preemptions += 1
+            self.swapped.append(seq)
+            self.num_swap_outs += 1
+        else:
+            # Swap declined (no host space / no hooks): recompute.
+            seq.reset_for_recompute()
+            self.waiting.appendleft(seq)
         self.num_preemptions += 1
 
     # ---- post-step feedback --------------------------------------------

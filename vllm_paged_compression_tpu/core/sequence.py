@@ -21,6 +21,7 @@ class SequenceStatus(enum.Enum):
     WAITING = enum.auto()
     RUNNING = enum.auto()
     PREEMPTED = enum.auto()
+    SWAPPED = enum.auto()
     FINISHED_STOPPED = enum.auto()
     FINISHED_LENGTH = enum.auto()
     FINISHED_ABORTED = enum.auto()
@@ -79,6 +80,10 @@ class Sequence:
         # Incremental detokenization state (offset into decoded text).
         self.output_text = ""
         self._detok_prefix_len = 0
+        # Preemption-by-swap state: host-side KV payload (set by the
+        # engine's swap-out hook) and the physical KV length to restore.
+        self.swap_payload = None
+        self.swapped_kv_len = 0
 
     # ---- lengths --------------------------------------------------------
 

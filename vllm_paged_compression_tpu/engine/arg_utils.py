@@ -34,6 +34,8 @@ class EngineArgs:
     max_num_batched_tokens: int = 8192
     num_scheduler_steps: int = 1
     scheduling_policy: str = "fcfs"
+    preemption_mode: str = "recompute"
+    swap_space: float = 4.0
     enable_chunked_prefill: bool = False
     enable_prefix_caching: bool = False
     tensor_parallel_size: int = 1
@@ -86,6 +88,14 @@ class EngineArgs:
         g.add_argument("--num-scheduler-steps", type=int, default=1)
         g.add_argument("--scheduling-policy", type=str, default="fcfs",
                        choices=["fcfs", "priority"])
+        g.add_argument("--preemption-mode", type=str, default="recompute",
+                       choices=["recompute", "swap"],
+                       help="what preemption does with the victim's KV "
+                            "(reference PreemptionMode)")
+        g.add_argument("--swap-space", type=float, default=4.0,
+                       help="host swap space in GiB for "
+                            "--preemption-mode swap (reference "
+                            "CacheConfig.swap_space)")
         g.add_argument("--enable-chunked-prefill", action="store_true")
         g.add_argument("--enable-prefix-caching", action="store_true")
 
@@ -159,12 +169,14 @@ class EngineArgs:
                 num_device_blocks=self.num_device_blocks,
                 cache_dtype=self.kv_cache_dtype,
                 enable_prefix_caching=self.enable_prefix_caching,
+                swap_space_gb=self.swap_space,
                 paged_evict=evict),
             scheduler=SchedulerConfig(
                 max_num_seqs=self.max_num_seqs,
                 max_num_batched_tokens=self.max_num_batched_tokens,
                 max_model_len=self.max_model_len,
                 policy=self.scheduling_policy,
+                preemption_mode=self.preemption_mode,
                 enable_chunked_prefill=self.enable_chunked_prefill,
                 num_scheduler_steps=self.num_scheduler_steps),
             parallel=ParallelConfig(

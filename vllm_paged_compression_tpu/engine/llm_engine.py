@@ -182,6 +182,15 @@ class LLMEngine:
                                   mesh=self.mesh)
         self.scheduler = Scheduler(config.scheduler, config.cache,
                                    self.cache_engine.num_pages)
+        # Preemption-by-swap hooks: the scheduler owns the queue/paging,
+        # the engine owns the device arrays (reference CacheEngine
+        # swap_in/swap_out, vllm/worker/cache_engine.py + CPU tier of
+        # CpuGpuBlockAllocator).
+        self._swap_bytes_used = 0
+        self._swap_bytes_budget = int(config.cache.swap_space_gb * (1 << 30))
+        if config.scheduler.preemption_mode == "swap":
+            self.scheduler.swap_out_fn = self._swap_out_seq
+            self.scheduler.swap_in_fn = self._swap_in_seq
         self.metrics = EngineMetrics(self)
         from .tracing import Tracer
         self.tracer = Tracer(config.observability.otlp_traces_endpoint)
@@ -345,15 +354,56 @@ class LLMEngine:
         # The in-flight window writes into pages the abort will free:
         # commit it first.
         self._drain_inflight([], [])
+        seq = self._seqs.get(request_id)
         ok = self.scheduler.abort(request_id)
+        if seq is not None and seq.swap_payload is not None:
+            self._swap_bytes_used -= seq.swap_payload[3]
+            seq.swap_payload = None
         self._seqs.pop(request_id, None)
         return ok
+
+    # ---- preemption by swap (reference cache_engine.py swap ops) -------
+
+    def _swap_out_seq(self, seq: Sequence) -> bool:
+        """Copy the sequence's KV pages (and their eviction scores) to host
+        memory and free the device pages.  Returns False when the host swap
+        budget is exhausted — the scheduler then falls back to recompute."""
+        import numpy as np
+        table = seq.block_table
+        nbytes = len(table.pages) * self.cache_engine.page_bytes
+        if self._swap_bytes_used + nbytes > self._swap_bytes_budget:
+            return False
+        kv = self.runner.extract_seq_kv(self.kv_caches, table.pages)
+        scores = None
+        if self.runner.track_page_scores:
+            scores = np.asarray(
+                self.page_scores[jnp.asarray(table.pages, jnp.int32)])
+        seq.swap_payload = (kv, scores, table.num_kv_slots, nbytes)
+        seq.swapped_kv_len = table.num_kv_slots
+        self._swap_bytes_used += nbytes
+        table.free()
+        seq.block_table = None
+        return True
+
+    def _swap_in_seq(self, seq: Sequence) -> None:
+        """Scatter a swapped sequence's pages back into the pool (the
+        scheduler has already allocated the target table)."""
+        kv, scores, kv_len, nbytes = seq.swap_payload
+        pages = seq.block_table.pages
+        assert seq.block_table.num_kv_slots == kv_len
+        self.kv_caches = self.runner.inject_seq_kv(self.kv_caches, kv, pages)
+        if scores is not None:
+            self.page_scores = self.page_scores.at[
+                jnp.asarray(pages, jnp.int32)].set(jnp.asarray(scores))
+        self._swap_bytes_used -= nbytes
+        seq.swap_payload = None
 
     def has_unfinished_requests(self) -> bool:
         return self.scheduler.has_unfinished()
 
     def get_num_unfinished_requests(self) -> int:
-        return self.scheduler.num_waiting + self.scheduler.num_running
+        return (self.scheduler.num_waiting + self.scheduler.num_running
+                + self.scheduler.num_swapped)
 
     # ------------------------------------------------------------------
     # the step
@@ -367,7 +417,7 @@ class LLMEngine:
         # Course change ahead (prefill admission / speculative step):
         # commit the in-flight decode window before tables move.
         if self._inflight is not None and (
-                self.scheduler.num_waiting
+                self.scheduler.num_waiting or self.scheduler.num_swapped
                 or self.config.speculative is not None):
             num_gen_tokens += self._drain_inflight(results, finished)
 
@@ -464,6 +514,7 @@ class LLMEngine:
             # which upstream forbids together with eviction,
             # arg_utils.py:1255-1257).
             k_max = (1 if self.scheduler.num_waiting
+                     or self.scheduler.num_swapped
                      else self.config.scheduler.num_scheduler_steps)
             num_gen_tokens += self._decode_pipelined(k_max, results,
                                                      finished)
@@ -596,7 +647,8 @@ class LLMEngine:
         # default stays synchronous-per-window.
         if os.environ.get("VPC_WINDOW_CHAIN") != "1":
             return False
-        if self.scheduler.num_waiting or self.config.speculative is not None:
+        if self.scheduler.num_waiting or self.scheduler.num_swapped \
+                or self.config.speculative is not None:
             return False
         for plan in plans:
             p = plan.seq.params

@@ -40,6 +40,8 @@ class LLM:
                  tensor_parallel_size: int = 1,
                  data_parallel_size: int = 1,
                  pipeline_parallel_size: int = 1,
+                 preemption_mode: str = "recompute",
+                 swap_space: float = 4.0,
                  params=None, seed: int = 0):
         evict = None
         if enable_paged_eviction:
@@ -80,11 +82,13 @@ class LLM:
                               gpu_memory_utilization=gpu_memory_utilization,
                               cache_dtype=kv_cache_dtype,
                               enable_prefix_caching=enable_prefix_caching,
+                              swap_space_gb=swap_space,
                               paged_evict=evict),
             scheduler=SchedulerConfig(
                 max_num_seqs=max_num_seqs,
                 max_model_len=max_model_len,
                 num_scheduler_steps=num_scheduler_steps,
+                preemption_mode=preemption_mode,
                 enable_chunked_prefill=enable_chunked_prefill,
                 **({"max_num_batched_tokens": max_num_batched_tokens}
                    if max_num_batched_tokens is not None else {})),

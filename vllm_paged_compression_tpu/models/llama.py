@@ -72,6 +72,27 @@ class LlamaArch:
     query_pre_attn_scalar: Optional[float] = None  # gemma2 attn scale base
     num_experts: int = 0              # mixtral: >0 switches the MLP to MoE
     num_experts_per_tok: int = 2
+    # --- decoder-shape axes beyond the Llama default (fold the GPT-NeoX /
+    # GPT-J / Falcon / StarCoder2 / StableLM / Phi / Cohere branches of the
+    # reference model zoo, vllm/model_executor/models/, into one trunk) ---
+    norm_type: str = "rmsnorm"        # "layernorm": mean-centering norm
+    norm_bias: bool = False           # LayerNorm bias (Cohere: layernorm
+    #                                   without bias)
+    parallel_residual: bool = False   # h + attn(ln1 h) + mlp(ln2 h)
+    shared_input_norm: bool = False   # parallel residual with ONE norm
+    #                                   (GPT-J, Falcon-7B, Phi, Cohere)
+    mlp_gated: bool = True            # False: up -> act -> down (no gate)
+    mlp_bias: bool = False            # biases on the MLP projections
+    o_bias: bool = False              # bias on the attention out projection
+    lm_head_bias: bool = False        # GPT-J ships an lm_head bias
+    partial_rotary_factor: float = 1.0  # rope on the first rot_dim dims only
+    rope_interleaved: bool = False    # GPT-J rotate-every-two convention
+    logit_scale: Optional[float] = None  # Cohere scales logits
+
+    @property
+    def rot_dim(self) -> int:
+        d = int(self.head_dim * self.partial_rotary_factor)
+        return d - d % 2
 
     @classmethod
     def from_hf_config(cls, cfg: dict) -> "LlamaArch":
@@ -97,6 +118,11 @@ class LlamaArch:
         base = (self.query_pre_attn_scalar
                 if self.query_pre_attn_scalar is not None else self.head_dim)
         return base ** -0.5
+
+    def canonicalize_hf(self, tensors: dict) -> dict:
+        """Rename/unpack a family's HF state dict into canonical Llama
+        names (identity for Llama-named checkpoints); see subclasses."""
+        return tensors
 
 
 @dataclass
@@ -179,6 +205,388 @@ class Phi3Arch(LlamaArch):
     (handled by the loader)."""
 
 
+def _rename(tensors: dict, table: list[tuple[str, str]]) -> dict:
+    out = {}
+    for k, v in tensors.items():
+        for old, new in table:
+            k = k.replace(old, new)
+        out[k] = v
+    return out
+
+
+@dataclass
+class Starcoder2Arch(LlamaArch):
+    """StarCoder2 (reference vllm/model_executor/models/starcoder2.py):
+    Llama attention + biased non-gated GELU MLP and biased LayerNorms."""
+
+    @classmethod
+    def from_hf_config(cls, cfg: dict) -> "Starcoder2Arch":
+        a = super().from_hf_config(cfg)
+        a.norm_type = "layernorm"
+        a.norm_bias = True
+        a.mlp_gated = False
+        use_bias = cfg.get("use_bias", True)
+        a.qkv_bias = use_bias
+        a.o_bias = use_bias
+        a.mlp_bias = use_bias
+        a.hidden_act = "gelu_tanh"     # HF "gelu_pytorch_tanh"
+        a.rms_norm_eps = cfg.get("norm_epsilon", 1e-5)
+        a.tie_word_embeddings = cfg.get("tie_word_embeddings", True)
+        return a
+
+    def canonicalize_hf(self, tensors: dict) -> dict:
+        return _rename(tensors, [("mlp.c_fc.", "mlp.up_proj."),
+                                 ("mlp.c_proj.", "mlp.down_proj.")])
+
+
+@dataclass
+class StableLmArch(LlamaArch):
+    """StableLM-2 (reference vllm/model_executor/models/stablelm.py):
+    Llama with partial rotary and biased LayerNorms."""
+
+    @classmethod
+    def from_hf_config(cls, cfg: dict) -> "StableLmArch":
+        a = super().from_hf_config(cfg)
+        a.norm_type = "layernorm"
+        a.norm_bias = True
+        a.partial_rotary_factor = cfg.get("partial_rotary_factor", 0.25)
+        a.qkv_bias = cfg.get("use_qkv_bias", False)
+        a.rms_norm_eps = cfg.get("layer_norm_eps", 1e-5)
+        return a
+
+
+@dataclass
+class PhiArch(LlamaArch):
+    """Phi-1/1.5/2 (reference vllm/model_executor/models/phi.py): parallel
+    attention+MLP off ONE LayerNorm, biased projections everywhere, partial
+    rotary, biased lm_head."""
+
+    @classmethod
+    def from_hf_config(cls, cfg: dict) -> "PhiArch":
+        a = super().from_hf_config(cfg)
+        a.norm_type = "layernorm"
+        a.norm_bias = True
+        a.parallel_residual = True
+        a.shared_input_norm = True
+        a.mlp_gated = False
+        a.qkv_bias = True
+        a.o_bias = True
+        a.mlp_bias = True
+        a.lm_head_bias = True
+        a.partial_rotary_factor = cfg.get("partial_rotary_factor", 0.5)
+        a.hidden_act = "gelu_tanh"     # HF "gelu_new"
+        a.rms_norm_eps = cfg.get("layer_norm_eps", 1e-5)
+        return a
+
+    def canonicalize_hf(self, tensors: dict) -> dict:
+        return _rename(tensors, [
+            ("self_attn.dense.", "self_attn.o_proj."),
+            ("mlp.fc1.", "mlp.up_proj."),
+            ("mlp.fc2.", "mlp.down_proj."),
+            ("model.final_layernorm.", "model.norm.")])
+
+
+@dataclass
+class GPTNeoXArch(LlamaArch):
+    """GPT-NeoX / Pythia (reference vllm/model_executor/models/gpt_neox.py):
+    parallel residual, biased LayerNorms, non-gated GELU MLP, partial
+    rotary, per-head-interleaved fused QKV checkpoint layout."""
+
+    @classmethod
+    def from_hf_config(cls, cfg: dict) -> "GPTNeoXArch":
+        num_heads = cfg["num_attention_heads"]
+        a = cls(
+            vocab_size=cfg["vocab_size"],
+            hidden_size=cfg["hidden_size"],
+            intermediate_size=cfg["intermediate_size"],
+            num_layers=cfg["num_hidden_layers"],
+            num_heads=num_heads, num_kv_heads=num_heads,
+            head_dim=cfg["hidden_size"] // num_heads,
+            rope_theta=cfg.get("rope_theta",
+                               cfg.get("rotary_emb_base", 10000.0)),
+            max_position_embeddings=cfg.get("max_position_embeddings",
+                                            2048),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", False))
+        a.norm_type = "layernorm"
+        a.norm_bias = True
+        a.parallel_residual = cfg.get("use_parallel_residual", True)
+        a.mlp_gated = False
+        bias = cfg.get("attention_bias", True)
+        a.qkv_bias = bias
+        a.o_bias = bias
+        a.mlp_bias = True
+        a.partial_rotary_factor = cfg.get("rotary_pct", 0.25)
+        a.hidden_act = {"gelu": "gelu", "gelu_new": "gelu_tanh",
+                        "gelu_fast": "gelu_tanh"}.get(
+            cfg.get("hidden_act", "gelu"), "gelu")
+        a.rms_norm_eps = cfg.get("layer_norm_eps", 1e-5)
+        return a
+
+    def canonicalize_hf(self, tensors: dict) -> dict:
+        h, d = self.num_heads, self.head_dim
+        out = {}
+        for k, v in tensors.items():
+            k = k.replace("gpt_neox.layers.", "model.layers.")
+            k = k.replace("gpt_neox.final_layer_norm.", "model.norm.")
+            k = k.replace("gpt_neox.embed_in.weight",
+                          "model.embed_tokens.weight")
+            k = k.replace("embed_out.weight", "lm_head.weight")
+            k = k.replace(".attention.dense.", ".self_attn.o_proj.")
+            k = k.replace(".mlp.dense_h_to_4h.", ".mlp.up_proj.")
+            k = k.replace(".mlp.dense_4h_to_h.", ".mlp.down_proj.")
+            if ".attention.query_key_value." in k:
+                # Fused layout is per-head (q, k, v) interleaved.
+                v = np.asarray(v)
+                if k.endswith("weight"):
+                    w = v.reshape(h, 3, d, v.shape[-1])
+                    parts = [w[:, j].reshape(h * d, -1) for j in range(3)]
+                else:
+                    b = v.reshape(h, 3, d)
+                    parts = [b[:, j].reshape(h * d) for j in range(3)]
+                for name, p in zip(("q", "k", "v"), parts):
+                    out[k.replace(".attention.query_key_value.",
+                                  f".self_attn.{name}_proj.")] = p
+                continue
+            out[k] = v
+        return out
+
+
+@dataclass
+class GPTJArch(LlamaArch):
+    """GPT-J (reference vllm/model_executor/models/gpt_j.py): parallel
+    attention+MLP off one LayerNorm, interleaved (rotate-every-two) partial
+    rotary, non-gated GELU MLP, biased lm_head."""
+
+    @classmethod
+    def from_hf_config(cls, cfg: dict) -> "GPTJArch":
+        hidden = cfg.get("n_embd", cfg.get("hidden_size"))
+        num_heads = cfg.get("n_head", cfg.get("num_attention_heads"))
+        head_dim = hidden // num_heads
+        a = cls(
+            vocab_size=cfg["vocab_size"],
+            hidden_size=hidden,
+            intermediate_size=cfg.get("n_inner") or 4 * hidden,
+            num_layers=cfg.get("n_layer", cfg.get("num_hidden_layers")),
+            num_heads=num_heads, num_kv_heads=num_heads,
+            head_dim=head_dim,
+            rope_theta=10000.0,
+            max_position_embeddings=cfg.get("n_positions", 2048),
+            tie_word_embeddings=False)
+        a.norm_type = "layernorm"
+        a.norm_bias = True
+        a.parallel_residual = True
+        a.shared_input_norm = True
+        a.mlp_gated = False
+        a.mlp_bias = True
+        a.lm_head_bias = True
+        a.rope_interleaved = True
+        a.partial_rotary_factor = cfg.get("rotary_dim", head_dim) / head_dim
+        a.hidden_act = "gelu_tanh"     # HF "gelu_new"
+        a.rms_norm_eps = cfg.get("layer_norm_epsilon", 1e-5)
+        return a
+
+    def canonicalize_hf(self, tensors: dict) -> dict:
+        return _rename(tensors, [
+            ("transformer.wte.weight", "model.embed_tokens.weight"),
+            ("transformer.h.", "model.layers."),
+            ("transformer.ln_f.", "model.norm."),
+            (".ln_1.", ".input_layernorm."),
+            (".attn.q_proj.", ".self_attn.q_proj."),
+            (".attn.k_proj.", ".self_attn.k_proj."),
+            (".attn.v_proj.", ".self_attn.v_proj."),
+            (".attn.out_proj.", ".self_attn.o_proj."),
+            (".mlp.fc_in.", ".mlp.up_proj."),
+            (".mlp.fc_out.", ".mlp.down_proj.")])
+
+
+@dataclass
+class FalconArch(LlamaArch):
+    """Falcon (reference vllm/model_executor/models/falcon.py): parallel
+    attention (7B: one shared LayerNorm; new-decoder 40B/180B: ln_attn +
+    ln_mlp), multi-query or grouped fused QKV, non-gated GELU MLP.
+    ALiBi variants (falcon-rw) are not supported."""
+
+    @classmethod
+    def from_hf_config(cls, cfg: dict) -> "FalconArch":
+        if cfg.get("alibi"):
+            raise NotImplementedError("ALiBi Falcon variants (falcon-rw) "
+                                      "are not supported")
+        num_heads = cfg["num_attention_heads"]
+        hidden = cfg["hidden_size"]
+        new_arch = cfg.get("new_decoder_architecture", False)
+        if new_arch:
+            kv = cfg.get("num_kv_heads") or num_heads
+        elif cfg.get("multi_query", True):
+            kv = 1
+        else:
+            kv = num_heads
+        a = cls(
+            vocab_size=cfg["vocab_size"],
+            hidden_size=hidden,
+            intermediate_size=cfg.get("ffn_hidden_size") or 4 * hidden,
+            num_layers=cfg["num_hidden_layers"],
+            num_heads=num_heads, num_kv_heads=kv,
+            head_dim=hidden // num_heads,
+            rope_theta=cfg.get("rope_theta", 10000.0),
+            max_position_embeddings=cfg.get("max_position_embeddings",
+                                            2048),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", True))
+        a.norm_type = "layernorm"
+        a.norm_bias = True
+        parallel = cfg.get("parallel_attn", True) or new_arch
+        a.parallel_residual = parallel
+        a.shared_input_norm = parallel and not new_arch
+        a.mlp_gated = False
+        bias = cfg.get("bias", False)
+        a.qkv_bias = bias
+        a.o_bias = bias
+        a.mlp_bias = bias
+        a.hidden_act = "gelu"
+        a.rms_norm_eps = cfg.get("layer_norm_epsilon", 1e-5)
+        return a
+
+    def canonicalize_hf(self, tensors: dict) -> dict:
+        kv, d = self.num_kv_heads, self.head_dim
+        group = self.num_heads // kv
+        out = {}
+        for k, v in tensors.items():
+            k = k.replace("transformer.word_embeddings.weight",
+                          "model.embed_tokens.weight")
+            k = k.replace("transformer.h.", "model.layers.")
+            k = k.replace("transformer.ln_f.", "model.norm.")
+            k = k.replace(".self_attention.dense.", ".self_attn.o_proj.")
+            k = k.replace(".mlp.dense_h_to_4h.", ".mlp.up_proj.")
+            k = k.replace(".mlp.dense_4h_to_h.", ".mlp.down_proj.")
+            k = k.replace(".ln_attn.", ".input_layernorm.")
+            k = k.replace(".ln_mlp.", ".post_attention_layernorm.")
+            if ".self_attention.query_key_value." in k:
+                # Fused per-kv-group layout: (q * group, k, v) per group.
+                v = np.asarray(v)
+                if k.endswith("weight"):
+                    w = v.reshape(kv, group + 2, d, v.shape[-1])
+                    parts = [w[:, :group].reshape(kv * group * d, -1),
+                             w[:, -2].reshape(kv * d, -1),
+                             w[:, -1].reshape(kv * d, -1)]
+                else:
+                    b = v.reshape(kv, group + 2, d)
+                    parts = [b[:, :group].reshape(-1),
+                             b[:, -2].reshape(-1), b[:, -1].reshape(-1)]
+                for name, p in zip(("q", "k", "v"), parts):
+                    out[k.replace(".self_attention.query_key_value.",
+                                  f".self_attn.{name}_proj.")] = p
+                continue
+            out[k] = v
+        return out
+
+
+@dataclass
+class CohereArch(LlamaArch):
+    """Command-R / Cohere (reference vllm/model_executor/models/commandr.py):
+    parallel attention+MLP off one bias-free LayerNorm, interleaved rope,
+    tied embeddings with a logit scale."""
+
+    @classmethod
+    def from_hf_config(cls, cfg: dict) -> "CohereArch":
+        if cfg.get("use_qk_norm"):
+            raise NotImplementedError("Cohere use_qk_norm")
+        a = super().from_hf_config(cfg)
+        a.norm_type = "layernorm"
+        a.norm_bias = False
+        a.parallel_residual = True
+        a.shared_input_norm = True
+        a.rope_interleaved = True
+        a.logit_scale = cfg.get("logit_scale", 0.0625)
+        a.tie_word_embeddings = True
+        a.qkv_bias = cfg.get("attention_bias", False)
+        a.rms_norm_eps = cfg.get("layer_norm_eps", 1e-5)
+        return a
+
+
+@dataclass
+class BaichuanArch(LlamaArch):
+    """Baichuan/Baichuan2-7B (reference
+    vllm/model_executor/models/baichuan.py): Llama with a fused W_pack QKV
+    checkpoint; Baichuan2 normalizes the lm_head rows (NormHead).  The
+    13B ALiBi variants are not supported (detected as in the reference:
+    hidden_size != 4096)."""
+
+    @classmethod
+    def from_hf_config(cls, cfg: dict) -> "BaichuanArch":
+        # The 13B variants (40 layers) use ALiBi; 7B (32 layers) uses rope
+        # (the reference keys the same way, baichuan.py position_embedding).
+        if cfg.get("num_hidden_layers", 32) >= 40:
+            raise NotImplementedError(
+                "Baichuan-13B uses ALiBi positions (unsupported)")
+        a = super().from_hf_config(cfg)
+        a.norm_head = cfg.get("vocab_size", 0) == 125696  # Baichuan2
+        return a
+
+    def canonicalize_hf(self, tensors: dict) -> dict:
+        out = {}
+        for k, v in tensors.items():
+            if ".self_attn.W_pack.weight" in k:
+                v = np.asarray(v)
+                third = v.shape[0] // 3
+                for j, name in enumerate(("q", "k", "v")):
+                    out[k.replace(".self_attn.W_pack.",
+                                  f".self_attn.{name}_proj.")] = \
+                        v[j * third:(j + 1) * third]
+                continue
+            if k == "lm_head.weight" and getattr(self, "norm_head", False):
+                v = np.asarray(v, np.float32)
+                v = v / np.maximum(
+                    np.linalg.norm(v, axis=1, keepdims=True), 1e-7)
+            out[k] = v
+        return out
+
+
+@dataclass
+class InternLM2Arch(LlamaArch):
+    """InternLM2 (reference vllm/model_executor/models/internlm2.py):
+    Llama semantics under different names + a grouped-interleaved fused
+    wqkv checkpoint layout."""
+
+    @classmethod
+    def from_hf_config(cls, cfg: dict) -> "InternLM2Arch":
+        a = super().from_hf_config(cfg)
+        a.qkv_bias = cfg.get("bias", False)
+        return a
+
+    def canonicalize_hf(self, tensors: dict) -> dict:
+        kv, d = self.num_kv_heads, self.head_dim
+        group = self.num_heads // kv
+        out = {}
+        for k, v in tensors.items():
+            k = k.replace("model.tok_embeddings.weight",
+                          "model.embed_tokens.weight")
+            k = k.replace(".attention.wo.", ".self_attn.o_proj.")
+            k = k.replace(".feed_forward.w1.", ".mlp.gate_proj.")
+            k = k.replace(".feed_forward.w3.", ".mlp.up_proj.")
+            k = k.replace(".feed_forward.w2.", ".mlp.down_proj.")
+            k = k.replace(".attention_norm.", ".input_layernorm.")
+            k = k.replace(".ffn_norm.", ".post_attention_layernorm.")
+            k = k.replace("output.weight", "lm_head.weight") \
+                if k == "output.weight" else k
+            if ".attention.wqkv." in k:
+                # Grouped layout: (q * group, k, v) per kv head.
+                v = np.asarray(v)
+                if k.endswith("weight"):
+                    w = v.reshape(kv, group + 2, d, v.shape[-1])
+                    parts = [w[:, :group].reshape(kv * group * d, -1),
+                             w[:, -2].reshape(kv * d, -1),
+                             w[:, -1].reshape(kv * d, -1)]
+                else:
+                    b = v.reshape(kv, group + 2, d)
+                    parts = [b[:, :group].reshape(-1),
+                             b[:, -2].reshape(-1), b[:, -1].reshape(-1)]
+                for name, p in zip(("q", "k", "v"), parts):
+                    out[k.replace(".attention.wqkv.",
+                                  f".self_attn.{name}_proj.")] = p
+                continue
+            out[k] = v
+        return out
+
+
 def rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float,
              unit_offset: bool = False) -> jnp.ndarray:
     """HF-compatible RMSNorm: fp32 variance, weight applied in model dtype.
@@ -189,6 +597,26 @@ def rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float,
     xf = xf * jax.lax.rsqrt(var + eps)
     w = w + 1 if unit_offset else w
     return (w * xf.astype(dtype)).astype(dtype)
+
+
+def layer_norm(x: jnp.ndarray, w: jnp.ndarray, b, eps: float) -> jnp.ndarray:
+    """Mean-centering LayerNorm in fp32 (GPT-NeoX/J, Falcon, StarCoder2,
+    StableLM, Phi; Cohere passes b=None)."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps) * w.astype(jnp.float32)
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y.astype(dtype)
+
+
+_ACTS = {
+    "silu": jax.nn.silu,
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+    "gelu_tanh": lambda x: jax.nn.gelu(x, approximate=True),
+}
 
 
 class LlamaModel:
@@ -232,12 +660,14 @@ class LlamaModel:
 
             ones = lambda sh: jnp.ones(sh, self.dtype)  # noqa: E731
         qkv_out = (a.num_heads + 2 * a.num_kv_heads) * a.head_dim
+        mlp_out = (2 if a.mlp_gated else 1) * a.intermediate_size
         layers = {
             "wqkv": w(a.num_layers, a.hidden_size, qkv_out),
             "wo": w(a.num_layers, a.num_heads * a.head_dim, a.hidden_size),
             "input_norm": ones((a.num_layers, a.hidden_size)),
-            "post_norm": ones((a.num_layers, a.hidden_size)),
         }
+        if not a.shared_input_norm:
+            layers["post_norm"] = ones((a.num_layers, a.hidden_size))
         if a.num_experts:
             layers["router"] = w(a.num_layers, a.hidden_size, a.num_experts)
             layers["w_gate_up"] = w(a.num_layers, a.num_experts,
@@ -245,15 +675,23 @@ class LlamaModel:
             layers["w_down"] = w(a.num_layers, a.num_experts,
                                  a.intermediate_size, a.hidden_size)
         else:
-            layers["w_gate_up"] = w(a.num_layers, a.hidden_size,
-                                    2 * a.intermediate_size)
+            layers["w_gate_up"] = w(a.num_layers, a.hidden_size, mlp_out)
             layers["w_down"] = w(a.num_layers, a.intermediate_size,
                                  a.hidden_size)
         if a.qkv_bias:
             layers["bqkv"] = w(a.num_layers, qkv_out)
+        if a.o_bias:
+            layers["bo"] = w(a.num_layers, a.hidden_size)
+        if a.mlp_bias:
+            layers["b_gate_up"] = w(a.num_layers, mlp_out)
+            layers["b_down"] = w(a.num_layers, a.hidden_size)
         if a.qk_norm:
             layers["q_norm"] = ones((a.num_layers, a.head_dim))
             layers["k_norm"] = ones((a.num_layers, a.head_dim))
+        if a.norm_type == "layernorm" and a.norm_bias:
+            layers["input_norm_b"] = w(a.num_layers, a.hidden_size)
+            if not a.shared_input_norm:
+                layers["post_norm_b"] = w(a.num_layers, a.hidden_size)
         if a.sandwich_norms:
             layers["post_attn_out_norm"] = ones((a.num_layers,
                                                  a.hidden_size))
@@ -263,8 +701,12 @@ class LlamaModel:
             "layers": layers,
             "final_norm": ones((a.hidden_size,)),
         }
+        if a.norm_type == "layernorm" and a.norm_bias:
+            params["final_norm_b"] = w(a.hidden_size)
         if not a.tie_word_embeddings:
             params["lm_head"] = w(a.hidden_size, a.vocab_size)
+            if a.lm_head_bias:
+                params["lm_head_b"] = w(a.vocab_size)
         return params
 
     def init_params_int8(self, seed: int = 0) -> dict:
@@ -312,8 +754,11 @@ class LlamaModel:
     def load_hf_state_dict(self, tensors: dict[str, np.ndarray],
                            as_numpy: bool = False) -> dict:
         """Convert an HF Llama state dict (numpy arrays) into our fused,
-        transposed layout."""
+        transposed layout.  Non-Llama-named families (GPT-NeoX/J, Falcon,
+        Phi, InternLM2, Baichuan, StarCoder2) are first renamed/unpacked to
+        the canonical Llama names by their arch's ``canonicalize_hf``."""
         a = self.arch
+        tensors = a.canonicalize_hf(tensors)
 
         def t(name):
             return np.asarray(tensors[name])
@@ -326,8 +771,10 @@ class LlamaModel:
         hf_fused = "model.layers.0.self_attn.qkv_proj.weight" in tensors
 
         wqkv, bqkv, wo, gate_up, down, router = [], [], [], [], [], []
+        bo, b_gate_up, b_down = [], [], []
         qn, kn = [], []
         in_n, post_n, pao_n, pff_n = [], [], [], []
+        in_nb, post_nb = [], []
         for i in range(a.num_layers):
             p = f"model.layers.{i}."
             if a.num_experts:
@@ -349,6 +796,12 @@ class LlamaModel:
             elif hf_fused:
                 wqkv.append(proj(p + "self_attn.qkv_proj.weight"))
                 gate_up.append(proj(p + "mlp.gate_up_proj.weight"))
+            elif not a.mlp_gated:
+                wqkv.append(np.concatenate([
+                    proj(p + "self_attn.q_proj.weight"),
+                    proj(p + "self_attn.k_proj.weight"),
+                    proj(p + "self_attn.v_proj.weight")], axis=1))
+                gate_up.append(proj(p + "mlp.up_proj.weight"))
             else:
                 wqkv.append(np.concatenate([
                     proj(p + "self_attn.q_proj.weight"),
@@ -362,6 +815,16 @@ class LlamaModel:
                     t(p + "self_attn.q_proj.bias"),
                     t(p + "self_attn.k_proj.bias"),
                     t(p + "self_attn.v_proj.bias")]))
+            if a.o_bias:
+                bo.append(t(p + "self_attn.o_proj.bias"))
+            if a.mlp_bias:
+                if a.mlp_gated:
+                    b_gate_up.append(np.concatenate([
+                        t(p + "mlp.gate_proj.bias"),
+                        t(p + "mlp.up_proj.bias")]))
+                else:
+                    b_gate_up.append(t(p + "mlp.up_proj.bias"))
+                b_down.append(t(p + "mlp.down_proj.bias"))
             if a.qk_norm:
                 qn.append(t(p + "self_attn.q_norm.weight"))
                 kn.append(t(p + "self_attn.k_norm.weight"))
@@ -369,11 +832,15 @@ class LlamaModel:
             if not a.num_experts:
                 down.append(proj(p + "mlp.down_proj.weight"))
             in_n.append(t(p + "input_layernorm.weight"))
+            if a.norm_type == "layernorm" and a.norm_bias:
+                in_nb.append(t(p + "input_layernorm.bias"))
+                if not a.shared_input_norm:
+                    post_nb.append(t(p + "post_attention_layernorm.bias"))
             if a.sandwich_norms:
                 pao_n.append(t(p + "post_attention_layernorm.weight"))
                 post_n.append(t(p + "pre_feedforward_layernorm.weight"))
                 pff_n.append(t(p + "post_feedforward_layernorm.weight"))
-            else:
+            elif not a.shared_input_norm:
                 post_n.append(t(p + "post_attention_layernorm.weight"))
 
         def stack(xs):
@@ -390,10 +857,20 @@ class LlamaModel:
             "w_gate_up": stack(gate_up),
             "w_down": stack(down),
             "input_norm": stack(in_n),
-            "post_norm": stack(post_n),
         }
+        if post_n:
+            layers["post_norm"] = stack(post_n)
         if a.qkv_bias:
             layers["bqkv"] = stack(bqkv)
+        if a.o_bias:
+            layers["bo"] = stack(bo)
+        if a.mlp_bias:
+            layers["b_gate_up"] = stack(b_gate_up)
+            layers["b_down"] = stack(b_down)
+        if in_nb:
+            layers["input_norm_b"] = stack(in_nb)
+        if post_nb:
+            layers["post_norm_b"] = stack(post_nb)
         if a.qk_norm:
             layers["q_norm"] = stack(qn)
             layers["k_norm"] = stack(kn)
@@ -407,8 +884,12 @@ class LlamaModel:
             "layers": layers,
             "final_norm": leaf(t("model.norm.weight")),
         }
+        if a.norm_type == "layernorm" and a.norm_bias:
+            params["final_norm_b"] = leaf(t("model.norm.bias"))
         if not a.tie_word_embeddings:
             params["lm_head"] = leaf(t("lm_head.weight").T)
+            if a.lm_head_bias:
+                params["lm_head_b"] = leaf(t("lm_head.bias"))
         return params
 
     # ---- forward --------------------------------------------------------
@@ -469,6 +950,10 @@ class LlamaModel:
         h, new_state = self.forward_layers(params, h, positions, attn_fn,
                                            attn_state, lora, lora_idx,
                                            state_mode)
+        if a.norm_type == "layernorm":
+            return layer_norm(h, params["final_norm"],
+                              params.get("final_norm_b"),
+                              a.rms_norm_eps), new_state
         return rms_norm(h, params["final_norm"], a.rms_norm_eps,
                         a.norm_unit_offset), new_state
 
@@ -486,14 +971,14 @@ class LlamaModel:
         local slice (parallel/pipeline.py) and carry-mode layer indices
         are local to that slice."""
         a = self.arch
-        cos, sin = rope_cos_sin(positions, a.head_dim, a.rope_theta,
-                                scaling=a.rope_scaling)
+        cos, sin = rope_cos_sin(positions, a.rot_dim, a.rope_theta,
+                                scaling=a.rope_scaling,
+                                interleaved=a.rope_interleaved)
         q_sz = a.num_heads * a.head_dim
         kv_sz = a.num_kv_heads * a.head_dim
         t = h.shape[0]
         num_layers = jax.tree.leaves(params["layers"])[0].shape[0]
-        act = jax.nn.silu if a.hidden_act == "silu" else (
-            lambda x: jax.nn.gelu(x, approximate=True))
+        act = _ACTS[a.hidden_act]
         norm = functools.partial(rms_norm, eps=a.rms_norm_eps,
                                  unit_offset=a.norm_unit_offset)
 
@@ -515,7 +1000,13 @@ class LlamaModel:
                 return y + lora_delta(x, ll[f"A_{name}"], ll[f"B_{name}"],
                                       lidx, lora_scale)
 
-            x = norm(h, lp["input_norm"])
+            def lnorm(y, name):
+                if a.norm_type == "layernorm":
+                    return layer_norm(y, lp[name],
+                                      lp.get(name + "_b"), a.rms_norm_eps)
+                return norm(y, lp[name])
+
+            x = lnorm(h, "input_norm")
             qkv = with_lora(matmul(x, lp["wqkv"]), "wqkv", x)
             if a.qkv_bias:
                 qkv = qkv + lp["bqkv"]
@@ -528,18 +1019,26 @@ class LlamaModel:
                 # Qwen3Attention applies q_norm/k_norm to head_dim).
                 q = rms_norm(q, lp["q_norm"], a.rms_norm_eps)
                 k = rms_norm(k, lp["k_norm"], a.rms_norm_eps)
-            q, k = apply_rope(q, k, cos, sin)
+            q, k = apply_rope(q, k, cos, sin, rot_dim=a.rot_dim,
+                              interleaved=a.rope_interleaved)
             if layer_idx is None:
                 attn_out, new_state = attn_fn(q, k, v, state)
             else:
                 attn_out, new_state = attn_fn(q, k, v, state, layer_idx)
             attn2d = attn_out.reshape(t, q_sz)
             attn_res = with_lora(matmul(attn2d, lp["wo"]), "wo", attn2d)
+            if a.o_bias:
+                attn_res = attn_res + lp["bo"]
             if a.sandwich_norms:
                 attn_res = norm(attn_res, lp["post_attn_out_norm"])
-            h = h + attn_res
 
-            x = norm(h, lp["post_norm"])
+            if a.parallel_residual:
+                # GPT-NeoX/J, Falcon, Phi, Cohere: attention and MLP read
+                # the same (or sibling-normed) input; one residual add.
+                x = x if a.shared_input_norm else lnorm(h, "post_norm")
+            else:
+                h = h + attn_res
+                x = lnorm(h, "post_norm")
             if a.num_experts:
                 # Top-k routing, softmax over the selected logits (HF
                 # MixtralSparseMoeBlock semantics), dense expert compute.
@@ -561,14 +1060,24 @@ class LlamaModel:
             else:
                 gate_up = with_lora(matmul(x, lp["w_gate_up"]),
                                     "w_gate_up", x)
-                gate = gate_up[:, :a.intermediate_size]
-                up = gate_up[:, a.intermediate_size:]
-                gated = act(gate) * up
+                if a.mlp_bias:
+                    gate_up = gate_up + lp["b_gate_up"]
+                if a.mlp_gated:
+                    gate = gate_up[:, :a.intermediate_size]
+                    up = gate_up[:, a.intermediate_size:]
+                    gated = act(gate) * up
+                else:
+                    gated = act(gate_up)
                 mlp_res = with_lora(matmul(gated, lp["w_down"]),
                                     "w_down", gated)
+                if a.mlp_bias:
+                    mlp_res = mlp_res + lp["b_down"]
             if a.sandwich_norms:
                 mlp_res = norm(mlp_res, lp["post_ffw_norm"])
-            h = h + mlp_res
+            if a.parallel_residual:
+                h = h + attn_res + mlp_res
+            else:
+                h = h + mlp_res
             return h, new_state
 
         if state_mode == "carry":
@@ -610,6 +1119,12 @@ class LlamaModel:
                 y = hidden @ e.T
         else:
             y = matmul(hidden, params["lm_head"])
+        if self.arch.lm_head_bias:
+            y = y + params["lm_head_b"]
+        if self.arch.logit_scale is not None:
+            # Cohere applies the scale to fp32 logits.
+            y = (y.astype(jnp.float32) * self.arch.logit_scale).astype(
+                y.dtype)
         cap = self.arch.final_logit_softcap
         if cap is not None:
             y = (cap * jnp.tanh(y.astype(jnp.float32) / cap)).astype(y.dtype)

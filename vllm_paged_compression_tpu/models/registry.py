@@ -20,8 +20,11 @@ def register_model(hf_arch: str):
 def _ensure_builtin():
     if _REGISTRY:
         return
-    from .llama import (Gemma2Arch, GemmaArch, LlamaArch, LlamaModel,
-                        MixtralArch, Phi3Arch, Qwen2Arch, Qwen3Arch)
+    from .llama import (BaichuanArch, CohereArch, FalconArch, Gemma2Arch,
+                        GemmaArch, GPTJArch, GPTNeoXArch, InternLM2Arch,
+                        LlamaArch, LlamaModel, MixtralArch, Phi3Arch,
+                        PhiArch, Qwen2Arch, Qwen3Arch, StableLmArch,
+                        Starcoder2Arch)
     from .opt import GPT2Arch, OPTArch, OPTModel
     _REGISTRY.update({
         "LlamaForCausalLM": (LlamaModel, LlamaArch),
@@ -32,6 +35,17 @@ def _ensure_builtin():
         "GemmaForCausalLM": (LlamaModel, GemmaArch),
         "Gemma2ForCausalLM": (LlamaModel, Gemma2Arch),
         "Phi3ForCausalLM": (LlamaModel, Phi3Arch),
+        "PhiForCausalLM": (LlamaModel, PhiArch),
+        "Starcoder2ForCausalLM": (LlamaModel, Starcoder2Arch),
+        "StableLmForCausalLM": (LlamaModel, StableLmArch),
+        "GPTNeoXForCausalLM": (LlamaModel, GPTNeoXArch),
+        "GPTJForCausalLM": (LlamaModel, GPTJArch),
+        "FalconForCausalLM": (LlamaModel, FalconArch),
+        "RWForCausalLM": (LlamaModel, FalconArch),
+        "CohereForCausalLM": (LlamaModel, CohereArch),
+        "BaichuanForCausalLM": (LlamaModel, BaichuanArch),
+        "BaiChuanForCausalLM": (LlamaModel, BaichuanArch),
+        "InternLM2ForCausalLM": (LlamaModel, InternLM2Arch),
         "OPTForCausalLM": (OPTModel, OPTArch),
         "GPT2LMHeadModel": (OPTModel, GPT2Arch),
     })

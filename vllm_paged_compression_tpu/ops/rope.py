@@ -12,12 +12,16 @@ import jax.numpy as jnp
 
 
 def rope_cos_sin(positions: jnp.ndarray, head_dim: int, theta: float,
-                 dtype=jnp.float32, scaling: dict | None = None):
+                 dtype=jnp.float32, scaling: dict | None = None,
+                 interleaved: bool = False):
     """cos/sin tables for given integer positions, shape [T, head_dim].
 
     Matches transformers' LlamaRotaryEmbedding: inv_freq over even dims,
     duplicated (not interleaved) across the two halves.  ``scaling`` supports
     the llama3 rope-scaling dict (rope_type "llama3") and plain "linear".
+    ``interleaved`` lays the table out for the GPT-J/GPT-NeoX-interleaved
+    convention instead: each frequency repeated over an adjacent (even, odd)
+    dim pair (transformers' rotate_every_two models: GPT-J, Cohere).
     """
     inv_freq = 1.0 / (theta ** (
         jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
@@ -28,7 +32,10 @@ def rope_cos_sin(positions: jnp.ndarray, head_dim: int, theta: float,
         elif rope_type == "linear":
             inv_freq = inv_freq / float(scaling["factor"])
     freqs = positions.astype(jnp.float32)[..., None] * inv_freq  # [T, d/2]
-    emb = jnp.concatenate([freqs, freqs], axis=-1)               # [T, d]
+    if interleaved:
+        emb = jnp.repeat(freqs, 2, axis=-1)                      # [T, d]
+    else:
+        emb = jnp.concatenate([freqs, freqs], axis=-1)           # [T, d]
     return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
 
 
@@ -56,18 +63,37 @@ def _rotate_half(x):
     return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
 
 
+def _rotate_every_two(x):
+    # (x0, x1, x2, x3, ...) -> (-x1, x0, -x3, x2, ...)
+    x_even = x[..., 0::2]
+    x_odd = x[..., 1::2]
+    return jnp.stack([-x_odd, x_even], axis=-1).reshape(x.shape)
+
+
 def apply_rope(q: jnp.ndarray, k: jnp.ndarray, cos: jnp.ndarray,
-               sin: jnp.ndarray):
-    """Apply rotary embedding. q/k: [T, heads, head_dim]; cos/sin: [T, head_dim].
+               sin: jnp.ndarray, rot_dim: int | None = None,
+               interleaved: bool = False):
+    """Apply rotary embedding. q/k: [T, heads, head_dim]; cos/sin: [T, rot_dim].
 
     Computed in fp32 and cast back: matches the reference CUDA op's internal
-    float accumulation.
+    float accumulation.  ``rot_dim`` < head_dim rotates only the leading dims
+    (partial rotary: GPT-NeoX rotary_pct, Phi/StableLM
+    partial_rotary_factor); ``interleaved`` uses the GPT-J rotate-every-two
+    pairing instead of the Llama rotate-half convention.
     """
     cos = cos[:, None, :]
     sin = sin[:, None, :]
+    rotate = _rotate_every_two if interleaved else _rotate_half
 
     def rot(x):
-        xf = x.astype(jnp.float32)
-        return (xf * cos + _rotate_half(xf) * sin).astype(x.dtype)
+        if rot_dim is not None and rot_dim < x.shape[-1]:
+            xr, x_pass = x[..., :rot_dim], x[..., rot_dim:]
+        else:
+            xr, x_pass = x, None
+        xf = xr.astype(jnp.float32)
+        out = (xf * cos + rotate(xf) * sin).astype(x.dtype)
+        if x_pass is not None:
+            out = jnp.concatenate([out, x_pass], axis=-1)
+        return out
 
     return rot(q), rot(k)

@@ -242,3 +242,33 @@ def test_new_families_e2e_generation():
                         sampling_params=SamplingParams(temperature=0.0,
                                                        max_tokens=16))
     assert len(outs[0].outputs[0].token_ids) == 16
+
+
+def test_qwen2_moe_logits_match_hf():
+    cfg = transformers.Qwen2MoeConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        moe_intermediate_size=32, shared_expert_intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_experts=4, num_experts_per_tok=2, norm_topk_prob=False,
+        decoder_sparse_step=1, mlp_only_layers=[],
+        max_position_embeddings=128, rope_theta=10000.0, rms_norm_eps=1e-5,
+        tie_word_embeddings=False)
+    torch.manual_seed(20)
+    hf = transformers.Qwen2MoeForCausalLM(cfg).eval()
+    d = cfg.to_dict(); d["architectures"] = ["Qwen2MoeForCausalLM"]
+    _check_parity(hf, d)
+
+
+def test_qwen3_moe_logits_match_hf():
+    cfg = transformers.Qwen3MoeConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        moe_intermediate_size=32, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        num_experts=4, num_experts_per_tok=2, norm_topk_prob=True,
+        decoder_sparse_step=1, mlp_only_layers=[],
+        max_position_embeddings=128, rope_theta=10000.0, rms_norm_eps=1e-5,
+        tie_word_embeddings=False)
+    torch.manual_seed(21)
+    hf = transformers.Qwen3MoeForCausalLM(cfg).eval()
+    d = cfg.to_dict(); d["architectures"] = ["Qwen3MoeForCausalLM"]
+    _check_parity(hf, d)

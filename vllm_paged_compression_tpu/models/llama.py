@@ -72,6 +72,18 @@ class LlamaArch:
     query_pre_attn_scalar: Optional[float] = None  # gemma2 attn scale base
     num_experts: int = 0              # mixtral: >0 switches the MLP to MoE
     num_experts_per_tok: int = 2
+    moe_intermediate_size: Optional[int] = None  # expert width (qwen-moe)
+    moe_routing: str = "topk_softmax"  # mixtral: topk then softmax;
+    #                                    "softmax_topk": softmax over all
+    #                                    logits then topk (qwen/deepseek)
+    moe_norm_topk: bool = False       # renormalize the selected weights
+    moe_shared_intermediate: int = 0  # qwen-moe: dense shared expert width
+    moe_shared_gate: bool = False     # qwen-moe: sigmoid gate on shared out
+    moe_hf_style: str = "mixtral"     # checkpoint naming scheme
+
+    @property
+    def moe_inter(self) -> int:
+        return self.moe_intermediate_size or self.intermediate_size
     # --- decoder-shape axes beyond the Llama default (fold the GPT-NeoX /
     # GPT-J / Falcon / StarCoder2 / StableLM / Phi / Cohere branches of the
     # reference model zoo, vllm/model_executor/models/, into one trunk) ---
@@ -203,6 +215,57 @@ class Phi3Arch(LlamaArch):
     """Phi-3 (reference vllm/model_executor/models/phi3.py → llama.py):
     Llama layout with HF-side pre-fused qkv_proj / gate_up_proj weights
     (handled by the loader)."""
+
+
+@dataclass
+class Qwen2MoeArch(LlamaArch):
+    """Qwen1.5/2-MoE (reference vllm/model_executor/models/qwen2_moe.py):
+    Qwen2 attention + softmax-then-topk routed experts PLUS a dense shared
+    expert whose output is sigmoid-gated by its own router logit."""
+
+    @classmethod
+    def from_hf_config(cls, cfg: dict) -> "Qwen2MoeArch":
+        if cfg.get("decoder_sparse_step", 1) != 1 \
+                or cfg.get("mlp_only_layers"):
+            raise NotImplementedError(
+                "heterogeneous dense/sparse layer stacks (scan-over-layers "
+                "requires uniform layers)")
+        a = super().from_hf_config(cfg)
+        a.qkv_bias = True
+        a.num_experts = cfg["num_experts"]
+        a.num_experts_per_tok = cfg.get("num_experts_per_tok", 4)
+        a.moe_intermediate_size = cfg["moe_intermediate_size"]
+        a.moe_routing = "softmax_topk"
+        a.moe_norm_topk = cfg.get("norm_topk_prob", False)
+        a.moe_shared_intermediate = cfg.get(
+            "shared_expert_intermediate_size", 0)
+        a.moe_shared_gate = True
+        a.moe_hf_style = "qwen"
+        return a
+
+
+@dataclass
+class Qwen3MoeArch(LlamaArch):
+    """Qwen3-MoE (reference vllm/model_executor/models/qwen3_moe.py):
+    Qwen3 attention (per-head q/k RMSNorm) + softmax-then-topk routed
+    experts with renormalized weights; no shared expert."""
+
+    @classmethod
+    def from_hf_config(cls, cfg: dict) -> "Qwen3MoeArch":
+        if cfg.get("decoder_sparse_step", 1) != 1 \
+                or cfg.get("mlp_only_layers"):
+            raise NotImplementedError(
+                "heterogeneous dense/sparse layer stacks (scan-over-layers "
+                "requires uniform layers)")
+        a = super().from_hf_config(cfg)
+        a.qk_norm = True
+        a.num_experts = cfg["num_experts"]
+        a.num_experts_per_tok = cfg.get("num_experts_per_tok", 8)
+        a.moe_intermediate_size = cfg["moe_intermediate_size"]
+        a.moe_routing = "softmax_topk"
+        a.moe_norm_topk = cfg.get("norm_topk_prob", True)
+        a.moe_hf_style = "qwen"
+        return a
 
 
 def _rename(tensors: dict, table: list[tuple[str, str]]) -> dict:
@@ -671,9 +734,15 @@ class LlamaModel:
         if a.num_experts:
             layers["router"] = w(a.num_layers, a.hidden_size, a.num_experts)
             layers["w_gate_up"] = w(a.num_layers, a.num_experts,
-                                    a.hidden_size, 2 * a.intermediate_size)
+                                    a.hidden_size, 2 * a.moe_inter)
             layers["w_down"] = w(a.num_layers, a.num_experts,
-                                 a.intermediate_size, a.hidden_size)
+                                 a.moe_inter, a.hidden_size)
+            if a.moe_shared_intermediate:
+                si = a.moe_shared_intermediate
+                layers["ws_gate_up"] = w(a.num_layers, a.hidden_size, 2 * si)
+                layers["ws_down"] = w(a.num_layers, si, a.hidden_size)
+                if a.moe_shared_gate:
+                    layers["ws_gate"] = w(a.num_layers, a.hidden_size, 1)
         else:
             layers["w_gate_up"] = w(a.num_layers, a.hidden_size, mlp_out)
             layers["w_down"] = w(a.num_layers, a.intermediate_size,
@@ -772,27 +841,53 @@ class LlamaModel:
 
         wqkv, bqkv, wo, gate_up, down, router = [], [], [], [], [], []
         bo, b_gate_up, b_down = [], [], []
+        ws_gu, ws_dn, ws_g = [], [], []
         qn, kn = [], []
         in_n, post_n, pao_n, pff_n = [], [], [], []
         in_nb, post_nb = [], []
         for i in range(a.num_layers):
             p = f"model.layers.{i}."
             if a.num_experts:
-                # Mixtral: block_sparse_moe.{gate, experts.N.w1/w2/w3}
-                # (w1 = gate, w3 = up, w2 = down).
-                router.append(proj(p + "block_sparse_moe.gate.weight"))
-                gate_up.append(np.stack([
-                    np.concatenate([
-                        proj(p + f"block_sparse_moe.experts.{e}.w1.weight"),
-                        proj(p + f"block_sparse_moe.experts.{e}.w3.weight"),
-                    ], axis=1) for e in range(a.num_experts)]))
-                down.append(np.stack([
-                    proj(p + f"block_sparse_moe.experts.{e}.w2.weight")
-                    for e in range(a.num_experts)]))
+                if a.moe_hf_style == "qwen":
+                    # Qwen2/3-MoE: mlp.{gate, experts.N.gate/up/down_proj,
+                    # shared_expert.*, shared_expert_gate}.
+                    router.append(proj(p + "mlp.gate.weight"))
+                    gate_up.append(np.stack([
+                        np.concatenate([
+                            proj(p + f"mlp.experts.{e}.gate_proj.weight"),
+                            proj(p + f"mlp.experts.{e}.up_proj.weight"),
+                        ], axis=1) for e in range(a.num_experts)]))
+                    down.append(np.stack([
+                        proj(p + f"mlp.experts.{e}.down_proj.weight")
+                        for e in range(a.num_experts)]))
+                else:
+                    # Mixtral: block_sparse_moe.{gate, experts.N.w1/w2/w3}
+                    # (w1 = gate, w3 = up, w2 = down).
+                    router.append(proj(p + "block_sparse_moe.gate.weight"))
+                    gate_up.append(np.stack([
+                        np.concatenate([
+                            proj(p +
+                                 f"block_sparse_moe.experts.{e}.w1.weight"),
+                            proj(p +
+                                 f"block_sparse_moe.experts.{e}.w3.weight"),
+                        ], axis=1) for e in range(a.num_experts)]))
+                    down.append(np.stack([
+                        proj(p + f"block_sparse_moe.experts.{e}.w2.weight")
+                        for e in range(a.num_experts)]))
                 wqkv.append(np.concatenate([
                     proj(p + "self_attn.q_proj.weight"),
                     proj(p + "self_attn.k_proj.weight"),
                     proj(p + "self_attn.v_proj.weight")], axis=1))
+                if a.moe_shared_intermediate:
+                    ws_gu.append(np.concatenate([
+                        proj(p + "mlp.shared_expert.gate_proj.weight"),
+                        proj(p + "mlp.shared_expert.up_proj.weight")],
+                        axis=1))
+                    ws_dn.append(proj(
+                        p + "mlp.shared_expert.down_proj.weight"))
+                    if a.moe_shared_gate:
+                        ws_g.append(proj(
+                            p + "mlp.shared_expert_gate.weight"))
             elif hf_fused:
                 wqkv.append(proj(p + "self_attn.qkv_proj.weight"))
                 gate_up.append(proj(p + "mlp.gate_up_proj.weight"))
@@ -876,6 +971,11 @@ class LlamaModel:
             layers["k_norm"] = stack(kn)
         if a.num_experts:
             layers["router"] = stack(router)
+            if a.moe_shared_intermediate:
+                layers["ws_gate_up"] = stack(ws_gu)
+                layers["ws_down"] = stack(ws_dn)
+                if a.moe_shared_gate:
+                    layers["ws_gate"] = stack(ws_g)
         if a.sandwich_norms:
             layers["post_attn_out_norm"] = stack(pao_n)
             layers["post_ffw_norm"] = stack(pff_n)
@@ -1040,23 +1140,42 @@ class LlamaModel:
                 h = h + attn_res
                 x = lnorm(h, "post_norm")
             if a.num_experts:
-                # Top-k routing, softmax over the selected logits (HF
-                # MixtralSparseMoeBlock semantics), dense expert compute.
+                # Routing (HF MixtralSparseMoeBlock: topk then softmax;
+                # Qwen2/3-MoE: softmax over ALL logits then topk, optional
+                # renorm), dense expert compute.
                 router_logits = (x @ lp["router"]).astype(jnp.float32)
-                topv, topi = jax.lax.top_k(router_logits,
-                                           a.num_experts_per_tok)
-                rw = jax.nn.softmax(topv, axis=-1)
+                if a.moe_routing == "softmax_topk":
+                    probs = jax.nn.softmax(router_logits, axis=-1)
+                    rw, topi = jax.lax.top_k(probs, a.num_experts_per_tok)
+                else:
+                    topv, topi = jax.lax.top_k(router_logits,
+                                               a.num_experts_per_tok)
+                    rw = jax.nn.softmax(topv, axis=-1)
+                if a.moe_norm_topk:
+                    rw = rw / jnp.sum(rw, axis=-1, keepdims=True)
                 combine = jnp.sum(
                     jax.nn.one_hot(topi, a.num_experts, dtype=jnp.float32)
                     * rw[..., None], axis=1)                  # [T, E]
                 gu = jnp.einsum("td,edf->etf", x, lp["w_gate_up"])
-                gate = gu[..., :a.intermediate_size]
-                up = gu[..., a.intermediate_size:]
+                gate = gu[..., :a.moe_inter]
+                up = gu[..., a.moe_inter:]
                 h_e = jnp.einsum("etf,efd->etd", act(gate) * up,
                                  lp["w_down"])
                 mlp_res = jnp.einsum("etd,te->td",
                                      h_e.astype(jnp.float32),
                                      combine).astype(x.dtype)
+                if a.moe_shared_intermediate:
+                    # Qwen-MoE shared expert: a dense gated MLP whose
+                    # output is sigmoid-gated by its own router logit.
+                    sgu = matmul(x, lp["ws_gate_up"])
+                    si = a.moe_shared_intermediate
+                    s_out = matmul(act(sgu[:, :si]) * sgu[:, si:],
+                                   lp["ws_down"])
+                    if a.moe_shared_gate:
+                        s_out = s_out * jax.nn.sigmoid(
+                            (x @ lp["ws_gate"]).astype(jnp.float32)
+                        ).astype(x.dtype)
+                    mlp_res = mlp_res + s_out
             else:
                 gate_up = with_lora(matmul(x, lp["w_gate_up"]),
                                     "w_gate_up", x)

@@ -23,8 +23,8 @@ def _ensure_builtin():
     from .llama import (BaichuanArch, CohereArch, FalconArch, Gemma2Arch,
                         GemmaArch, GPTJArch, GPTNeoXArch, InternLM2Arch,
                         LlamaArch, LlamaModel, MixtralArch, Phi3Arch,
-                        PhiArch, Qwen2Arch, Qwen3Arch, StableLmArch,
-                        Starcoder2Arch)
+                        PhiArch, Qwen2Arch, Qwen2MoeArch, Qwen3Arch,
+                        Qwen3MoeArch, StableLmArch, Starcoder2Arch)
     from .opt import GPT2Arch, OPTArch, OPTModel
     _REGISTRY.update({
         "LlamaForCausalLM": (LlamaModel, LlamaArch),
@@ -32,6 +32,8 @@ def _ensure_builtin():
         "MixtralForCausalLM": (LlamaModel, MixtralArch),
         "Qwen2ForCausalLM": (LlamaModel, Qwen2Arch),
         "Qwen3ForCausalLM": (LlamaModel, Qwen3Arch),
+        "Qwen2MoeForCausalLM": (LlamaModel, Qwen2MoeArch),
+        "Qwen3MoeForCausalLM": (LlamaModel, Qwen3MoeArch),
         "GemmaForCausalLM": (LlamaModel, GemmaArch),
         "Gemma2ForCausalLM": (LlamaModel, Gemma2Arch),
         "Phi3ForCausalLM": (LlamaModel, Phi3Arch),

@@ -78,8 +78,17 @@ class LLMEngine:
             self.params = params
         elif mc.model:
             logger.info("Loading weights from %s", mc.model)
+            tensors = load_state_dict(mc.model)
+            qc = hf_cfg.get("quantization_config")
+            if qc:
+                # AWQ/GPTQ/fp8 checkpoints: dequantize to fp at load; pass
+                # quantization="int8" to re-quantize to the engine scheme.
+                from ..models.weights import dequantize_checkpoint
+                logger.info("Dequantizing %s checkpoint",
+                            qc.get("quant_method"))
+                tensors = dequantize_checkpoint(tensors, qc)
             self.params = self.model.load_hf_state_dict(
-                load_state_dict(mc.model), as_numpy=as_numpy)
+                tensors, as_numpy=as_numpy)
         else:
             logger.info("Initializing random weights (synthetic mode)")
             if (mc.weight_dtype == "int8"

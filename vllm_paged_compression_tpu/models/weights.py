@@ -35,6 +35,113 @@ def load_state_dict(model_path: str) -> dict[str, np.ndarray]:
     return dict(iter_safetensors(model_path))
 
 
+# ---- quantized checkpoint formats (reference: the dequant halves of
+# vllm/model_executor/layers/quantization/{awq,gptq,fp8}.py — here the
+# weights are dequantized at load time into the standard HF layout and can
+# then be re-quantized to the engine's int8 scheme via quantization="int8").
+
+
+def _unpack_int4(packed: np.ndarray, axis: int) -> np.ndarray:
+    """Unpack 8 4-bit values from each int32 along ``axis`` (low nibble
+    first — both AWQ and GPTQ pack little-endian within the int32)."""
+    p = packed.astype(np.uint32)[..., None]
+    shifts = np.arange(0, 32, 4, dtype=np.uint32)
+    nibbles = (p >> shifts) & 0xF                    # [..., 8]
+    nibbles = np.moveaxis(nibbles, -1, axis + 1 if axis >= 0
+                          else len(packed.shape) + axis + 1)
+    shape = list(packed.shape)
+    shape[axis] *= 8
+    return nibbles.reshape(shape).astype(np.int32)
+
+
+# AutoAWQ packs output channels within an int32 in the order
+# [0, 2, 4, 6, 1, 3, 5, 7]; this is its inverse (AWQ_REVERSE_ORDER).
+_AWQ_REVERSE = np.array([0, 4, 1, 5, 2, 6, 3, 7])
+
+
+def _dequant_awq(qweight, qzeros, scales) -> np.ndarray:
+    """AWQ GEMM format: qweight int32 [in, out/8], qzeros int32
+    [in/g, out/8], scales [in/g, out].  Returns fp32 [out, in] (HF
+    layout)."""
+    def unpack_out(x):
+        n = _unpack_int4(x, axis=-1)            # [..., out] packed order
+        n = n.reshape(*x.shape, 8)[..., _AWQ_REVERSE]
+        return n.reshape(x.shape[0], -1)
+    iw = unpack_out(qweight)                    # [in, out]
+    iz = unpack_out(qzeros)                     # [in/g, out]
+    group = qweight.shape[0] // qzeros.shape[0]
+    zeros = np.repeat(iz, group, axis=0)        # [in, out]
+    s = np.repeat(np.asarray(scales, np.float32), group, axis=0)
+    return ((iw - zeros) * s).T.astype(np.float32)
+
+
+def _dequant_gptq(qweight, qzeros, scales, g_idx=None,
+                  sym_no_offset: bool = False) -> np.ndarray:
+    """GPTQ format: qweight int32 [in/8, out] (8 input rows per int32),
+    qzeros int32 [in/g, out/8], scales [in/g, out], optional g_idx [in]
+    (act-order).  GPTQ v1 stores zeros offset by -1 (the dequant adds 1);
+    gptq_v2 checkpoints don't (``sym_no_offset``).  Returns fp32 [out, in].
+    """
+    iw = _unpack_int4(qweight, axis=0)          # [in, out]
+    iz = _unpack_int4(qzeros, axis=-1)          # [in/g, out]
+    if not sym_no_offset:
+        iz = iz + 1
+    in_features = iw.shape[0]
+    if g_idx is None:
+        group = in_features // qzeros.shape[0]
+        g_idx = np.arange(in_features) // group
+    g_idx = np.asarray(g_idx, np.int64)
+    s = np.asarray(scales, np.float32)[g_idx]   # [in, out]
+    z = iz[g_idx]                               # [in, out]
+    return ((iw - z) * s).T.astype(np.float32)
+
+
+def dequantize_checkpoint(tensors: dict, quant_config: dict) -> dict:
+    """Rewrite an AWQ / GPTQ / fp8 checkpoint into plain fp32 ``*.weight``
+    tensors in the standard HF layout; all other entries pass through."""
+    method = (quant_config.get("quant_method") or "").lower()
+    if method in ("awq", "gptq"):
+        bits = quant_config.get("bits", 4)
+        if bits != 4:
+            raise NotImplementedError(f"{method} with bits={bits}")
+        sym_no_offset = (quant_config.get("checkpoint_format") == "gptq_v2")
+        out = {}
+        for name, v in tensors.items():
+            if name.endswith(".qweight"):
+                base = name[:-len(".qweight")]
+                if method == "awq":
+                    w = _dequant_awq(v, tensors[base + ".qzeros"],
+                                     tensors[base + ".scales"])
+                else:
+                    w = _dequant_gptq(v, tensors[base + ".qzeros"],
+                                      tensors[base + ".scales"],
+                                      tensors.get(base + ".g_idx"),
+                                      sym_no_offset)
+                out[base + ".weight"] = w
+            elif name.endswith((".qzeros", ".scales", ".g_idx")):
+                continue
+            else:
+                out[name] = v
+        return out
+    if method == "fp8":
+        out = {}
+        for name, v in tensors.items():
+            if name.endswith(".weight_scale"):
+                continue
+            scale = tensors.get(name + "_scale")
+            if name.endswith(".weight") and scale is not None:
+                w = np.asarray(v).astype(np.float32)
+                s = np.asarray(scale, np.float32)
+                if s.ndim == 1:           # per-output-channel
+                    s = s[:, None]
+                out[name] = w * s
+            else:
+                out[name] = v
+        return out
+    raise NotImplementedError(f"quantization_config method {method!r} "
+                              "(supported: awq, gptq, fp8)")
+
+
 def torch_state_dict_to_numpy(state_dict) -> dict[str, np.ndarray]:
     """Convert a torch state dict (CPU) to numpy — used by parity tests that
     instantiate a random-weight HF model without any checkpoint files."""

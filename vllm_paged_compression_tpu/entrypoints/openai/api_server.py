@@ -59,9 +59,11 @@ def _sampling_from_request(body: dict) -> SamplingParams:
 
 
 class OpenAIServer:
-    def __init__(self, async_engine: AsyncLLMEngine, model_name: str):
+    def __init__(self, async_engine: AsyncLLMEngine, model_name: str,
+                 tool_call_parser: str = "auto"):
         self.engine = async_engine
         self.model_name = model_name
+        self.tool_call_parser = tool_call_parser
         self.start_time = time.time()
 
     # ---- HTTP plumbing --------------------------------------------------
@@ -217,12 +219,15 @@ class OpenAIServer:
 
     # ---- completions ----------------------------------------------------
 
-    def _chat_to_prompt(self, messages: list[dict]) -> str:
+    def _chat_to_prompt(self, messages: list[dict],
+                        tools: Optional[list] = None) -> str:
         """Chat templating: the checkpoint's own jinja template when
-        available, llama3-style fallback otherwise."""
+        available, llama3-style fallback otherwise.  ``tools`` are passed
+        through to the template (or a hermes-style prelude is prepended by
+        the fallback)."""
         from ..chat_utils import apply_chat_template, load_chat_template
         tpl = load_chat_template(getattr(self.engine, "model_path", None))
-        return apply_chat_template(messages, tpl)
+        return apply_chat_template(messages, tpl, tools=tools)
 
     async def _completions(self, writer, body: bytes, chat: bool) -> bool:
         try:
@@ -235,11 +240,15 @@ class OpenAIServer:
 
         prompt: Optional[str] = None
         prompt_token_ids: Optional[list[int]] = None
+        tools = None
         if chat:
             messages = req.get("messages")
             if not isinstance(messages, list) or not messages:
                 raise HTTPError(400, "messages must be a non-empty list")
-            prompt = self._chat_to_prompt(messages)
+            tools = req.get("tools")
+            if req.get("tool_choice") == "none":
+                tools = None
+            prompt = self._chat_to_prompt(messages, tools=tools)
         else:
             p = req.get("prompt")
             if isinstance(p, str):
@@ -263,7 +272,8 @@ class OpenAIServer:
                     prompt_token_ids=prompt_token_ids):
                 final = out
             await self._send(writer, 200, self._response_json(
-                rid, created, obj, final, chat))
+                rid, created, obj, final, chat,
+                parse_tools=tools is not None))
             return True
 
         # SSE streaming
@@ -303,16 +313,27 @@ class OpenAIServer:
         writer.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
         await writer.drain()
 
-    def _response_json(self, rid, created, obj, out, chat: bool) -> dict:
+    def _response_json(self, rid, created, obj, out, chat: bool,
+                       parse_tools: bool = False) -> dict:
         co = out.outputs[0]
         usage = {"prompt_tokens": len(out.prompt_token_ids),
                  "completion_tokens": len(co.token_ids),
                  "total_tokens": len(out.prompt_token_ids)
                  + len(co.token_ids)}
         if chat:
-            choice = {"index": 0,
-                      "message": {"role": "assistant", "content": co.text},
-                      "finish_reason": co.finish_reason}
+            message = {"role": "assistant", "content": co.text}
+            finish = co.finish_reason
+            if parse_tools:
+                from .tool_parsers import parse_tool_calls
+                content, calls = parse_tool_calls(co.text,
+                                                  self.tool_call_parser)
+                if calls:
+                    message = {"role": "assistant",
+                               "content": content or None,
+                               "tool_calls": calls}
+                    finish = "tool_calls"
+            choice = {"index": 0, "message": message,
+                      "finish_reason": finish}
         else:
             choice = {"index": 0, "text": co.text,
                       "finish_reason": co.finish_reason}
@@ -322,15 +343,19 @@ class OpenAIServer:
 
 
 async def serve(async_engine: AsyncLLMEngine, model_name: str,
-                host: str = "0.0.0.0", port: int = 8000):
-    server = OpenAIServer(async_engine, model_name)
+                host: str = "0.0.0.0", port: int = 8000,
+                tool_call_parser: str = "auto"):
+    server = OpenAIServer(async_engine, model_name,
+                          tool_call_parser=tool_call_parser)
     srv = await asyncio.start_server(server.handle_conn, host, port)
     logger.info("OpenAI-compatible server listening on %s:%d", host, port)
     async with srv:
         await srv.serve_forever()
 
 
-def run_server(engine_args, host: str = "0.0.0.0", port: int = 8000) -> None:
+def run_server(engine_args, host: str = "0.0.0.0", port: int = 8000,
+               tool_call_parser: str = "auto") -> None:
     engine = AsyncLLMEngine.from_engine_args(engine_args)
     name = engine_args.model or "synthetic"
-    asyncio.run(serve(engine, name, host, port))
+    asyncio.run(serve(engine, name, host, port,
+                      tool_call_parser=tool_call_parser))

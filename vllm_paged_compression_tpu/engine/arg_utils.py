@@ -52,6 +52,7 @@ class EngineArgs:
     speculative_method: str = "ngram"
     speculative_draft_model: str = ""
     speculative_draft_window: int = 128
+    speculative_heads: str = ""
     # paged eviction (fork surface)
     enable_paged_eviction: bool = False
     disable_evict_prefill: bool = False
@@ -111,11 +112,15 @@ class EngineArgs:
         g.add_argument("--ngram-prompt-lookup-max", type=int, default=3)
         g.add_argument("--ngram-prompt-lookup-min", type=int, default=1)
         g.add_argument("--speculative-method", type=str, default="ngram",
-                       choices=["ngram", "draft"])
+                       choices=["ngram", "draft", "medusa",
+                                "mlp_speculator"])
         g.add_argument("--speculative-draft-model", type=str, default="",
                        help="HF path of the small draft model "
                             "(--speculative-method draft)")
         g.add_argument("--speculative-draft-window", type=int, default=128)
+        g.add_argument("--speculative-heads", type=str, default="",
+                       help="safetensors dir with Medusa / mlp_speculator "
+                            "heads")
 
         g = parser.add_argument_group("parallel")
         g.add_argument("--tensor-parallel-size", "-tp", type=int, default=1)
@@ -195,6 +200,7 @@ class EngineArgs:
                 ngram_prompt_lookup_max=self.ngram_prompt_lookup_max,
                 ngram_prompt_lookup_min=self.ngram_prompt_lookup_min,
                 draft_model=self.speculative_draft_model,
-                draft_window=self.speculative_draft_window)
+                draft_window=self.speculative_draft_window,
+                heads_path=self.speculative_heads)
         cfg.verify()
         return cfg

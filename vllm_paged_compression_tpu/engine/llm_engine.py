@@ -187,6 +187,33 @@ class LLMEngine:
             self.kv_caches = shard_caches(self.kv_caches, self.mesh, pp)
             self.page_scores = jax.device_put(self.page_scores,
                                               replicated(self.mesh))
+        if sc is not None and sc.method in ("medusa", "mlp_speculator"):
+            # Head-based proposers ride on the (possibly sharded) target
+            # params, so they are built after mesh placement.
+            from ..spec_decode.heads import (MedusaProposer,
+                                             MLPSpeculatorProposer)
+            k = sc.num_speculative_tokens
+            if sc.method == "medusa":
+                if sc.heads_path:
+                    hp = MedusaProposer.load_hf_heads(
+                        load_state_dict(sc.heads_path), k)
+                else:
+                    hp = MedusaProposer.init_head_params(
+                        self.model.arch, k, sc.medusa_num_layers,
+                        seed=mc.seed + 2)
+                self.draft_proposer = MedusaProposer(
+                    self.model, self.params, hp, k, sc.draft_window)
+            else:
+                if sc.heads_path:
+                    hp = MLPSpeculatorProposer.load_hf_heads(
+                        load_state_dict(sc.heads_path), k,
+                        self.model.arch.hidden_size)
+                else:
+                    hp = MLPSpeculatorProposer.init_head_params(
+                        self.model.arch, k, sc.speculator_inner_dim,
+                        seed=mc.seed + 2)
+                self.draft_proposer = MLPSpeculatorProposer(
+                    self.model, self.params, hp, k, sc.draft_window)
         self.runner = ModelRunner(self.model, config, self.cache_engine,
                                   mesh=self.mesh)
         self.scheduler = Scheduler(config.scheduler, config.cache,

@@ -18,12 +18,20 @@ class SpeculativeConfig:
     draft_model: str = ""
     draft_hf_config: dict | None = None
     draft_window: int = 128
+    # Head-based proposers (method="medusa" | "mlp_speculator"): path to a
+    # safetensors dir holding the heads (HF medusa / IBM mlp_speculator
+    # naming, spec_decode/heads.py); empty => synthetic random heads
+    # (benchmarks/tests — proposal quality only affects acceptance rate).
+    heads_path: str = ""
+    speculator_inner_dim: int = 0
+    medusa_num_layers: int = 1
 
     def verify(self) -> None:
-        if self.method not in ("ngram", "draft"):
+        if self.method not in ("ngram", "draft", "medusa",
+                               "mlp_speculator"):
             raise NotImplementedError(
-                "speculative method must be 'ngram' or 'draft' (Medusa / "
-                "MLP-speculator heads are follow-ups)")
+                "speculative method must be one of ngram, draft, medusa, "
+                "mlp_speculator")
         if self.method == "draft" and not self.draft_model \
                 and self.draft_hf_config is None:
             raise ValueError("method='draft' needs draft_model or "

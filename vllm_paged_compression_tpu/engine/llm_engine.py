@@ -386,6 +386,30 @@ class LLMEngine:
             "prompt_adapters": self.prompt_adapter_manager.remove_adapter(
                 self.params["prompt_adapters"], adapter_id)}
 
+    # ---- profiling (reference: torch profiler via VLLM_TORCH_PROFILER_DIR,
+    # vllm/worker/worker.py:103-128 + api_server start/stop RPC :444-451;
+    # here jax.profiler traces viewable in TensorBoard/Perfetto) ----------
+
+    def start_profile(self) -> str:
+        import os
+        path = os.environ.get("VPC_PROFILE_DIR", "/tmp/vpc_profile")
+        if getattr(self, "_profiling", False):
+            return path
+        import jax
+        os.makedirs(path, exist_ok=True)
+        jax.profiler.start_trace(path)
+        self._profiling = True
+        logger.info("jax.profiler trace started -> %s", path)
+        return path
+
+    def stop_profile(self) -> None:
+        if not getattr(self, "_profiling", False):
+            return
+        import jax
+        jax.profiler.stop_trace()
+        self._profiling = False
+        logger.info("jax.profiler trace stopped")
+
     def abort_request(self, request_id: str) -> bool:
         # The in-flight window writes into pages the abort will free:
         # commit it first.

@@ -131,6 +131,13 @@ class OpenAIServer:
                 await self._tokenize(writer, body)
             elif method == "POST" and path == "/detokenize":
                 await self._detokenize(writer, body)
+            elif method == "POST" and path == "/start_profile":
+                path_out = self.engine.engine.start_profile()
+                await self._send(writer, 200, {"status": "ok",
+                                               "dir": path_out})
+            elif method == "POST" and path == "/stop_profile":
+                self.engine.engine.stop_profile()
+                await self._send(writer, 200, {"status": "ok"})
             else:
                 await self._send(writer, 404,
                                  {"error": {"message": f"no route {path}"}})

@@ -286,3 +286,66 @@ def _llm_encode(self, prompts=None, prompt_token_ids=None,
 
 
 LLM.encode = _llm_encode
+
+
+def _llm_chat(self, messages, sampling_params=None, chat_template=None,
+              tools=None):
+    """Chat API (reference LLM.chat, vllm/entrypoints/llm.py:708): apply
+    the checkpoint's chat template (or the supplied one / the llama3-style
+    fallback) and generate.  ``messages``: one conversation (list of
+    {role, content} dicts) or a list of conversations."""
+    from .chat_utils import apply_chat_template, load_chat_template
+    if self.engine.tokenizer is None:
+        raise ValueError("chat requires a tokenizer")
+    if messages and isinstance(messages[0], dict):
+        messages = [messages]
+    tpl = chat_template
+    if tpl is None:
+        tpl = load_chat_template(self.engine.config.model.model or None)
+    prompts = [apply_chat_template(conv, tpl, tools=tools)
+               for conv in messages]
+    return self.generate(prompts=prompts, sampling_params=sampling_params)
+
+
+LLM.chat = _llm_chat
+
+
+@dataclass
+class ScoringOutput:
+    score: float
+
+
+@dataclass
+class ScoringRequestOutput:
+    request_id: str
+    outputs: ScoringOutput
+
+
+def _llm_score(self, text_1, text_2) -> list[ScoringRequestOutput]:
+    """Similarity scoring API (reference LLM.score, vllm/entrypoints/
+    llm.py): cosine similarity of pooled embeddings between ``text_1``
+    (one query, or one per pair) and each of ``text_2``.  (The reference
+    additionally supports cross-encoder classification heads; this build
+    scores with the decoder's own pooled representations.)"""
+    import numpy as np
+    if isinstance(text_2, str):
+        text_2 = [text_2]
+    if isinstance(text_1, str):
+        text_1 = [text_1] * len(text_2)
+    if len(text_1) == 1 and len(text_2) > 1:
+        text_1 = text_1 * len(text_2)
+    if len(text_1) != len(text_2):
+        raise ValueError("text_1 and text_2 must pair up")
+    emb1 = self.encode(prompts=list(text_1))
+    emb2 = self.encode(prompts=list(text_2))
+    out = []
+    for i, (a, b) in enumerate(zip(emb1, emb2)):
+        va = np.asarray(a.outputs.embedding)
+        vb = np.asarray(b.outputs.embedding)
+        out.append(ScoringRequestOutput(
+            request_id=f"score-{i}",
+            outputs=ScoringOutput(score=float(va @ vb))))
+    return out
+
+
+LLM.score = _llm_score

@@ -127,6 +127,8 @@ class OpenAIServer:
                 return await self._completions(writer, body, chat=True)
             elif method == "POST" and path == "/v1/embeddings":
                 await self._embeddings(writer, body)
+            elif method == "POST" and path in ("/score", "/v1/score"):
+                await self._score(writer, body)
             elif method == "POST" and path == "/tokenize":
                 await self._tokenize(writer, body)
             elif method == "POST" and path == "/detokenize":
@@ -200,6 +202,34 @@ class OpenAIServer:
                       "embedding": v.tolist()}
                      for i, v in enumerate(vecs)],
             "usage": {"prompt_tokens": total, "total_tokens": total},
+        })
+
+    async def _score(self, writer, body: bytes) -> None:
+        """Similarity scoring (reference /score route): cosine similarity
+        of pooled embeddings between text_1 and each text_2."""
+        import numpy as np
+        req = json.loads(body or b"{}")
+        t1, t2 = req.get("text_1"), req.get("text_2")
+        if t1 is None or t2 is None:
+            raise HTTPError(400, "need 'text_1' and 'text_2'")
+        if isinstance(t2, str):
+            t2 = [t2]
+        if not isinstance(t1, str):
+            raise HTTPError(400, "text_1 must be a string")
+        engine = self.engine.engine
+        if engine.tokenizer is None:
+            raise HTTPError(400, "server has no tokenizer")
+        toks = [engine.tokenizer.encode(t).ids for t in [t1] + list(t2)]
+        vecs = engine.encode(toks)
+        q = np.asarray(vecs[0])
+        await self._send(writer, 200, {
+            "object": "list",
+            "model": req.get("model", self.model_name),
+            "data": [{"object": "score", "index": i,
+                      "score": float(q @ np.asarray(v))}
+                     for i, v in enumerate(vecs[1:])],
+            "usage": {"prompt_tokens": sum(len(t) for t in toks),
+                      "total_tokens": sum(len(t) for t in toks)},
         })
 
     # ---- tokenize / detokenize (reference api_server.py:310-429) -------

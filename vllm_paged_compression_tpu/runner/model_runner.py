@@ -81,6 +81,15 @@ class WindowHandle:
         self.n = n
         self.lp = lp
         self.logprobs_l = logprobs_l
+        # Start the device->host copy as soon as the window completes
+        # (fetch() then finds the bytes already on host instead of paying
+        # a post-completion transfer roundtrip).
+        try:
+            out_pack.copy_to_host_async()
+            if lp is not None:
+                lp.copy_to_host_async()
+        except AttributeError:
+            pass
 
     def fetch(self):
         """Returns (tokens [K, n], victims [K, n], logprobs or None) where

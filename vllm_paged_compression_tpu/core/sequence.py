@@ -84,6 +84,9 @@ class Sequence:
         # engine's swap-out hook) and the physical KV length to restore.
         self.swap_payload = None
         self.swapped_kv_len = 0
+        # Guided decoding: per-request FSM cursor (guided/fsm.GuidedState);
+        # advanced on every appended token.
+        self.guided = None
 
     # ---- lengths --------------------------------------------------------
 
@@ -117,6 +120,8 @@ class Sequence:
         self.output_token_ids.append(token_id)
         if self.first_token_time is None:
             self.first_token_time = time.monotonic()
+        if self.guided is not None:
+            self.guided.advance(token_id)
 
     def reset_for_recompute(self) -> None:
         """Preemption by recompute: drop the KV, fold generated tokens into

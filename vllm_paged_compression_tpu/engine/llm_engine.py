@@ -241,6 +241,10 @@ class LLMEngine:
 
         self._seqs: dict[str, Sequence] = {}
         self._req_counter = 0
+        # Guided decoding: token id -> bytes vocabulary (lazily derived
+        # from the tokenizer; tests and token-id-space callers inject one
+        # via set_guided_vocab).
+        self._guided_vocab = None
         # A dispatched-but-unfetched decode window: (plans, k, handle,
         # sim-end).  While it is in flight the device keeps decoding; the
         # host fetches its results one step later (see _decode_pipelined).
@@ -293,6 +297,19 @@ class LLMEngine:
                        sampling_params or SamplingParams(),
                        arrival_time=arrival_time, priority=priority,
                        eos_token_id=self.eos_token_id)
+        gd = seq.params.guided_decoding
+        if gd is not None:
+            if self.config.speculative is not None:
+                raise ValueError("guided decoding is incompatible with "
+                                 "speculative decoding (the FSM must "
+                                 "observe each token before the next)")
+            if self.runner.pp > 1:
+                raise ValueError("guided decoding with pipeline "
+                                 "parallelism is not supported yet")
+            from ..guided import GuidedState, get_guided_fsm
+            seq.guided = GuidedState(get_guided_fsm(
+                gd, self.guided_vocab(), self.eos_token_id,
+                self.model.arch.vocab_size))
         seq.pixel_values = pixel_values
         seq.mm_start = mm_start
         seq.pa_slot = pa_slot
@@ -305,6 +322,24 @@ class LLMEngine:
         self._seqs[request_id] = seq
         self.scheduler.add_seq(seq)
         return request_id
+
+    # ---- guided decoding (SURVEY C13: guided_json/regex/choice +
+    # response_format; reference vllm/model_executor/guided_decoding/) ----
+
+    def guided_vocab(self) -> list[bytes]:
+        """Token id -> byte string table for FSM compilation."""
+        if self._guided_vocab is None:
+            if self.tokenizer is None:
+                raise ValueError(
+                    "guided decoding needs a tokenizer (or an injected "
+                    "vocabulary via set_guided_vocab)")
+            from ..guided import token_bytes_from_tokenizer
+            self._guided_vocab = token_bytes_from_tokenizer(
+                self.tokenizer, self.model.arch.vocab_size)
+        return self._guided_vocab
+
+    def set_guided_vocab(self, vocab: list[bytes]) -> None:
+        self._guided_vocab = list(vocab)
 
     def _prepare_image(self, multi_modal_data: dict,
                        prompt_token_ids: list[int]):
@@ -576,6 +611,10 @@ class LLMEngine:
             k_max = (1 if self.scheduler.num_waiting
                      or self.scheduler.num_swapped
                      else self.config.scheduler.num_scheduler_steps)
+            if any(s.guided is not None for s in self.scheduler.running):
+                # Guided sequences need a fresh FSM mask before every
+                # sampled token: single-step windows.
+                k_max = 1
             num_gen_tokens += self._decode_pipelined(k_max, results,
                                                      finished)
 
@@ -715,6 +754,8 @@ class LLMEngine:
             if (p.presence_penalty != 0.0 or p.frequency_penalty != 0.0
                     or p.repetition_penalty != 1.0):
                 return False
+            if plan.seq.guided is not None:
+                return False   # next mask depends on this window's token
         return True
 
     def _window_finishes_any(self, batches) -> bool:

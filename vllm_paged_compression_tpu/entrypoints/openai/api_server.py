@@ -31,12 +31,55 @@ class HTTPError(Exception):
         self.message = message
 
 
+def _guided_from_request(body: dict):
+    """guided_json / guided_regex / guided_choice extra fields +
+    OpenAI ``response_format`` (json_object / json_schema) -> the engine's
+    GuidedDecodingParams (reference: vllm/entrypoints/openai/protocol.py
+    to_sampling_params guided handling)."""
+    from ...sampling_params import GuidedDecodingParams
+    rf = body.get("response_format")
+    n_set = sum(body.get(k) is not None for k in
+                ("guided_json", "guided_regex", "guided_choice",
+                 "guided_grammar"))
+    if n_set > 1:
+        raise HTTPError(400, "at most one guided_* field may be set")
+    try:
+        if body.get("guided_json") is not None:
+            return GuidedDecodingParams(json=body["guided_json"])
+        if body.get("guided_regex") is not None:
+            return GuidedDecodingParams(regex=body["guided_regex"])
+        if body.get("guided_choice") is not None:
+            return GuidedDecodingParams(choice=body["guided_choice"])
+        if body.get("guided_grammar") is not None:
+            raise HTTPError(400, "guided_grammar is not supported; use "
+                                 "guided_json / guided_regex / "
+                                 "guided_choice")
+        if isinstance(rf, dict):
+            if rf.get("type") == "json_object":
+                return GuidedDecodingParams(json_object=True)
+            if rf.get("type") == "json_schema":
+                js = rf.get("json_schema") or {}
+                schema = js.get("schema", js if "properties" in js
+                                else None)
+                if schema is None:
+                    raise HTTPError(400,
+                                    "response_format.json_schema.schema "
+                                    "missing")
+                return GuidedDecodingParams(json=schema)
+    except HTTPError:
+        raise
+    except (TypeError, ValueError) as e:
+        raise HTTPError(400, f"invalid guided-decoding request: {e}")
+    return None
+
+
 def _sampling_from_request(body: dict) -> SamplingParams:
     def get(k, d):
         v = body.get(k, d)
         return d if v is None else v
     try:
         return SamplingParams(
+            guided_decoding=_guided_from_request(body),
             n=int(get("n", 1)),
             temperature=float(get("temperature", 1.0)),
             top_p=float(get("top_p", 1.0)),

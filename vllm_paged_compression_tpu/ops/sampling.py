@@ -147,6 +147,24 @@ def rejection_sample(probs: jnp.ndarray, proposals: jnp.ndarray,
     return tokens, n_acc
 
 
+def apply_token_bitmask(logits: jnp.ndarray,
+                        mask_words: jnp.ndarray) -> jnp.ndarray:
+    """Guided-decoding constraint: disallow tokens whose bit is 0.
+
+    mask_words: [B, ceil(V/32)] uint32, bit ``tid % 32`` of word
+    ``tid // 32`` set iff token ``tid`` is allowed (packed on host by
+    guided/fsm.py TokenFSM.allowed_mask — ~4 KB per row instead of a [V]
+    f32 bias, which matters on a thin host<->device link).
+    """
+    b, w = mask_words.shape
+    v = logits.shape[-1]
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (mask_words[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1)
+    bits = bits.reshape(b, w * 32)[:, :v]
+    neg = jnp.asarray(jnp.finfo(jnp.float32).min, logits.dtype)
+    return jnp.where(bits > 0, logits, neg)
+
+
 def apply_penalties(logits: jnp.ndarray, output_token_counts: jnp.ndarray,
                     presence: jnp.ndarray, frequency: jnp.ndarray,
                     repetition: jnp.ndarray) -> jnp.ndarray:

@@ -324,7 +324,7 @@ class ModelRunner:
 
     def _decode_window(self, params, caches, page_scores, plan_pack,
                        state_pack, f32_pack, token_counts=None,
-                       greedy_only=False, logprobs_l=0):
+                       mask_pack=None, greedy_only=False, logprobs_l=0):
         """K chained decode steps under one jit: tokens feed forward on
         device; the host only uploads the packed plan and fetches one
         [2, K, B] (tokens, victims) array.  This is the multi-step analog of
@@ -357,8 +357,9 @@ class ModelRunner:
         def body(carry, xs):
             caches, page_scores, tables, kv_lens, num_pages, tokens, \
                 counts = carry
+            xs_plan, mask = (xs, None) if mask_pack is None else xs
             positions, slots, evict, victims_in, zero_slots, fill_pages, \
-                new_pages, stepctr = (xs[i] for i in range(len(
+                new_pages, stepctr = (xs_plan[i] for i in range(len(
                     self._PLAN_FIELDS)))
             eff_tables, eff_kv, num_pages, victims = self._step_tables(
                 page_scores, tables, kv_lens, num_pages, evict, victims_in,
@@ -383,6 +384,9 @@ class ModelRunner:
                 from ..ops.sampling import apply_penalties
                 logits = apply_penalties(logits, counts, presence,
                                          frequency, repetition)
+            if mask is not None:
+                from ..ops.sampling import apply_token_bitmask
+                logits = apply_token_bitmask(logits, mask)
             toks = sample(logits, SamplingTensors(
                 temperature=temp, top_p=top_p, top_k=topk, seed=seeds,
                 step=stepctr, min_p=min_p),
@@ -402,7 +406,8 @@ class ModelRunner:
 
         init = (caches, page_scores, tables0, kv0, np0, tok0,
                 token_counts)
-        carry, ys = jax.lax.scan(body, init, plan_pack)
+        xs = plan_pack if mask_pack is None else (plan_pack, mask_pack)
+        carry, ys = jax.lax.scan(body, init, xs)
         (new_caches, page_scores, tables_end, kv_end, np_end, tok_end,
          _counts) = carry
         lp_pack = None
@@ -443,12 +448,14 @@ class ModelRunner:
 
     def _decode_window_pp(self, params, caches, page_scores, plan_pack,
                           state_pack, f32_pack, token_counts=None,
-                          greedy_only=False, logprobs_l=0):
+                          mask_pack=None, greedy_only=False, logprobs_l=0):
         from jax.sharding import PartitionSpec as P
 
         from ..parallel.pipeline import pp_decode_window_body
         assert logprobs_l == 0, \
             "logprobs with pipeline parallelism is follow-up work"
+        assert mask_pack is None, \
+            "guided decoding with pipeline parallelism is unsupported"
 
         def body(params, caches, page_scores, plan_pack, state_pack,
                  f32_pack, token_counts):
@@ -644,6 +651,10 @@ class ModelRunner:
         if is_last:
             last = hidden[batch["q_len"] - 1][None]
             logits = self.model.logits(params, last)
+            if "mask_words" in batch:
+                from ..ops.sampling import apply_token_bitmask
+                logits = apply_token_bitmask(logits,
+                                             batch["mask_words"][None])
             tokens = sample(logits, self._sampling_tensors(batch),
                             greedy_only=greedy_only)
         else:
@@ -846,6 +857,9 @@ class ModelRunner:
                 page_scores, new_caches[1], batch["fill_pages"])
         last = hidden[batch["q_len"] - 1][None]
         logits = self.model.logits(params, last)
+        if "mask_words" in batch:
+            from ..ops.sampling import apply_token_bitmask
+            logits = apply_token_bitmask(logits, batch["mask_words"][None])
         tokens = sample(logits, self._sampling_tensors(batch),
                         greedy_only=greedy_only)
         lp_row = None
@@ -985,10 +999,22 @@ class ModelRunner:
             state_pack = dyn_state
         logprobs_l = max((pl.seq.params.logprobs or 0) for pl in plans)
         logprobs_l = min(logprobs_l, 32)
+        mask_pack = None
+        if any(pl.seq.guided is not None for pl in plans):
+            # Guided lanes: per-step allowed-token bitmasks (the engine
+            # clamps guided windows to one step — the FSM must see each
+            # token before the next mask).
+            assert k == 1, "guided decode windows must be single-step"
+            assert dyn_state is None
+            w = (self.model.arch.vocab_size + 31) // 32
+            mask_pack = np.full((k, b, w), 0xFFFFFFFF, np.uint32)
+            for i, pl in enumerate(plans):
+                if pl.seq.guided is not None:
+                    mask_pack[0, i] = pl.seq.guided.mask()
         caches, page_scores, out_pack, new_state, lp = \
             self._decode_jit(greedy, logprobs_l)(
                 params, caches, page_scores, plan_pack, state_pack,
-                f32_pack, counts)
+                f32_pack, counts, mask_pack)
         return caches, page_scores, WindowHandle(out_pack, new_state, k, n,
                                                  lp, logprobs_l)
 
@@ -1042,6 +1068,8 @@ class ModelRunner:
         if getattr(seq, "pa_len", 0) > 0:
             batch["pa_slot"] = np.int32(seq.pa_slot)
             batch["pa_len"] = np.int32(seq.pa_len)
+        if seq.guided is not None:
+            batch["mask_words"] = seq.guided.mask()
         greedy = seq.params.greedy
         logprobs_l = min(seq.params.logprobs or 0, 32)
         if self.pp > 1:
@@ -1089,6 +1117,8 @@ class ModelRunner:
         batch.update(self._seq_sampling_arrays([seq], 1))
         if self.lora_enabled:
             batch["lora_idx"] = np.int32(seq.lora_slot)
+        if seq.guided is not None and sp.is_last:
+            batch["mask_words"] = seq.guided.mask()
         fn = self._prefill_ctx_jits[(seq.params.greedy, sp.is_last)]
         caches, page_scores, tok = fn(params, caches, page_scores, batch)
         return caches, page_scores, int(np.asarray(tok)[0]), None

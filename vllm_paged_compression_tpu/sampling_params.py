@@ -9,6 +9,36 @@ from typing import Optional
 
 
 @dataclass
+class GuidedDecodingParams:
+    """Structured-output constraint (reference
+    vllm/sampling_params.py GuidedDecodingParams / guided_* request
+    fields).  Exactly one of the constraint fields may be set."""
+
+    json: Optional[object] = None        # JSON schema (dict or str)
+    regex: Optional[str] = None
+    choice: Optional[list] = None
+    grammar: Optional[str] = None        # accepted for parity; rejected
+    json_object: bool = False            # response_format json_object
+
+    def __init__(self, json=None, regex=None, choice=None, grammar=None,
+                 json_object: bool = False):
+        self.json = json
+        self.regex = regex
+        self.choice = list(choice) if choice is not None else None
+        self.grammar = grammar
+        self.json_object = bool(json_object)
+        n_set = sum(x is not None for x in
+                    (self.json, self.regex, self.choice, self.grammar))
+        n_set += 1 if self.json_object else 0
+        if n_set != 1:
+            raise ValueError("GuidedDecodingParams needs exactly one of "
+                             "json / regex / choice / grammar / "
+                             "json_object")
+        if self.choice is not None and not self.choice:
+            raise ValueError("guided choice list is empty")
+
+
+@dataclass
 class SamplingParams:
     n: int = 1
     temperature: float = 1.0
@@ -25,6 +55,7 @@ class SamplingParams:
     ignore_eos: bool = False
     seed: Optional[int] = None
     logprobs: Optional[int] = None
+    guided_decoding: Optional[GuidedDecodingParams] = None
 
     def __post_init__(self) -> None:
         if self.temperature < 0:

@@ -297,6 +297,15 @@ class LLMEngine:
                        sampling_params or SamplingParams(),
                        arrival_time=arrival_time, priority=priority,
                        eos_token_id=self.eos_token_id)
+        sp_ = seq.params
+        if self.runner.pp > 1 and (sp_.logit_bias or sp_.allowed_token_ids
+                                   or sp_.bad_words):
+            raise ValueError("logit_bias / allowed_token_ids / bad_words "
+                             "with pipeline parallelism are not supported")
+        if self.config.speculative is not None and (
+                sp_.logit_bias or sp_.allowed_token_ids or sp_.bad_words):
+            raise ValueError("logit_bias / allowed_token_ids / bad_words "
+                             "with speculative decoding are not supported")
         gd = seq.params.guided_decoding
         if gd is not None:
             if self.config.speculative is not None:
@@ -611,9 +620,10 @@ class LLMEngine:
             k_max = (1 if self.scheduler.num_waiting
                      or self.scheduler.num_swapped
                      else self.config.scheduler.num_scheduler_steps)
-            if any(s.guided is not None for s in self.scheduler.running):
-                # Guided sequences need a fresh FSM mask before every
-                # sampled token: single-step windows.
+            if any(self.runner.lane_needs_stepwise_mask(s)
+                   for s in self.scheduler.running):
+                # Guided FSMs / multi-token bad_words need a fresh mask
+                # after every sampled token: single-step windows.
                 k_max = 1
             num_gen_tokens += self._decode_pipelined(k_max, results,
                                                      finished)
@@ -754,8 +764,11 @@ class LLMEngine:
             if (p.presence_penalty != 0.0 or p.frequency_penalty != 0.0
                     or p.repetition_penalty != 1.0):
                 return False
-            if plan.seq.guided is not None:
-                return False   # next mask depends on this window's token
+            if self.runner._lane_needs_mask(plan.seq):
+                # Mask contents depend on commit-time sequence state
+                # (FSM cursor / output tail / min-tokens countdown) that a
+                # pre-dispatched chained window would compute stale.
+                return False
         return True
 
     def _window_finishes_any(self, batches) -> bool:

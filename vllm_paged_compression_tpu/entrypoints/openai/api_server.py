@@ -96,6 +96,11 @@ def _sampling_from_request(body: dict) -> SamplingParams:
             ignore_eos=bool(get("ignore_eos", False)),
             seed=body.get("seed"),
             logprobs=body.get("logprobs"),
+            logit_bias=({int(k): float(v) for k, v in
+                         body["logit_bias"].items()}
+                        if body.get("logit_bias") else None),
+            allowed_token_ids=body.get("allowed_token_ids"),
+            bad_words=body.get("bad_words_token_ids"),
         )
     except (TypeError, ValueError) as e:
         raise HTTPError(400, f"invalid sampling parameters: {e}")

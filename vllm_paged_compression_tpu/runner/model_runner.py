@@ -216,6 +216,111 @@ class ModelRunner:
             return {}
         return {"lora": params["lora"], "lora_idx": idx}
 
+    # ---- per-request logit controls (reference logits processors:
+    # min-tokens / NoBadWords / allowed_token_ids / OpenAI logit_bias,
+    # vllm/model_executor/layers/sampler.py + logits_process.py).  All of
+    # them compile into the guided-decoding bitmask + a sparse bias, both
+    # applied in-graph — no host-side logits round trip. -------------------
+
+    _BIAS_WIDTH = 64
+
+    @property
+    def _mask_w(self) -> int:
+        return (self.model.arch.vocab_size + 31) // 32
+
+    @staticmethod
+    def _clear_bit(words: np.ndarray, tid: int) -> None:
+        if 0 <= tid < words.shape[0] * 32:
+            words[tid // 32] &= np.uint32(~np.uint32(1 << (tid % 32)))
+
+    def _static_mask_words(self, seq):
+        """Request-constant allowed-token words [W] uint32 or None
+        (allowed_token_ids + single-token bad_words), cached on the seq."""
+        cached = getattr(seq, "_static_mask_words", False)
+        if cached is not False:
+            return cached
+        p = seq.params
+        words = None
+        if p.allowed_token_ids is not None:
+            bits = np.zeros(self._mask_w * 32, bool)
+            for t in p.allowed_token_ids:
+                if 0 <= t < bits.shape[0]:
+                    bits[t] = True
+            words = np.packbits(bits.reshape(-1, 32)[:, ::-1], axis=1,
+                                bitorder="big").view(">u4").astype(
+                np.uint32).reshape(-1)
+        for bw in (p.bad_words or []):
+            if len(bw) == 1:
+                if words is None:
+                    words = np.full(self._mask_w, 0xFFFFFFFF, np.uint32)
+                self._clear_bit(words, bw[0])
+        seq._static_mask_words = words
+        return words
+
+    @staticmethod
+    def lane_needs_stepwise_mask(seq) -> bool:
+        """True when the mask for step j+1 depends on the token sampled at
+        step j (guided FSM, multi-token bad_words) — such sequences must
+        run single-step windows."""
+        return (seq.guided is not None
+                or any(len(w) > 1 for w in (seq.params.bad_words or [])))
+
+    def _lane_needs_mask(self, seq) -> bool:
+        p = seq.params
+        pending_min = (p.min_tokens > 0
+                       and seq.num_output_tokens < p.min_tokens
+                       and (seq.eos_token_id is not None
+                            or p.stop_token_ids))
+        return (seq.guided is not None or p.allowed_token_ids is not None
+                or bool(p.bad_words) or pending_min)
+
+    def _lane_mask_words(self, seq, step_offset: int):
+        """Allowed-token words for sampling output token number
+        ``num_output_tokens + step_offset``; None = unconstrained."""
+        p = seq.params
+        words = None
+        if seq.guided is not None:
+            assert step_offset == 0
+            words = seq.guided.mask().copy()
+        static = self._static_mask_words(seq)
+        if static is not None:
+            words = static.copy() if words is None else words & static
+        for bw in (p.bad_words or []):
+            if len(bw) > 1:
+                tail = seq.output_token_ids[-(len(bw) - 1):]
+                if len(tail) == len(bw) - 1 and tail == bw[:-1]:
+                    if words is None:
+                        words = np.full(self._mask_w, 0xFFFFFFFF,
+                                        np.uint32)
+                    self._clear_bit(words, bw[-1])
+        if p.min_tokens > 0 and \
+                seq.num_output_tokens + step_offset < p.min_tokens:
+            ban = list(p.stop_token_ids)
+            if seq.eos_token_id is not None and not p.ignore_eos:
+                ban.append(seq.eos_token_id)
+            if ban:
+                if words is None:
+                    words = np.full(self._mask_w, 0xFFFFFFFF, np.uint32)
+                for t in ban:
+                    self._clear_bit(words, t)
+        return words
+
+    def _bias_arrays(self, seqs, n_pad):
+        """Sparse logit_bias rows (ids [B, 64] i32, vals [B, 64] f32) or
+        None; padded entries add 0.0 to token 0."""
+        if not any(s.params.logit_bias for s in seqs):
+            return None
+        ids = np.zeros((n_pad, self._BIAS_WIDTH), np.int32)
+        vals = np.zeros((n_pad, self._BIAS_WIDTH), np.float32)
+        vocab = self.model.arch.vocab_size
+        for i, s in enumerate(seqs):
+            lb = s.params.logit_bias or {}
+            for j, (t, v) in enumerate(lb.items()):
+                if 0 <= t < vocab:
+                    ids[i, j] = t
+                    vals[i, j] = v
+        return ids, vals
+
     def _sampling_tensors(self, batch) -> SamplingTensors:
         return SamplingTensors(
             temperature=batch["temperature"], top_p=batch["top_p"],
@@ -324,7 +429,8 @@ class ModelRunner:
 
     def _decode_window(self, params, caches, page_scores, plan_pack,
                        state_pack, f32_pack, token_counts=None,
-                       mask_pack=None, greedy_only=False, logprobs_l=0):
+                       mask_pack=None, bias_pack=None, greedy_only=False,
+                       logprobs_l=0):
         """K chained decode steps under one jit: tokens feed forward on
         device; the host only uploads the packed plan and fetches one
         [2, K, B] (tokens, victims) array.  This is the multi-step analog of
@@ -384,6 +490,10 @@ class ModelRunner:
                 from ..ops.sampling import apply_penalties
                 logits = apply_penalties(logits, counts, presence,
                                          frequency, repetition)
+            if bias_pack is not None:
+                bias_ids, bias_vals = bias_pack
+                logits = logits.astype(jnp.float32).at[
+                    iota_b[:, None], bias_ids].add(bias_vals)
             if mask is not None:
                 from ..ops.sampling import apply_token_bitmask
                 logits = apply_token_bitmask(logits, mask)
@@ -448,14 +558,15 @@ class ModelRunner:
 
     def _decode_window_pp(self, params, caches, page_scores, plan_pack,
                           state_pack, f32_pack, token_counts=None,
-                          mask_pack=None, greedy_only=False, logprobs_l=0):
+                          mask_pack=None, bias_pack=None, greedy_only=False,
+                          logprobs_l=0):
         from jax.sharding import PartitionSpec as P
 
         from ..parallel.pipeline import pp_decode_window_body
         assert logprobs_l == 0, \
             "logprobs with pipeline parallelism is follow-up work"
-        assert mask_pack is None, \
-            "guided decoding with pipeline parallelism is unsupported"
+        assert mask_pack is None and bias_pack is None, \
+            "logit masks/bias with pipeline parallelism are unsupported"
 
         def body(params, caches, page_scores, plan_pack, state_pack,
                  f32_pack, token_counts):
@@ -651,6 +762,10 @@ class ModelRunner:
         if is_last:
             last = hidden[batch["q_len"] - 1][None]
             logits = self.model.logits(params, last)
+            if "bias_ids" in batch:
+                logits = logits.astype(jnp.float32).at[
+                    jnp.zeros(1, jnp.int32)[:, None],
+                    batch["bias_ids"][None]].add(batch["bias_vals"][None])
             if "mask_words" in batch:
                 from ..ops.sampling import apply_token_bitmask
                 logits = apply_token_bitmask(logits,
@@ -857,6 +972,10 @@ class ModelRunner:
                 page_scores, new_caches[1], batch["fill_pages"])
         last = hidden[batch["q_len"] - 1][None]
         logits = self.model.logits(params, last)
+        if "bias_ids" in batch:
+            logits = logits.astype(jnp.float32).at[
+                jnp.zeros(1, jnp.int32)[:, None],
+                batch["bias_ids"][None]].add(batch["bias_vals"][None])
         if "mask_words" in batch:
             from ..ops.sampling import apply_token_bitmask
             logits = apply_token_bitmask(logits, batch["mask_words"][None])
@@ -1000,21 +1119,32 @@ class ModelRunner:
         logprobs_l = max((pl.seq.params.logprobs or 0) for pl in plans)
         logprobs_l = min(logprobs_l, 32)
         mask_pack = None
-        if any(pl.seq.guided is not None for pl in plans):
-            # Guided lanes: per-step allowed-token bitmasks (the engine
-            # clamps guided windows to one step — the FSM must see each
-            # token before the next mask).
-            assert k == 1, "guided decode windows must be single-step"
-            assert dyn_state is None
-            w = (self.model.arch.vocab_size + 31) // 32
-            mask_pack = np.full((k, b, w), 0xFFFFFFFF, np.uint32)
+        if self.pp == 1 and any(self._lane_needs_mask(pl.seq)
+                                for pl in plans):
+            # Allowed-token bitmasks.  Step-wise constraints (guided FSM,
+            # multi-token bad_words) see every token before the next mask,
+            # so the engine clamps their windows to one step; static and
+            # step-predictable constraints (allowed_token_ids, single-token
+            # bad_words, min-tokens stop ban) fill all K rows up front.
+            if any(self.lane_needs_stepwise_mask(pl.seq) for pl in plans):
+                assert k == 1, \
+                    "step-wise-masked decode windows must be single-step"
+                assert dyn_state is None
+            mask_pack = np.full((k, b, self._mask_w), 0xFFFFFFFF,
+                                np.uint32)
             for i, pl in enumerate(plans):
-                if pl.seq.guided is not None:
-                    mask_pack[0, i] = pl.seq.guided.mask()
+                if not self._lane_needs_mask(pl.seq):
+                    continue
+                for j in range(k):
+                    words = self._lane_mask_words(pl.seq, j)
+                    if words is not None:
+                        mask_pack[j, i] = words
+        bias_pack = (self._bias_arrays([pl.seq for pl in plans], b)
+                     if self.pp == 1 else None)
         caches, page_scores, out_pack, new_state, lp = \
             self._decode_jit(greedy, logprobs_l)(
                 params, caches, page_scores, plan_pack, state_pack,
-                f32_pack, counts, mask_pack)
+                f32_pack, counts, mask_pack, bias_pack)
         return caches, page_scores, WindowHandle(out_pack, new_state, k, n,
                                                  lp, logprobs_l)
 
@@ -1068,8 +1198,15 @@ class ModelRunner:
         if getattr(seq, "pa_len", 0) > 0:
             batch["pa_slot"] = np.int32(seq.pa_slot)
             batch["pa_len"] = np.int32(seq.pa_len)
-        if seq.guided is not None:
-            batch["mask_words"] = seq.guided.mask()
+        if self.pp == 1:
+            if self._lane_needs_mask(seq):
+                words = self._lane_mask_words(seq, 0)
+                if words is not None:
+                    batch["mask_words"] = words
+            bias = self._bias_arrays([seq], 1)
+            if bias is not None:
+                batch["bias_ids"], batch["bias_vals"] = (bias[0][0],
+                                                         bias[1][0])
         greedy = seq.params.greedy
         logprobs_l = min(seq.params.logprobs or 0, 32)
         if self.pp > 1:
@@ -1117,8 +1254,15 @@ class ModelRunner:
         batch.update(self._seq_sampling_arrays([seq], 1))
         if self.lora_enabled:
             batch["lora_idx"] = np.int32(seq.lora_slot)
-        if seq.guided is not None and sp.is_last:
-            batch["mask_words"] = seq.guided.mask()
+        if sp.is_last and self.pp == 1:
+            if self._lane_needs_mask(seq):
+                words = self._lane_mask_words(seq, 0)
+                if words is not None:
+                    batch["mask_words"] = words
+            bias = self._bias_arrays([seq], 1)
+            if bias is not None:
+                batch["bias_ids"], batch["bias_vals"] = (bias[0][0],
+                                                         bias[1][0])
         fn = self._prefill_ctx_jits[(seq.params.greedy, sp.is_last)]
         caches, page_scores, tok = fn(params, caches, page_scores, batch)
         return caches, page_scores, int(np.asarray(tok)[0]), None

@@ -56,6 +56,14 @@ class SamplingParams:
     seed: Optional[int] = None
     logprobs: Optional[int] = None
     guided_decoding: Optional[GuidedDecodingParams] = None
+    # OpenAI logit_bias: {token_id: additive bias}; applied in-graph.
+    logit_bias: Optional[dict] = None
+    # Restrict sampling to exactly these token ids (reference
+    # SamplingParams.allowed_token_ids).
+    allowed_token_ids: Optional[list[int]] = None
+    # Token-id phrases that must not be completed (reference
+    # SamplingParams.bad_words, pre-tokenized).
+    bad_words: Optional[list[list[int]]] = None
 
     def __post_init__(self) -> None:
         if self.temperature < 0:
@@ -70,6 +78,20 @@ class SamplingParams:
             raise ValueError("max_tokens must be >= 1")
         if self.min_tokens < 0:
             raise ValueError("min_tokens must be >= 0")
+        if self.logit_bias is not None:
+            if len(self.logit_bias) > 64:
+                raise ValueError("logit_bias supports at most 64 entries")
+            self.logit_bias = {int(k): float(v)
+                               for k, v in self.logit_bias.items()}
+        if self.allowed_token_ids is not None:
+            if not self.allowed_token_ids:
+                raise ValueError("allowed_token_ids must not be empty")
+            self.allowed_token_ids = [int(t) for t in
+                                      self.allowed_token_ids]
+        if self.bad_words is not None:
+            self.bad_words = [[int(t) for t in w] for w in self.bad_words]
+            if any(not w for w in self.bad_words):
+                raise ValueError("bad_words entries must not be empty")
 
     @property
     def greedy(self) -> bool:

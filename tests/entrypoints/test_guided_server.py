@@ -109,3 +109,91 @@ def test_guided_grammar_rejected(guided_port):
         {"prompt": [40], "max_tokens": 4,
          "guided_grammar": "start: 'a'"})
     assert status == 400
+
+
+class CharTokenizer:
+    """Char-level fake tokenizer (id = codepoint) so the chat route works
+    against the synthetic-vocab engine."""
+
+    class _Enc:
+        def __init__(self, ids):
+            self.ids = ids
+
+    def encode(self, text):
+        return self._Enc([ord(c) for c in text if 32 <= ord(c) < 127])
+
+    def decode(self, ids):
+        return "".join(chr(t) for t in ids if 32 <= t < 127)
+
+
+@pytest.fixture()
+def tool_port():
+    cfg = EngineConfig(
+        model=ModelConfig(hf_config=TINY, dtype="float32",
+                          max_model_len=1024),
+        cache=CacheConfig(block_size=16, num_device_blocks=128),
+        scheduler=SchedulerConfig(max_num_seqs=2, max_model_len=1024))
+
+    async def boot():
+        engine = AsyncLLMEngine(cfg)
+        engine.engine.set_guided_vocab(VOCAB)
+        engine.engine.tokenizer = CharTokenizer()
+        srv_obj = OpenAIServer(engine, "tiny")
+        srv = await asyncio.start_server(srv_obj.handle_conn,
+                                         "127.0.0.1", 0)
+        return srv, srv.sockets[0].getsockname()[1]
+
+    loop = asyncio.new_event_loop()
+    srv, port = loop.run_until_complete(boot())
+    import threading
+    t = threading.Thread(target=loop.run_forever, daemon=True)
+    t.start()
+    yield port
+    loop.call_soon_threadsafe(loop.stop)
+    t.join(timeout=5)
+
+
+WEATHER_TOOL = {
+    "type": "function",
+    "function": {"name": "gw",
+                 "parameters": {"type": "object",
+                                "properties": {"c": {"enum": ["NY", "SF"]}
+                                               }}}}
+
+
+def test_tool_choice_forced_function(tool_port):
+    status, raw = http_request(
+        tool_port, "POST", "/v1/chat/completions",
+        {"messages": [{"role": "user", "content": "weather?"}],
+         "tools": [WEATHER_TOOL],
+         "tool_choice": {"type": "function", "function": {"name": "gw"}},
+         "max_tokens": 64, "temperature": 1.0, "seed": 6})
+    assert status == 200
+    data = json.loads(raw)
+    choice = data["choices"][0]
+    assert choice["finish_reason"] == "tool_calls"
+    call = choice["message"]["tool_calls"][0]
+    assert call["function"]["name"] == "gw"
+    args = json.loads(call["function"]["arguments"])
+    assert args.get("c") in ("NY", "SF")
+
+
+def test_tool_choice_required(tool_port):
+    status, raw = http_request(
+        tool_port, "POST", "/v1/chat/completions",
+        {"messages": [{"role": "user", "content": "weather?"}],
+         "tools": [WEATHER_TOOL], "tool_choice": "required",
+         "max_tokens": 64, "temperature": 1.0, "seed": 8})
+    assert status == 200
+    data = json.loads(raw)
+    assert data["choices"][0]["finish_reason"] == "tool_calls"
+
+
+def test_tool_choice_unknown_function_rejected(tool_port):
+    status, _ = http_request(
+        tool_port, "POST", "/v1/chat/completions",
+        {"messages": [{"role": "user", "content": "x"}],
+         "tools": [WEATHER_TOOL],
+         "tool_choice": {"type": "function", "function": {"name": "zz"}},
+         "max_tokens": 8})
+    assert status == 400

@@ -73,6 +73,35 @@ def _guided_from_request(body: dict):
     return None
 
 
+def tool_choice_guided_params(tools: list, tool_choice):
+    """Forced tool calls (``tool_choice="required"`` or a named function):
+    constrain the completion to the tool-call JSON shape
+    ``{"name": ..., "arguments": {...}}`` via guided decoding, which the
+    json tool parser then lifts into OpenAI tool_calls (reference:
+    vllm/entrypoints/openai/serving_chat.py tool_choice -> guided json)."""
+    from ...sampling_params import GuidedDecodingParams
+    defs = {t["function"]["name"]: t["function"]
+            for t in tools
+            if t.get("type") == "function" and "function" in t}
+    if isinstance(tool_choice, dict):
+        name = (tool_choice.get("function") or {}).get("name")
+        if name not in defs:
+            raise HTTPError(400, f"tool_choice function {name!r} is not "
+                                 f"one of the request's tools")
+        defs = {name: defs[name]}
+    if not defs:
+        raise HTTPError(400, "tool_choice given but no function tools "
+                             "defined")
+    call_schemas = [
+        {"type": "object", "properties": {
+            "name": {"const": n},
+            "arguments": f.get("parameters", {"type": "object"})}}
+        for n, f in defs.items()]
+    return GuidedDecodingParams(json=(
+        call_schemas[0] if len(call_schemas) == 1
+        else {"anyOf": call_schemas}))
+
+
 def _sampling_from_request(body: dict) -> SamplingParams:
     def get(k, d):
         v = body.get(k, d)
@@ -331,8 +360,17 @@ class OpenAIServer:
             if not isinstance(messages, list) or not messages:
                 raise HTTPError(400, "messages must be a non-empty list")
             tools = req.get("tools")
-            if req.get("tool_choice") == "none":
+            tc = req.get("tool_choice")
+            if tc == "none":
                 tools = None
+            elif tools and (tc == "required"
+                            or (isinstance(tc, dict)
+                                and tc.get("type") == "function")):
+                if params.guided_decoding is not None:
+                    raise HTTPError(400, "tool_choice forcing cannot be "
+                                         "combined with guided_* fields")
+                params.guided_decoding = tool_choice_guided_params(tools,
+                                                                   tc)
             prompt = self._chat_to_prompt(messages, tools=tools)
         else:
             p = req.get("prompt")

@@ -100,6 +100,14 @@ class LlamaArch:
     partial_rotary_factor: float = 1.0  # rope on the first rot_dim dims only
     rope_interleaved: bool = False    # GPT-J rotate-every-two convention
     logit_scale: Optional[float] = None  # Cohere scales logits
+    residual_multiplier: float = 1.0  # Granite/MiniCPM μ-param: sublayer
+    #                                   outputs scaled before residual add
+    qkv_clip: Optional[float] = None  # OLMo/DBRX clamp on qkv activations
+    postnorm: bool = False            # OLMo2: norms act on sublayer OUTPUT
+    #                                   (input_norm slot = post-attn norm,
+    #                                   post_norm slot = post-mlp norm)
+    qk_norm_flat: bool = False        # OLMo2: q/k RMSNorm over the FULL
+    #                                   H*d projection (vs per-head)
 
     @property
     def rot_dim(self) -> int:
@@ -650,6 +658,237 @@ class InternLM2Arch(LlamaArch):
         return out
 
 
+@dataclass
+class OlmoArch(LlamaArch):
+    """OLMo (reference vllm/model_executor/models/olmo.py): Llama layout
+    with NON-parametric LayerNorms (no learned weight/bias — synthesized
+    as ones here) and an optional clamp on the qkv activations."""
+
+    @classmethod
+    def from_hf_config(cls, cfg: dict) -> "OlmoArch":
+        a = super().from_hf_config(cfg)
+        a.norm_type = "layernorm"
+        a.rms_norm_eps = 1e-5          # F.layer_norm default in HF OLMo
+        a.qkv_clip = cfg.get("clip_qkv")
+        return a
+
+    def canonicalize_hf(self, tensors: dict) -> dict:
+        out = dict(tensors)
+        ones = np.ones(self.hidden_size, np.float32)
+        for i in range(self.num_layers):
+            out[f"model.layers.{i}.input_layernorm.weight"] = ones
+            out[f"model.layers.{i}.post_attention_layernorm.weight"] = ones
+        out["model.norm.weight"] = ones
+        return out
+
+
+@dataclass
+class Olmo2Arch(LlamaArch):
+    """OLMo2 (reference vllm/model_executor/models/olmo2.py): post-norm
+    residual placement (norms act on sublayer outputs) and RMSNorm over
+    the FULL q/k projections before the head reshape."""
+
+    @classmethod
+    def from_hf_config(cls, cfg: dict) -> "Olmo2Arch":
+        a = super().from_hf_config(cfg)
+        a.postnorm = True
+        a.qk_norm_flat = True
+        return a
+
+    def canonicalize_hf(self, tensors: dict) -> dict:
+        # post_attention_layernorm -> input_norm slot (post-attn output
+        # norm); post_feedforward_layernorm -> post_norm slot.
+        out = {}
+        for k, v in tensors.items():
+            k = k.replace(".post_attention_layernorm.", ".__tmp_attn__.")
+            k = k.replace(".post_feedforward_layernorm.",
+                          ".post_attention_layernorm.")
+            k = k.replace(".__tmp_attn__.", ".input_layernorm.")
+            out[k] = v
+        return out
+
+
+@dataclass
+class GraniteArch(LlamaArch):
+    """IBM Granite (reference vllm/model_executor/models/granite.py):
+    Llama plus four μ-param multipliers (embedding, attention scale,
+    residual, logits)."""
+
+    @classmethod
+    def from_hf_config(cls, cfg: dict) -> "GraniteArch":
+        a = super().from_hf_config(cfg)
+        em = cfg.get("embedding_multiplier", 1.0)
+        if em != 1.0:
+            a.embed_scale = em
+        am = cfg.get("attention_multiplier")
+        if am is not None:
+            a.query_pre_attn_scalar = am ** -2
+        a.residual_multiplier = cfg.get("residual_multiplier", 1.0)
+        ls = cfg.get("logits_scaling", 1.0)
+        if ls != 1.0:
+            a.logit_scale = 1.0 / ls
+        a.qkv_bias = cfg.get("attention_bias", False)
+        return a
+
+
+@dataclass
+class GraniteMoeArch(GraniteArch):
+    """GraniteMoE (reference vllm/model_executor/models/granitemoe.py):
+    Granite multipliers + mixtral-style routing with fused
+    input_linear/output_linear expert checkpoints."""
+
+    @classmethod
+    def from_hf_config(cls, cfg: dict) -> "GraniteMoeArch":
+        a = super().from_hf_config(cfg)
+        a.num_experts = cfg["num_local_experts"]
+        a.num_experts_per_tok = cfg.get("num_experts_per_tok", 2)
+        a.moe_intermediate_size = cfg["intermediate_size"]
+        a.moe_routing = "topk_softmax"
+        a.moe_hf_style = "granite"
+        return a
+
+
+@dataclass
+class NemotronArch(LlamaArch):
+    """Nemotron (reference vllm/model_executor/models/nemotron.py):
+    LayerNorm1P (unit-offset LayerNorm with bias), squared-ReLU
+    non-gated MLP, partial rotary."""
+
+    @classmethod
+    def from_hf_config(cls, cfg: dict) -> "NemotronArch":
+        cfg = dict(cfg)
+        cfg.setdefault("rms_norm_eps", cfg.get("norm_eps", 1e-5))
+        a = super().from_hf_config(cfg)
+        a.norm_type = "layernorm"
+        a.norm_unit_offset = True
+        a.norm_bias = True
+        a.hidden_act = "relu2"
+        a.mlp_gated = False
+        a.partial_rotary_factor = cfg.get(
+            "partial_rotary_factor", cfg.get("rope_percent", 0.5))
+        return a
+
+
+@dataclass
+class GlmArch(LlamaArch):
+    """GLM-4 text (reference vllm/model_executor/models/glm.py): Llama
+    trunk with qkv bias, half-width interleaved rotary, fused
+    gate_up_proj checkpoints."""
+
+    @classmethod
+    def from_hf_config(cls, cfg: dict) -> "GlmArch":
+        a = super().from_hf_config(cfg)
+        a.qkv_bias = cfg.get("attention_bias", True)
+        a.partial_rotary_factor = cfg.get("partial_rotary_factor", 0.5)
+        a.rope_interleaved = True
+        return a
+
+    def canonicalize_hf(self, tensors: dict) -> dict:
+        out = {}
+        for k, v in tensors.items():
+            if ".mlp.gate_up_proj.weight" in k:
+                v = np.asarray(v)
+                half = v.shape[0] // 2
+                out[k.replace("gate_up_proj", "gate_proj")] = v[:half]
+                out[k.replace("gate_up_proj", "up_proj")] = v[half:]
+                continue
+            out[k] = v
+        return out
+
+
+@dataclass
+class Glm4Arch(GlmArch):
+    """GLM-4-0414 (reference vllm/model_executor/models/glm4.py): GLM +
+    gemma2-style sandwich norms (post-attn-output and post-mlp norms)."""
+
+    @classmethod
+    def from_hf_config(cls, cfg: dict) -> "Glm4Arch":
+        a = super().from_hf_config(cfg)
+        a.sandwich_norms = True
+        return a
+
+    def canonicalize_hf(self, tensors: dict) -> dict:
+        out = {}
+        for k, v in super().canonicalize_hf(tensors).items():
+            # to gemma2 4-norm names: post_self_attn -> post_attention,
+            # post_attention -> pre_feedforward, post_mlp -> post_ffw.
+            k = k.replace(".post_attention_layernorm.",
+                          ".pre_feedforward_layernorm.")
+            k = k.replace(".post_self_attn_layernorm.",
+                          ".post_attention_layernorm.")
+            k = k.replace(".post_mlp_layernorm.",
+                          ".post_feedforward_layernorm.")
+            out[k] = v
+        return out
+
+
+@dataclass
+class ExaoneArch(LlamaArch):
+    """EXAONE-3 (reference vllm/model_executor/models/exaone.py): Llama
+    semantics under GPT-style config/weight names."""
+
+    @classmethod
+    def from_hf_config(cls, cfg: dict) -> "ExaoneArch":
+        cfg = dict(cfg)
+        cfg.setdefault("num_hidden_layers", cfg.get("num_layers"))
+        cfg.setdefault("rms_norm_eps", cfg.get("layer_norm_epsilon", 1e-5))
+        return super().from_hf_config(cfg)
+
+    def canonicalize_hf(self, tensors: dict) -> dict:
+        out = {}
+        for k, v in tensors.items():
+            k = k.replace("transformer.wte.weight",
+                          "model.embed_tokens.weight")
+            k = k.replace("transformer.ln_f.", "model.norm.")
+            k = k.replace("transformer.h.", "model.layers.")
+            k = k.replace(".ln_1.", ".input_layernorm.")
+            k = k.replace(".ln_2.", ".post_attention_layernorm.")
+            k = k.replace(".attn.attention.q_proj.", ".self_attn.q_proj.")
+            k = k.replace(".attn.attention.k_proj.", ".self_attn.k_proj.")
+            k = k.replace(".attn.attention.v_proj.", ".self_attn.v_proj.")
+            k = k.replace(".attn.attention.out_proj.",
+                          ".self_attn.o_proj.")
+            k = k.replace(".mlp.c_fc_0.", ".mlp.gate_proj.")
+            k = k.replace(".mlp.c_fc_1.", ".mlp.up_proj.")
+            k = k.replace(".mlp.c_proj.", ".mlp.down_proj.")
+            out[k] = v
+        return out
+
+
+@dataclass
+class OrionArch(LlamaArch):
+    """Orion (reference vllm/model_executor/models/orion.py): Llama with
+    biased LayerNorms in place of RMSNorm."""
+
+    @classmethod
+    def from_hf_config(cls, cfg: dict) -> "OrionArch":
+        a = super().from_hf_config(cfg)
+        a.norm_type = "layernorm"
+        a.norm_bias = True
+        return a
+
+
+@dataclass
+class MiniCPMArch(LlamaArch):
+    """MiniCPM (reference vllm/model_executor/models/minicpm.py): Llama
+    with μ-param scalings: scale_emb on embeddings, scale_depth/sqrt(L)
+    on residual branches, dim_model_base/hidden on logits."""
+
+    @classmethod
+    def from_hf_config(cls, cfg: dict) -> "MiniCPMArch":
+        a = super().from_hf_config(cfg)
+        se = cfg.get("scale_emb", 1.0)
+        if se != 1.0:
+            a.embed_scale = se
+        sd = cfg.get("scale_depth")
+        if sd is not None:
+            a.residual_multiplier = sd / (a.num_layers ** 0.5)
+        dmb = cfg.get("dim_model_base")
+        if dmb is not None and dmb != a.hidden_size:
+            a.logit_scale = dmb / a.hidden_size
+        return a
+
+
 def rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float,
              unit_offset: bool = False) -> jnp.ndarray:
     """HF-compatible RMSNorm: fp32 variance, weight applied in model dtype.
@@ -662,14 +901,19 @@ def rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float,
     return (w * xf.astype(dtype)).astype(dtype)
 
 
-def layer_norm(x: jnp.ndarray, w: jnp.ndarray, b, eps: float) -> jnp.ndarray:
+def layer_norm(x: jnp.ndarray, w: jnp.ndarray, b, eps: float,
+               unit_offset: bool = False) -> jnp.ndarray:
     """Mean-centering LayerNorm in fp32 (GPT-NeoX/J, Falcon, StarCoder2,
-    StableLM, Phi; Cohere passes b=None)."""
+    StableLM, Phi; Cohere passes b=None).  ``unit_offset``: scale by
+    (1 + w) — Nemotron's LayerNorm1P."""
     dtype = x.dtype
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
-    y = (xf - mu) * jax.lax.rsqrt(var + eps) * w.astype(jnp.float32)
+    wf = w.astype(jnp.float32)
+    if unit_offset:
+        wf = wf + 1.0
+    y = (xf - mu) * jax.lax.rsqrt(var + eps) * wf
     if b is not None:
         y = y + b.astype(jnp.float32)
     return y.astype(dtype)
@@ -679,6 +923,8 @@ _ACTS = {
     "silu": jax.nn.silu,
     "gelu": lambda x: jax.nn.gelu(x, approximate=False),
     "gelu_tanh": lambda x: jax.nn.gelu(x, approximate=True),
+    # Nemotron/Persimmon squared ReLU.
+    "relu2": lambda x: jnp.square(jax.nn.relu(x)),
 }
 
 
@@ -757,6 +1003,11 @@ class LlamaModel:
         if a.qk_norm:
             layers["q_norm"] = ones((a.num_layers, a.head_dim))
             layers["k_norm"] = ones((a.num_layers, a.head_dim))
+        elif a.qk_norm_flat:
+            layers["q_norm"] = ones((a.num_layers,
+                                     a.num_heads * a.head_dim))
+            layers["k_norm"] = ones((a.num_layers,
+                                     a.num_kv_heads * a.head_dim))
         if a.norm_type == "layernorm" and a.norm_bias:
             layers["input_norm_b"] = w(a.num_layers, a.hidden_size)
             if not a.shared_input_norm:
@@ -860,6 +1111,16 @@ class LlamaModel:
                     down.append(np.stack([
                         proj(p + f"mlp.experts.{e}.down_proj.weight")
                         for e in range(a.num_experts)]))
+                elif a.moe_hf_style == "granite":
+                    # GraniteMoe: block_sparse_moe.{router.layer,
+                    # input_linear [E, 2I, D] (chunk -> gate|up),
+                    # output_linear [E, D, I]} (HF modeling_granitemoe).
+                    router.append(proj(
+                        p + "block_sparse_moe.router.layer.weight"))
+                    il = t(p + "block_sparse_moe.input_linear.weight")
+                    gate_up.append(np.transpose(il, (0, 2, 1)))
+                    ol = t(p + "block_sparse_moe.output_linear.weight")
+                    down.append(np.transpose(ol, (0, 2, 1)))
                 else:
                     # Mixtral: block_sparse_moe.{gate, experts.N.w1/w2/w3}
                     # (w1 = gate, w3 = up, w2 = down).
@@ -920,7 +1181,7 @@ class LlamaModel:
                 else:
                     b_gate_up.append(t(p + "mlp.up_proj.bias"))
                 b_down.append(t(p + "mlp.down_proj.bias"))
-            if a.qk_norm:
+            if a.qk_norm or a.qk_norm_flat:
                 qn.append(t(p + "self_attn.q_norm.weight"))
                 kn.append(t(p + "self_attn.k_norm.weight"))
             wo.append(proj(p + "self_attn.o_proj.weight"))
@@ -966,7 +1227,7 @@ class LlamaModel:
             layers["input_norm_b"] = stack(in_nb)
         if post_nb:
             layers["post_norm_b"] = stack(post_nb)
-        if a.qk_norm:
+        if a.qk_norm or a.qk_norm_flat:
             layers["q_norm"] = stack(qn)
             layers["k_norm"] = stack(kn)
         if a.num_experts:
@@ -1053,7 +1314,7 @@ class LlamaModel:
         if a.norm_type == "layernorm":
             return layer_norm(h, params["final_norm"],
                               params.get("final_norm_b"),
-                              a.rms_norm_eps), new_state
+                              a.rms_norm_eps, a.norm_unit_offset), new_state
         return rms_norm(h, params["final_norm"], a.rms_norm_eps,
                         a.norm_unit_offset), new_state
 
@@ -1103,16 +1364,28 @@ class LlamaModel:
             def lnorm(y, name):
                 if a.norm_type == "layernorm":
                     return layer_norm(y, lp[name],
-                                      lp.get(name + "_b"), a.rms_norm_eps)
+                                      lp.get(name + "_b"), a.rms_norm_eps,
+                                      a.norm_unit_offset)
                 return norm(y, lp[name])
 
-            x = lnorm(h, "input_norm")
+            # OLMo2 post-norm: sublayers read the raw residual stream and
+            # their OUTPUTS are normalized before the residual add (HF
+            # modeling_olmo2.Olmo2DecoderLayer).
+            x = h if a.postnorm else lnorm(h, "input_norm")
             qkv = with_lora(matmul(x, lp["wqkv"]), "wqkv", x)
             if a.qkv_bias:
                 qkv = qkv + lp["bqkv"]
-            q = qkv[:, :q_sz].reshape(t, a.num_heads, a.head_dim)
-            k = qkv[:, q_sz:q_sz + kv_sz].reshape(t, a.num_kv_heads,
-                                                  a.head_dim)
+            if a.qkv_clip is not None:
+                # OLMo clip_qkv / DBRX clip_qkv.
+                qkv = jnp.clip(qkv, -a.qkv_clip, a.qkv_clip)
+            q2d = qkv[:, :q_sz]
+            k2d = qkv[:, q_sz:q_sz + kv_sz]
+            if a.qk_norm_flat:
+                # OLMo2: RMSNorm over the whole projection, pre-reshape.
+                q2d = rms_norm(q2d, lp["q_norm"], a.rms_norm_eps)
+                k2d = rms_norm(k2d, lp["k_norm"], a.rms_norm_eps)
+            q = q2d.reshape(t, a.num_heads, a.head_dim)
+            k = k2d.reshape(t, a.num_kv_heads, a.head_dim)
             v = qkv[:, q_sz + kv_sz:].reshape(t, a.num_kv_heads, a.head_dim)
             if a.qk_norm:
                 # Qwen3: per-head RMSNorm on q/k BEFORE rope (HF
@@ -1131,6 +1404,10 @@ class LlamaModel:
                 attn_res = attn_res + lp["bo"]
             if a.sandwich_norms:
                 attn_res = norm(attn_res, lp["post_attn_out_norm"])
+            if a.postnorm:
+                attn_res = lnorm(attn_res, "input_norm")
+            if a.residual_multiplier != 1.0:
+                attn_res = attn_res * a.residual_multiplier
 
             if a.parallel_residual:
                 # GPT-NeoX/J, Falcon, Phi, Cohere: attention and MLP read
@@ -1138,7 +1415,7 @@ class LlamaModel:
                 x = x if a.shared_input_norm else lnorm(h, "post_norm")
             else:
                 h = h + attn_res
-                x = lnorm(h, "post_norm")
+                x = h if a.postnorm else lnorm(h, "post_norm")
             if a.num_experts:
                 # Routing (HF MixtralSparseMoeBlock: topk then softmax;
                 # Qwen2/3-MoE: softmax over ALL logits then topk, optional
@@ -1193,6 +1470,10 @@ class LlamaModel:
                     mlp_res = mlp_res + lp["b_down"]
             if a.sandwich_norms:
                 mlp_res = norm(mlp_res, lp["post_ffw_norm"])
+            if a.postnorm:
+                mlp_res = lnorm(mlp_res, "post_norm")
+            if a.residual_multiplier != 1.0:
+                mlp_res = mlp_res * a.residual_multiplier
             if a.parallel_residual:
                 h = h + attn_res + mlp_res
             else:

@@ -20,11 +20,14 @@ def register_model(hf_arch: str):
 def _ensure_builtin():
     if _REGISTRY:
         return
-    from .llama import (BaichuanArch, CohereArch, FalconArch, Gemma2Arch,
-                        GemmaArch, GPTJArch, GPTNeoXArch, InternLM2Arch,
-                        LlamaArch, LlamaModel, MixtralArch, Phi3Arch,
-                        PhiArch, Qwen2Arch, Qwen2MoeArch, Qwen3Arch,
-                        Qwen3MoeArch, StableLmArch, Starcoder2Arch)
+    from .llama import (BaichuanArch, CohereArch, ExaoneArch, FalconArch,
+                        Gemma2Arch, GemmaArch, Glm4Arch, GlmArch,
+                        GPTJArch, GPTNeoXArch, GraniteArch, GraniteMoeArch,
+                        InternLM2Arch, LlamaArch, LlamaModel, MiniCPMArch,
+                        MixtralArch, NemotronArch, Olmo2Arch, OlmoArch,
+                        OrionArch, Phi3Arch, PhiArch, Qwen2Arch,
+                        Qwen2MoeArch, Qwen3Arch, Qwen3MoeArch,
+                        StableLmArch, Starcoder2Arch)
     from .opt import GPT2Arch, OPTArch, OPTModel
     _REGISTRY.update({
         "LlamaForCausalLM": (LlamaModel, LlamaArch),
@@ -50,6 +53,17 @@ def _ensure_builtin():
         "InternLM2ForCausalLM": (LlamaModel, InternLM2Arch),
         "OPTForCausalLM": (OPTModel, OPTArch),
         "GPT2LMHeadModel": (OPTModel, GPT2Arch),
+        "OlmoForCausalLM": (LlamaModel, OlmoArch),
+        "Olmo2ForCausalLM": (LlamaModel, Olmo2Arch),
+        "GraniteForCausalLM": (LlamaModel, GraniteArch),
+        "GraniteMoeForCausalLM": (LlamaModel, GraniteMoeArch),
+        "NemotronForCausalLM": (LlamaModel, NemotronArch),
+        "GlmForCausalLM": (LlamaModel, GlmArch),
+        "Glm4ForCausalLM": (LlamaModel, Glm4Arch),
+        "ExaoneForCausalLM": (LlamaModel, ExaoneArch),
+        "SolarForCausalLM": (LlamaModel, LlamaArch),
+        "OrionForCausalLM": (LlamaModel, OrionArch),
+        "MiniCPMForCausalLM": (LlamaModel, MiniCPMArch),
     })
 
 

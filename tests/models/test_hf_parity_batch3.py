@@ -218,3 +218,17 @@ def test_orion_solar_build_and_run():
                                     attn)
         logits = np.asarray(model.logits(params, h))
         assert np.isfinite(logits).all()
+
+
+def test_dbrx_logits_match_hf():
+    cfg = transformers.DbrxConfig(
+        d_model=64, n_heads=4, n_layers=2, max_seq_len=128,
+        vocab_size=128,
+        attn_config={"kv_n_heads": 2, "clip_qkv": 8.0,
+                     "rope_theta": 10000.0},
+        ffn_config={"ffn_hidden_size": 96, "moe_num_experts": 4,
+                    "moe_top_k": 2, "moe_normalize_expert_weights": 1})
+    torch.manual_seed(29)
+    hf = transformers.DbrxForCausalLM(cfg).eval()
+    d = cfg.to_dict(); d["architectures"] = ["DbrxForCausalLM"]
+    _check_parity(hf, d, rtol=1e-3, atol=1e-3)

@@ -170,3 +170,61 @@ def test_spec_decode_sampled_runs_and_is_seeded():
     a, b = run(), run()
     assert a == b
     assert all(len(t) == 16 for t in a)
+
+
+class TestTypicalAcceptance:
+    def test_semantics_unit(self):
+        import jax.numpy as jnp
+        import numpy as np
+        from vllm_paged_compression_tpu.ops.sampling import (
+            typical_acceptance_sample)
+        v = 8
+        # Row 0: proposals match a peaked target -> all accepted, bonus =
+        # argmax.  Row 1: first proposal has ~zero mass under a peaked
+        # target -> rejected at position 0, recovery = argmax.
+        peak = np.full(v, 1e-6, np.float32)
+        peak[3] = 1.0
+        peak /= peak.sum()
+        off = np.full(v, 1e-6, np.float32)
+        off[5] = 1.0
+        off /= off.sum()
+        probs = np.stack([
+            np.stack([peak, peak, peak]),
+            np.stack([off, peak, peak]),
+        ])                                       # [2, k+1=3, V]
+        proposals = np.array([[3, 3], [3, 3]], np.int32)
+        toks, n_acc = typical_acceptance_sample(jnp.asarray(probs),
+                                                jnp.asarray(proposals))
+        toks, n_acc = np.asarray(toks), np.asarray(n_acc)
+        assert n_acc[0] == 2 and list(toks[0]) == [3, 3, 3]
+        assert n_acc[1] == 0 and toks[1][0] == 5
+
+    def test_high_entropy_accepts_loosely(self):
+        import jax.numpy as jnp
+        import numpy as np
+        from vllm_paged_compression_tpu.ops.sampling import (
+            typical_acceptance_sample)
+        v = 64
+        uniform = np.full((1, 2, v), 1.0 / v, np.float32)
+        proposals = np.array([[7]], np.int32)
+        # H(uniform) = log 64 -> alpha*exp(-H) = 0.3/64 < 1/64 = p:
+        # a uniform target accepts any proposal.
+        toks, n_acc = typical_acceptance_sample(jnp.asarray(uniform),
+                                                jnp.asarray(proposals))
+        assert int(np.asarray(n_acc)[0]) == 1
+
+    def test_e2e_with_engine(self):
+        from vllm_paged_compression_tpu.entrypoints.llm import LLM
+        from vllm_paged_compression_tpu.sampling_params import (
+            SamplingParams)
+        llm = LLM(hf_config=CFG, dtype="float32", block_size=4,
+                  max_model_len=256, num_device_blocks=128, seed=0,
+                  speculative_config={
+                      "num_speculative_tokens": 4,
+                      "acceptance_method": "typical_acceptance_sampler"})
+        outs = llm.generate(
+            prompt_token_ids=[[5, 6, 7, 5, 6, 7, 5, 6]],
+            sampling_params=SamplingParams(temperature=0.8, seed=3,
+                                           max_tokens=24,
+                                           ignore_eos=True))
+        assert len(outs[0].outputs[0].token_ids) == 24

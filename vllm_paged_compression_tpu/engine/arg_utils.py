@@ -53,6 +53,9 @@ class EngineArgs:
     speculative_draft_model: str = ""
     speculative_draft_window: int = 128
     speculative_heads: str = ""
+    spec_decoding_acceptance_method: str = "rejection_sampler"
+    typical_acceptance_sampler_posterior_threshold: float = 0.09
+    typical_acceptance_sampler_posterior_alpha: float = 0.3
     # paged eviction (fork surface)
     enable_paged_eviction: bool = False
     disable_evict_prefill: bool = False
@@ -118,6 +121,17 @@ class EngineArgs:
                        help="HF path of the small draft model "
                             "(--speculative-method draft)")
         g.add_argument("--speculative-draft-window", type=int, default=128)
+        g.add_argument(
+            "--spec-decoding-acceptance-method", type=str,
+            default="rejection_sampler",
+            choices=["rejection_sampler", "typical_acceptance_sampler"],
+            help="verification policy for stochastic speculative batches")
+        g.add_argument(
+            "--typical-acceptance-sampler-posterior-threshold",
+            type=float, default=0.09)
+        g.add_argument(
+            "--typical-acceptance-sampler-posterior-alpha",
+            type=float, default=0.3)
         g.add_argument("--speculative-heads", type=str, default="",
                        help="safetensors dir with Medusa / mlp_speculator "
                             "heads")
@@ -201,6 +215,11 @@ class EngineArgs:
                 ngram_prompt_lookup_min=self.ngram_prompt_lookup_min,
                 draft_model=self.speculative_draft_model,
                 draft_window=self.speculative_draft_window,
-                heads_path=self.speculative_heads)
+                heads_path=self.speculative_heads,
+                acceptance_method=self.spec_decoding_acceptance_method,
+                typical_posterior_threshold=(
+                    self.typical_acceptance_sampler_posterior_threshold),
+                typical_posterior_alpha=(
+                    self.typical_acceptance_sampler_posterior_alpha))
         cfg.verify()
         return cfg

@@ -856,6 +856,85 @@ class ExaoneArch(LlamaArch):
 
 
 @dataclass
+class DbrxArch(LlamaArch):
+    """DBRX (reference vllm/model_executor/models/dbrx.py): 16-expert MoE
+    with fused Wqkv + clip, bias-free LayerNorms, and flattened expert
+    GLU checkpoints (w1/v1/w2 stacked over experts) — canonicalized here
+    into the mixtral naming so the common MoE loader applies."""
+
+    @classmethod
+    def from_hf_config(cls, cfg: dict) -> "DbrxArch":
+        attn = cfg.get("attn_config") or {}
+        ffn = cfg.get("ffn_config") or {}
+        n_heads = cfg["n_heads"]
+        a = cls(
+            vocab_size=cfg["vocab_size"],
+            hidden_size=cfg["d_model"],
+            intermediate_size=ffn.get("ffn_hidden_size",
+                                      4 * cfg["d_model"]),
+            num_layers=cfg["n_layers"],
+            num_heads=n_heads,
+            num_kv_heads=attn.get("kv_n_heads", n_heads),
+            head_dim=cfg["d_model"] // n_heads,
+            rope_theta=attn.get("rope_theta", 500000.0),
+            max_position_embeddings=cfg.get("max_seq_len", 2048),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+        )
+        a.norm_type = "layernorm"
+        a.rms_norm_eps = 1e-5
+        a.qkv_clip = attn.get("clip_qkv")
+        a.num_experts = ffn.get("moe_num_experts", 16)
+        a.num_experts_per_tok = ffn.get("moe_top_k", 4)
+        a.moe_intermediate_size = ffn.get("ffn_hidden_size")
+        a.moe_routing = "softmax_topk"
+        a.moe_norm_topk = ffn.get("moe_normalize_expert_weights",
+                                  1) is not None
+        return a
+
+    def canonicalize_hf(self, tensors: dict) -> dict:
+        e, inter = self.num_experts, self.moe_inter
+        q_sz = self.num_heads * self.head_dim
+        kv_sz = self.num_kv_heads * self.head_dim
+        out = {}
+        for k, v in tensors.items():
+            k = k.replace("transformer.wte.weight",
+                          "model.embed_tokens.weight")
+            k = k.replace("transformer.norm_f.", "model.norm.")
+            k = k.replace("transformer.blocks.", "model.layers.")
+            k = k.replace(".norm_attn_norm.norm_1.", ".input_layernorm.")
+            k = k.replace(".norm_attn_norm.norm_2.",
+                          ".post_attention_layernorm.")
+            k = k.replace(".norm_attn_norm.attn.", ".self_attn.")
+            k = k.replace(".ffn.router.layer.weight",
+                          ".block_sparse_moe.gate.weight")
+            if k.endswith(".self_attn.Wqkv.weight"):
+                v = np.asarray(v)
+                base = k[:-len("Wqkv.weight")]
+                out[base + "q_proj.weight"] = v[:q_sz]
+                out[base + "k_proj.weight"] = v[q_sz:q_sz + kv_sz]
+                out[base + "v_proj.weight"] = v[q_sz + kv_sz:]
+                continue
+            if k.endswith(".self_attn.out_proj.weight"):
+                out[k.replace(".out_proj.", ".o_proj.")] = v
+                continue
+            if ".ffn.experts.mlp." in k:
+                # w1/v1: [E*I, D] gate/up (mixtral w1/w3 layout); w2:
+                # [E*I, D] used untransposed in HF (h @ chunk) -> emit
+                # the mixtral [D, I] per-expert down weight.
+                v = np.asarray(v).reshape(e, inter, -1)
+                which = k.rsplit(".", 1)[1]
+                name = {"w1": "w1", "v1": "w3", "w2": "w2"}[which]
+                base = k.split(".ffn.experts.mlp.")[0]
+                for i in range(e):
+                    chunk = v[i].T if which == "w2" else v[i]
+                    out[f"{base}.block_sparse_moe.experts.{i}."
+                        f"{name}.weight"] = chunk
+                continue
+            out[k] = v
+        return out
+
+
+@dataclass
 class OrionArch(LlamaArch):
     """Orion (reference vllm/model_executor/models/orion.py): Llama with
     biased LayerNorms in place of RMSNorm."""

@@ -20,7 +20,8 @@ def register_model(hf_arch: str):
 def _ensure_builtin():
     if _REGISTRY:
         return
-    from .llama import (BaichuanArch, CohereArch, ExaoneArch, FalconArch,
+    from .llama import (BaichuanArch, CohereArch, DbrxArch, ExaoneArch,
+                        FalconArch,
                         Gemma2Arch, GemmaArch, Glm4Arch, GlmArch,
                         GPTJArch, GPTNeoXArch, GraniteArch, GraniteMoeArch,
                         InternLM2Arch, LlamaArch, LlamaModel, MiniCPMArch,
@@ -64,6 +65,7 @@ def _ensure_builtin():
         "SolarForCausalLM": (LlamaModel, LlamaArch),
         "OrionForCausalLM": (LlamaModel, OrionArch),
         "MiniCPMForCausalLM": (LlamaModel, MiniCPMArch),
+        "DbrxForCausalLM": (LlamaModel, DbrxArch),
     })
 
 

@@ -147,6 +147,38 @@ def rejection_sample(probs: jnp.ndarray, proposals: jnp.ndarray,
     return tokens, n_acc
 
 
+def typical_acceptance_sample(probs: jnp.ndarray, proposals: jnp.ndarray,
+                              posterior_threshold: float = 0.09,
+                              posterior_alpha: float = 0.3):
+    """Entropy-adaptive deterministic verification (reference
+    vllm/model_executor/layers/typical_acceptance_sampler.py, after
+    Cai et al. Medusa): accept proposal x_j iff
+    p(x_j) > min(threshold, alpha * exp(-H(p))); on the first rejection
+    emit argmax(p) (and argmax of the bonus position after a clean run).
+
+    probs:      [B, k+1, V] target sampling distributions per position
+    proposals:  [B, k] proposed token ids
+    Returns (tokens [B, k+1], n_accepted [B]) with the same contract as
+    ``rejection_sample``.
+    """
+    b, kp1, v = probs.shape
+    k = kp1 - 1
+    iota_b = jnp.arange(b)
+    p_prop = jnp.take_along_axis(probs[:, :k, :], proposals[:, :, None],
+                                 axis=2)[..., 0]            # [B, k]
+    logp = jnp.log(jnp.maximum(probs[:, :k, :], 1e-20))
+    entropy = -jnp.sum(probs[:, :k, :] * logp, axis=-1)     # [B, k]
+    threshold = jnp.minimum(posterior_threshold,
+                            posterior_alpha * jnp.exp(-entropy))
+    accept = p_prop > threshold
+    n_acc = jnp.sum(jnp.cumprod(accept.astype(jnp.int32), axis=1), axis=1)
+    recovery = jnp.argmax(probs[iota_b, n_acc], axis=-1)    # [B]
+    tokens = jnp.concatenate(
+        [proposals, jnp.zeros((b, 1), proposals.dtype)], axis=1)
+    tokens = tokens.at[iota_b, n_acc].set(recovery.astype(tokens.dtype))
+    return tokens, n_acc
+
+
 def apply_token_bitmask(logits: jnp.ndarray,
                         mask_words: jnp.ndarray) -> jnp.ndarray:
     """Guided-decoding constraint: disallow tokens whose bit is 0.

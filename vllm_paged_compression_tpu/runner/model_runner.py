@@ -835,8 +835,17 @@ class ModelRunner:
             min_p=batch["row_min_p"]))
         b = batch["proposals"].shape[0]
         probs = probs.reshape(b, rep, -1)
-        toks, n_acc = rejection_sample(probs, batch["proposals"],
-                                       batch["seed"], batch["step"])
+        sc = self.config.speculative
+        if sc is not None and \
+                sc.acceptance_method == "typical_acceptance_sampler":
+            from ..ops.sampling import typical_acceptance_sample
+            toks, n_acc = typical_acceptance_sample(
+                probs, batch["proposals"],
+                sc.typical_posterior_threshold,
+                sc.typical_posterior_alpha)
+        else:
+            toks, n_acc = rejection_sample(probs, batch["proposals"],
+                                           batch["seed"], batch["step"])
         return new_caches, page_scores, (toks, n_acc)
 
     def _spec_batch(self, plans):

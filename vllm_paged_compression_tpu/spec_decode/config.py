@@ -25,6 +25,12 @@ class SpeculativeConfig:
     heads_path: str = ""
     speculator_inner_dim: int = 0
     medusa_num_layers: int = 1
+    # Stochastic-verification acceptance policy (reference
+    # --spec-decoding-acceptance-method + typical-acceptance knobs,
+    # vllm/model_executor/layers/typical_acceptance_sampler.py).
+    acceptance_method: str = "rejection_sampler"
+    typical_posterior_threshold: float = 0.09
+    typical_posterior_alpha: float = 0.3
 
     def verify(self) -> None:
         if self.method not in ("ngram", "draft", "medusa",
@@ -41,3 +47,8 @@ class SpeculativeConfig:
         if self.ngram_prompt_lookup_min < 1 or \
                 self.ngram_prompt_lookup_max < self.ngram_prompt_lookup_min:
             raise ValueError("need 1 <= ngram_min <= ngram_max")
+        if self.acceptance_method not in ("rejection_sampler",
+                                          "typical_acceptance_sampler"):
+            raise ValueError(
+                "acceptance_method must be rejection_sampler or "
+                "typical_acceptance_sampler")

@@ -232,3 +232,63 @@ def test_dbrx_logits_match_hf():
     hf = transformers.DbrxForCausalLM(cfg).eval()
     d = cfg.to_dict(); d["architectures"] = ["DbrxForCausalLM"]
     _check_parity(hf, d, rtol=1e-3, atol=1e-3)
+
+
+class TestDeepseekV2:
+    def _cfg(self, **kw):
+        base = dict(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=3, num_attention_heads=4,
+            num_key_value_heads=4, max_position_embeddings=128,
+            rope_theta=10000.0, rms_norm_eps=1e-6,
+            kv_lora_rank=32, q_lora_rank=None,
+            qk_nope_head_dim=16, qk_rope_head_dim=8, v_head_dim=12,
+            head_dim=24, n_routed_experts=4, moe_intermediate_size=48,
+            num_experts_per_tok=2, n_shared_experts=None,
+            first_k_dense_replace=3,    # == num_layers: all-dense stack
+            tie_word_embeddings=False)
+        base.update(kw)
+        return transformers.DeepseekV2Config(**base)
+
+    def test_mla_dense_logits_match_hf(self):
+        cfg = self._cfg()
+        torch.manual_seed(30)
+        hf = transformers.DeepseekV2ForCausalLM(cfg).eval()
+        d = cfg.to_dict(); d["architectures"] = ["DeepseekV2ForCausalLM"]
+        _check_parity(hf, d)
+
+    def test_mla_q_lora_logits_match_hf(self):
+        cfg = self._cfg(q_lora_rank=24)
+        torch.manual_seed(31)
+        hf = transformers.DeepseekV2ForCausalLM(cfg).eval()
+        d = cfg.to_dict(); d["architectures"] = ["DeepseekV2ForCausalLM"]
+        _check_parity(hf, d)
+
+    def test_moe_dense_prefix_logits_match_hf(self):
+        cfg = self._cfg(n_shared_experts=2, first_k_dense_replace=1,
+                        topk_method="greedy", routed_scaling_factor=1.5)
+        torch.manual_seed(32)
+        hf = transformers.DeepseekV2ForCausalLM(cfg).eval()
+        d = cfg.to_dict(); d["architectures"] = ["DeepseekV2ForCausalLM"]
+        _check_parity(hf, d, rtol=1e-3, atol=1e-3)
+
+    def test_group_limited_greedy_logits_match_hf(self):
+        cfg = self._cfg(n_routed_experts=8, first_k_dense_replace=0,
+                        n_shared_experts=2,     # HF MoE requires them
+                        topk_method="group_limited_greedy",
+                        n_group=4, topk_group=2)
+        torch.manual_seed(33)
+        hf = transformers.DeepseekV2ForCausalLM(cfg).eval()
+        d = cfg.to_dict(); d["architectures"] = ["DeepseekV2ForCausalLM"]
+        _check_parity(hf, d, rtol=1e-3, atol=1e-3)
+
+    def test_yarn_rope_logits_match_hf(self):
+        cfg = self._cfg(rope_scaling={
+            "rope_type": "yarn", "factor": 4.0,
+            "original_max_position_embeddings": 32,
+            "mscale": 0.707, "mscale_all_dim": 0.707,
+            "beta_fast": 32.0, "beta_slow": 1.0})
+        torch.manual_seed(34)
+        hf = transformers.DeepseekV2ForCausalLM(cfg).eval()
+        d = cfg.to_dict(); d["architectures"] = ["DeepseekV2ForCausalLM"]
+        _check_parity(hf, d)

@@ -172,6 +172,11 @@ class LLMEngine:
                 if self.model.architecture != "llama":
                     raise ValueError("pipeline parallelism currently "
                                      "supports llama-family models")
+                if self.model.arch.attn_type == "mla" \
+                        or self.model.arch.first_k_dense:
+                    raise ValueError("pipeline parallelism with MLA / "
+                                     "dense-prefix (DeepSeek) stacks is "
+                                     "not supported yet")
                 if config.lora is not None or config.speculative is not None:
                     raise ValueError("pipeline parallelism is incompatible "
                                      "with LoRA / speculative decoding")

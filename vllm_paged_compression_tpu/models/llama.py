@@ -108,10 +108,24 @@ class LlamaArch:
     #                                   post_norm slot = post-mlp norm)
     qk_norm_flat: bool = False        # OLMo2: q/k RMSNorm over the FULL
     #                                   H*d projection (vs per-head)
+    # --- MLA (DeepSeek V2/V3 multi-head latent attention) ---
+    attn_type: str = "mha"            # "mla": latent kv + decoupled rope
+    q_lora_rank: Optional[int] = None
+    kv_lora_rank: int = 0
+    qk_nope_head_dim: int = 0
+    qk_rope_head_dim: int = 0
+    v_head_dim: Optional[int] = None  # < head_dim: v padded in the cache
+    # --- DeepSeek-MoE extensions ---
+    first_k_dense: int = 0            # dense layers before the MoE stack
+    moe_topk_method: str = "greedy"   # | "group_limited_greedy"
+    moe_n_group: int = 1
+    moe_topk_group: int = 1
+    moe_routed_scaling: float = 1.0
+    moe_shared_plural: bool = False   # "shared_experts." checkpoint name
 
     @property
     def rot_dim(self) -> int:
-        d = int(self.head_dim * self.partial_rotary_factor)
+        d = int(round(self.head_dim * self.partial_rotary_factor))
         return d - d % 2
 
     @classmethod
@@ -659,6 +673,73 @@ class InternLM2Arch(LlamaArch):
 
 
 @dataclass
+class DeepseekV2Arch(LlamaArch):
+    """DeepSeek V2/V2-Lite (reference
+    vllm/model_executor/models/deepseek_v2.py): multi-head latent
+    attention (low-rank compressed KV + decoupled interleaved rope) and
+    DeepSeek-MoE (softmax->topk routing with optional device-group
+    limiting, routed scaling, ungated shared experts, dense first-k
+    layers).
+
+    First-pass cache layout is "naive MLA": the per-head K (nope|rope,
+    head_dim = qk_nope + qk_rope) and V (padded from v_head_dim) are
+    materialized into the standard paged pools, so every cache feature
+    (eviction, quantized KV, swap, prefix cache) applies unchanged.  The
+    absorbed latent-cache layout is a later optimization."""
+
+    @classmethod
+    def from_hf_config(cls, cfg: dict) -> "DeepseekV2Arch":
+        num_heads = cfg["num_attention_heads"]
+        nope = cfg["qk_nope_head_dim"]
+        rope = cfg["qk_rope_head_dim"]
+        qk_head_dim = nope + rope
+        a = cls(
+            vocab_size=cfg["vocab_size"],
+            hidden_size=cfg["hidden_size"],
+            intermediate_size=cfg["intermediate_size"],
+            num_layers=cfg["num_hidden_layers"],
+            num_heads=num_heads,
+            num_kv_heads=num_heads,      # per-head K in the naive layout
+            head_dim=qk_head_dim,
+            rms_norm_eps=cfg.get("rms_norm_eps", 1e-6),
+            rope_theta=cfg.get("rope_theta", 10000.0),
+            rope_scaling=cfg.get("rope_scaling"),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            max_position_embeddings=cfg.get("max_position_embeddings",
+                                            8192),
+        )
+        a.attn_type = "mla"
+        a.q_lora_rank = cfg.get("q_lora_rank")
+        a.kv_lora_rank = cfg["kv_lora_rank"]
+        a.qk_nope_head_dim = nope
+        a.qk_rope_head_dim = rope
+        a.v_head_dim = cfg["v_head_dim"]
+        a.partial_rotary_factor = rope / qk_head_dim
+        a.rope_interleaved = True        # HF apply_rotary_emb is complex
+        #                                  rotation over adjacent pairs
+        a.query_pre_attn_scalar = qk_head_dim
+        n_routed = cfg.get("n_routed_experts")
+        if n_routed:
+            a.num_experts = n_routed
+            a.num_experts_per_tok = cfg.get("num_experts_per_tok", 2)
+            a.moe_intermediate_size = cfg["moe_intermediate_size"]
+            a.moe_routing = "softmax_topk"
+            a.moe_hf_style = "qwen"      # experts.N.{gate,up,down}_proj
+            a.moe_topk_method = cfg.get("topk_method", "greedy")
+            a.moe_n_group = cfg.get("n_group", 1)
+            a.moe_topk_group = cfg.get("topk_group", 1)
+            a.moe_routed_scaling = cfg.get("routed_scaling_factor", 1.0)
+            a.first_k_dense = cfg.get("first_k_dense_replace", 0)
+            if cfg.get("moe_layer_freq", 1) != 1:
+                raise NotImplementedError("moe_layer_freq != 1")
+            ns = cfg.get("n_shared_experts")
+            if ns:
+                a.moe_shared_intermediate = ns * a.moe_intermediate_size
+                a.moe_shared_plural = True
+        return a
+
+
+@dataclass
 class OlmoArch(LlamaArch):
     """OLMo (reference vllm/model_executor/models/olmo.py): Llama layout
     with NON-parametric LayerNorms (no learned weight/bias — synthesized
@@ -1019,6 +1100,152 @@ class LlamaModel:
 
     # ---- parameter construction ----------------------------------------
 
+    def _mla_layer_shapes(self, moe: bool) -> dict:
+        """Per-layer parameter shapes (w/o the leading layer axis) for an
+        MLA (DeepSeek) layer."""
+        a = self.arch
+        qk = a.head_dim
+        shapes = {
+            "w_kv_a": (a.hidden_size, a.kv_lora_rank + a.qk_rope_head_dim),
+            "kv_a_norm": (a.kv_lora_rank,),
+            "w_kv_b": (a.kv_lora_rank,
+                       a.num_heads * (a.qk_nope_head_dim + a.v_head_dim)),
+            "wo": (a.num_heads * a.v_head_dim, a.hidden_size),
+            "input_norm": (a.hidden_size,),
+            "post_norm": (a.hidden_size,),
+        }
+        if a.q_lora_rank:
+            shapes["wq_a"] = (a.hidden_size, a.q_lora_rank)
+            shapes["q_a_norm"] = (a.q_lora_rank,)
+            shapes["wq_b"] = (a.q_lora_rank, a.num_heads * qk)
+        else:
+            shapes["wq"] = (a.hidden_size, a.num_heads * qk)
+        if moe:
+            shapes["router"] = (a.hidden_size, a.num_experts)
+            shapes["w_gate_up"] = (a.num_experts, a.hidden_size,
+                                   2 * a.moe_inter)
+            shapes["w_down"] = (a.num_experts, a.moe_inter, a.hidden_size)
+            if a.moe_shared_intermediate:
+                si = a.moe_shared_intermediate
+                shapes["ws_gate_up"] = (a.hidden_size, 2 * si)
+                shapes["ws_down"] = (si, a.hidden_size)
+        else:
+            shapes["w_gate_up"] = (a.hidden_size, 2 * a.intermediate_size)
+            shapes["w_down"] = (a.intermediate_size, a.hidden_size)
+        return shapes
+
+    def _init_params_mla(self, w, ones) -> dict:
+        a = self.arch
+        kd = a.first_k_dense if a.num_experts else a.num_layers
+        kd = min(kd, a.num_layers)
+        n_moe = a.num_layers - kd if a.num_experts else 0
+
+        def stack(n, moe):
+            out = {}
+            for name, shape in self._mla_layer_shapes(moe).items():
+                if "norm" in name:
+                    out[name] = ones((n,) + shape)
+                else:
+                    out[name] = w(*((n,) + shape))
+            return out
+
+        params = {"embed": w(a.vocab_size, a.hidden_size),
+                  "final_norm": ones((a.hidden_size,))}
+        if n_moe:
+            params["layers"] = stack(n_moe, True)
+            if kd:
+                params["dense_layers"] = stack(kd, False)
+        else:
+            params["layers"] = stack(a.num_layers, False)
+        if not a.tie_word_embeddings:
+            params["lm_head"] = w(a.hidden_size, a.vocab_size)
+        return params
+
+    def _load_hf_deepseek(self, tensors: dict, as_numpy: bool) -> dict:
+        """DeepSeek V2 checkpoint (HF modeling_deepseek_v2 naming) ->
+        fused/stacked MLA layout with a dense prefix stack."""
+        a = self.arch
+
+        def t(name):
+            return np.asarray(tensors[name])
+
+        def proj(name):
+            return t(name).T
+
+        def stack(xs):
+            arr = np.stack(xs)
+            return arr if as_numpy else jnp.asarray(arr, self.dtype)
+
+        def leaf(x):
+            return np.asarray(x) if as_numpy \
+                else jnp.asarray(x, self.dtype)
+
+        kd = min(a.first_k_dense if a.num_experts else a.num_layers,
+                 a.num_layers)
+        n_moe = a.num_layers - kd if a.num_experts else 0
+
+        def collect(lo, hi, moe):
+            acc = {k: [] for k in self._mla_layer_shapes(moe)}
+            for i in range(lo, hi):
+                p = f"model.layers.{i}."
+                if a.q_lora_rank:
+                    acc["wq_a"].append(proj(p + "self_attn.q_a_proj"
+                                            ".weight"))
+                    acc["q_a_norm"].append(t(p + "self_attn.q_a_layernorm"
+                                             ".weight"))
+                    acc["wq_b"].append(proj(p + "self_attn.q_b_proj"
+                                            ".weight"))
+                else:
+                    acc["wq"].append(proj(p + "self_attn.q_proj.weight"))
+                acc["w_kv_a"].append(proj(
+                    p + "self_attn.kv_a_proj_with_mqa.weight"))
+                acc["kv_a_norm"].append(t(
+                    p + "self_attn.kv_a_layernorm.weight"))
+                acc["w_kv_b"].append(proj(p + "self_attn.kv_b_proj"
+                                          ".weight"))
+                acc["wo"].append(proj(p + "self_attn.o_proj.weight"))
+                acc["input_norm"].append(t(p + "input_layernorm.weight"))
+                acc["post_norm"].append(t(
+                    p + "post_attention_layernorm.weight"))
+                if moe:
+                    acc["router"].append(proj(p + "mlp.gate.weight"))
+                    acc["w_gate_up"].append(np.stack([
+                        np.concatenate([
+                            proj(p + f"mlp.experts.{e}.gate_proj.weight"),
+                            proj(p + f"mlp.experts.{e}.up_proj.weight"),
+                        ], axis=1) for e in range(a.num_experts)]))
+                    acc["w_down"].append(np.stack([
+                        proj(p + f"mlp.experts.{e}.down_proj.weight")
+                        for e in range(a.num_experts)]))
+                    if a.moe_shared_intermediate:
+                        acc["ws_gate_up"].append(np.concatenate([
+                            proj(p + "mlp.shared_experts.gate_proj"
+                                 ".weight"),
+                            proj(p + "mlp.shared_experts.up_proj.weight"),
+                        ], axis=1))
+                        acc["ws_down"].append(proj(
+                            p + "mlp.shared_experts.down_proj.weight"))
+                else:
+                    acc["w_gate_up"].append(np.concatenate([
+                        proj(p + "mlp.gate_proj.weight"),
+                        proj(p + "mlp.up_proj.weight")], axis=1))
+                    acc["w_down"].append(proj(p + "mlp.down_proj.weight"))
+            return {k: stack(v) for k, v in acc.items()}
+
+        params = {
+            "embed": leaf(t("model.embed_tokens.weight")),
+            "final_norm": leaf(t("model.norm.weight")),
+        }
+        if n_moe:
+            params["layers"] = collect(kd, a.num_layers, True)
+            if kd:
+                params["dense_layers"] = collect(0, kd, False)
+        else:
+            params["layers"] = collect(0, a.num_layers, False)
+        if not a.tie_word_embeddings:
+            params["lm_head"] = leaf(t("lm_head.weight").T)
+        return params
+
     def init_params(self, seed: int = 0, as_numpy: bool = False) -> dict:
         """Random init (benchmark/synthetic use; real serving loads HF
         weights).  Scaled-normal like HF's default init.
@@ -1047,6 +1274,8 @@ class LlamaModel:
                 return (jax.random.normal(sub, shape, self.dtype) * std)
 
             ones = lambda sh: jnp.ones(sh, self.dtype)  # noqa: E731
+        if a.attn_type == "mla":
+            return self._init_params_mla(w, ones)
         qkv_out = (a.num_heads + 2 * a.num_kv_heads) * a.head_dim
         mlp_out = (2 if a.mlp_gated else 1) * a.intermediate_size
         layers = {
@@ -1158,6 +1387,8 @@ class LlamaModel:
         the canonical Llama names by their arch's ``canonicalize_hf``."""
         a = self.arch
         tensors = a.canonicalize_hf(tensors)
+        if a.attn_type == "mla":
+            return self._load_hf_deepseek(tensors, as_numpy)
 
         def t(name):
             return np.asarray(tensors[name])
@@ -1451,33 +1682,71 @@ class LlamaModel:
             # their OUTPUTS are normalized before the residual add (HF
             # modeling_olmo2.Olmo2DecoderLayer).
             x = h if a.postnorm else lnorm(h, "input_norm")
-            qkv = with_lora(matmul(x, lp["wqkv"]), "wqkv", x)
-            if a.qkv_bias:
-                qkv = qkv + lp["bqkv"]
-            if a.qkv_clip is not None:
-                # OLMo clip_qkv / DBRX clip_qkv.
-                qkv = jnp.clip(qkv, -a.qkv_clip, a.qkv_clip)
-            q2d = qkv[:, :q_sz]
-            k2d = qkv[:, q_sz:q_sz + kv_sz]
-            if a.qk_norm_flat:
-                # OLMo2: RMSNorm over the whole projection, pre-reshape.
-                q2d = rms_norm(q2d, lp["q_norm"], a.rms_norm_eps)
-                k2d = rms_norm(k2d, lp["k_norm"], a.rms_norm_eps)
-            q = q2d.reshape(t, a.num_heads, a.head_dim)
-            k = k2d.reshape(t, a.num_kv_heads, a.head_dim)
-            v = qkv[:, q_sz + kv_sz:].reshape(t, a.num_kv_heads, a.head_dim)
-            if a.qk_norm:
-                # Qwen3: per-head RMSNorm on q/k BEFORE rope (HF
-                # Qwen3Attention applies q_norm/k_norm to head_dim).
-                q = rms_norm(q, lp["q_norm"], a.rms_norm_eps)
-                k = rms_norm(k, lp["k_norm"], a.rms_norm_eps)
-            q, k = apply_rope(q, k, cos, sin, rot_dim=a.rot_dim,
-                              interleaved=a.rope_interleaved)
+            if a.attn_type == "mla":
+                # DeepSeek multi-head latent attention (HF
+                # modeling_deepseek_v2.DeepseekV2Attention): low-rank
+                # q (optional) and kv; per-head K = [nope | shared roped
+                # k_pe]; V materialized from the latent and zero-padded
+                # to head_dim for the shared paged-cache layout.
+                nope, rot = a.qk_nope_head_dim, a.qk_rope_head_dim
+                if a.q_lora_rank:
+                    qa = rms_norm(matmul(x, lp["wq_a"]), lp["q_a_norm"],
+                                  a.rms_norm_eps)
+                    q = matmul(qa, lp["wq_b"])
+                else:
+                    q = matmul(x, lp["wq"])
+                q = q.reshape(t, a.num_heads, a.head_dim)
+                ckv = matmul(x, lp["w_kv_a"])          # [T, d_c + rot]
+                latent = rms_norm(ckv[:, :a.kv_lora_rank],
+                                  lp["kv_a_norm"], a.rms_norm_eps)
+                kvb = matmul(latent, lp["w_kv_b"]).reshape(
+                    t, a.num_heads, nope + a.v_head_dim)
+                q_pe, k_pe = apply_rope(
+                    q[..., nope:], ckv[:, None, a.kv_lora_rank:],
+                    cos, sin, interleaved=True)
+                q = jnp.concatenate([q[..., :nope], q_pe], axis=-1)
+                k = jnp.concatenate(
+                    [kvb[..., :nope],
+                     jnp.broadcast_to(k_pe, (t, a.num_heads, rot))],
+                    axis=-1)
+                v = jnp.concatenate(
+                    [kvb[..., nope:],
+                     jnp.zeros((t, a.num_heads, a.head_dim - a.v_head_dim),
+                               kvb.dtype)], axis=-1)
+            else:
+                qkv = with_lora(matmul(x, lp["wqkv"]), "wqkv", x)
+                if a.qkv_bias:
+                    qkv = qkv + lp["bqkv"]
+                if a.qkv_clip is not None:
+                    # OLMo clip_qkv / DBRX clip_qkv.
+                    qkv = jnp.clip(qkv, -a.qkv_clip, a.qkv_clip)
+                q2d = qkv[:, :q_sz]
+                k2d = qkv[:, q_sz:q_sz + kv_sz]
+                if a.qk_norm_flat:
+                    # OLMo2: RMSNorm over the whole projection,
+                    # pre-reshape.
+                    q2d = rms_norm(q2d, lp["q_norm"], a.rms_norm_eps)
+                    k2d = rms_norm(k2d, lp["k_norm"], a.rms_norm_eps)
+                q = q2d.reshape(t, a.num_heads, a.head_dim)
+                k = k2d.reshape(t, a.num_kv_heads, a.head_dim)
+                v = qkv[:, q_sz + kv_sz:].reshape(t, a.num_kv_heads,
+                                                  a.head_dim)
+                if a.qk_norm:
+                    # Qwen3: per-head RMSNorm on q/k BEFORE rope (HF
+                    # Qwen3Attention applies q_norm/k_norm to head_dim).
+                    q = rms_norm(q, lp["q_norm"], a.rms_norm_eps)
+                    k = rms_norm(k, lp["k_norm"], a.rms_norm_eps)
+                q, k = apply_rope(q, k, cos, sin, rot_dim=a.rot_dim,
+                                  interleaved=a.rope_interleaved)
             if layer_idx is None:
                 attn_out, new_state = attn_fn(q, k, v, state)
             else:
                 attn_out, new_state = attn_fn(q, k, v, state, layer_idx)
-            attn2d = attn_out.reshape(t, q_sz)
+            if a.attn_type == "mla":
+                attn2d = attn_out[..., :a.v_head_dim].reshape(
+                    t, a.num_heads * a.v_head_dim)
+            else:
+                attn2d = attn_out.reshape(t, q_sz)
             attn_res = with_lora(matmul(attn2d, lp["wo"]), "wo", attn2d)
             if a.o_bias:
                 attn_res = attn_res + lp["bo"]
@@ -1495,13 +1764,26 @@ class LlamaModel:
             else:
                 h = h + attn_res
                 x = h if a.postnorm else lnorm(h, "post_norm")
-            if a.num_experts:
+            if "router" in lp:
                 # Routing (HF MixtralSparseMoeBlock: topk then softmax;
-                # Qwen2/3-MoE: softmax over ALL logits then topk, optional
-                # renorm), dense expert compute.
+                # Qwen2/3-MoE + DeepSeek: softmax over ALL logits then
+                # topk, optional renorm / group limiting / routed
+                # scaling), dense expert compute.
                 router_logits = (x @ lp["router"]).astype(jnp.float32)
                 if a.moe_routing == "softmax_topk":
                     probs = jax.nn.softmax(router_logits, axis=-1)
+                    if a.moe_topk_method == "group_limited_greedy":
+                        # DeepSeek V2: keep only the top `topk_group`
+                        # device groups (by max score within the group)
+                        # before the expert top-k.
+                        g = a.moe_n_group
+                        pg = probs.reshape(*probs.shape[:-1], g, -1)
+                        gscore = jnp.max(pg, axis=-1)
+                        gtop, _ = jax.lax.top_k(gscore, a.moe_topk_group)
+                        gmask = gscore >= gtop[..., -1:]
+                        probs = jnp.where(
+                            jnp.repeat(gmask, probs.shape[-1] // g,
+                                       axis=-1), probs, 0.0)
                     rw, topi = jax.lax.top_k(probs, a.num_experts_per_tok)
                 else:
                     topv, topi = jax.lax.top_k(router_logits,
@@ -1509,6 +1791,8 @@ class LlamaModel:
                     rw = jax.nn.softmax(topv, axis=-1)
                 if a.moe_norm_topk:
                     rw = rw / jnp.sum(rw, axis=-1, keepdims=True)
+                if a.moe_routed_scaling != 1.0:
+                    rw = rw * a.moe_routed_scaling
                 combine = jnp.sum(
                     jax.nn.one_hot(topi, a.num_experts, dtype=jnp.float32)
                     * rw[..., None], axis=1)                  # [T, E]
@@ -1559,6 +1843,17 @@ class LlamaModel:
                 h = h + mlp_res
             return h, new_state
 
+        # Heterogeneous stacks (DeepSeek-MoE first_k_dense_replace): the
+        # dense prefix and the MoE body have different per-layer param
+        # structures, so each gets its own lax.scan; one layer of each
+        # kind is traced regardless of depth.
+        stacks = [params["layers"]]
+        if "dense_layers" in params:
+            assert lora is None, \
+                "LoRA with a dense-prefix (DeepSeek-MoE) stack is " \
+                "unsupported"
+            stacks = [params["dense_layers"], params["layers"]]
+
         if state_mode == "carry":
             def layer_fn(carry, xs):
                 h, state = carry
@@ -1566,17 +1861,36 @@ class LlamaModel:
                 h, state = layer_body(h, lp, ll, state, li)
                 return (h, state), None
 
-            (h, new_state), _ = jax.lax.scan(
-                layer_fn, (h, attn_state),
-                (params["layers"], lora_layers,
-                 jnp.arange(num_layers, dtype=jnp.int32)))
+            carry = (h, attn_state)
+            off = 0
+            for stack in stacks:
+                n = jax.tree.leaves(stack)[0].shape[0]
+                ll = lora_layers if len(stacks) == 1 else None
+                carry, _ = jax.lax.scan(
+                    layer_fn, carry,
+                    (stack, ll, jnp.arange(off, off + n, dtype=jnp.int32)))
+                off += n
+            h, new_state = carry
         else:
             def layer_fn(h, xs):
                 lp, ll, state = xs
                 return layer_body(h, lp, ll, state)
 
-            h, new_state = jax.lax.scan(
-                layer_fn, h, (params["layers"], lora_layers, attn_state))
+            if len(stacks) == 1:
+                h, new_state = jax.lax.scan(
+                    layer_fn, h,
+                    (params["layers"], lora_layers, attn_state))
+            else:
+                nd = jax.tree.leaves(stacks[0])[0].shape[0]
+                s_dense = jax.tree.map(lambda x: x[:nd], attn_state)
+                s_moe = jax.tree.map(lambda x: x[nd:], attn_state)
+                h, ns_d = jax.lax.scan(layer_fn, h,
+                                       (stacks[0], None, s_dense))
+                h, ns_m = jax.lax.scan(layer_fn, h,
+                                       (stacks[1], None, s_moe))
+                new_state = jax.tree.map(
+                    lambda a_, b_: jnp.concatenate([a_, b_], axis=0),
+                    ns_d, ns_m)
         return h, new_state
 
     def embed(self, params: dict, token_ids: jnp.ndarray) -> jnp.ndarray:

@@ -20,7 +20,8 @@ def register_model(hf_arch: str):
 def _ensure_builtin():
     if _REGISTRY:
         return
-    from .llama import (BaichuanArch, CohereArch, DbrxArch, ExaoneArch,
+    from .llama import (BaichuanArch, CohereArch, DbrxArch, DeepseekV2Arch,
+                        ExaoneArch,
                         FalconArch,
                         Gemma2Arch, GemmaArch, Glm4Arch, GlmArch,
                         GPTJArch, GPTNeoXArch, GraniteArch, GraniteMoeArch,
@@ -66,6 +67,7 @@ def _ensure_builtin():
         "OrionForCausalLM": (LlamaModel, OrionArch),
         "MiniCPMForCausalLM": (LlamaModel, MiniCPMArch),
         "DbrxForCausalLM": (LlamaModel, DbrxArch),
+        "DeepseekV2ForCausalLM": (LlamaModel, DeepseekV2Arch),
     })
 
 

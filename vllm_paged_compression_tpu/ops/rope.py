@@ -25,18 +25,26 @@ def rope_cos_sin(positions: jnp.ndarray, head_dim: int, theta: float,
     """
     inv_freq = 1.0 / (theta ** (
         jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    attention_scaling = 1.0
     if scaling:
         rope_type = scaling.get("rope_type", scaling.get("type", ""))
         if rope_type == "llama3":
             inv_freq = _llama3_scale_inv_freq(inv_freq, scaling)
         elif rope_type == "linear":
             inv_freq = inv_freq / float(scaling["factor"])
+        elif rope_type == "yarn":
+            inv_freq, attention_scaling = _yarn_scale_inv_freq(
+                inv_freq, scaling, head_dim, theta)
+        elif rope_type not in ("", "default"):
+            raise NotImplementedError(f"rope scaling type {rope_type!r}")
     freqs = positions.astype(jnp.float32)[..., None] * inv_freq  # [T, d/2]
     if interleaved:
         emb = jnp.repeat(freqs, 2, axis=-1)                      # [T, d]
     else:
         emb = jnp.concatenate([freqs, freqs], axis=-1)           # [T, d]
-    return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
+    cos = jnp.cos(emb) * attention_scaling
+    sin = jnp.sin(emb) * attention_scaling
+    return cos.astype(dtype), sin.astype(dtype)
 
 
 def _llama3_scale_inv_freq(inv_freq, scaling):
@@ -56,6 +64,53 @@ def _llama3_scale_inv_freq(inv_freq, scaling):
     out = jnp.where(wavelen > low_freq_wavelen, scaled, inv_freq)
     is_medium = (wavelen <= low_freq_wavelen) & (wavelen >= high_freq_wavelen)
     return jnp.where(is_medium, smoothed, out)
+
+
+def _yarn_scale_inv_freq(inv_freq, scaling, head_dim: int, theta: float):
+    """YaRN NTK-by-parts scaling + attention factor (transformers
+    modeling_rope_utils._compute_yarn_parameters; the mscale/mscale_all_dim
+    variant is DeepSeek V2's)."""
+    import math
+    factor = float(scaling["factor"])
+    attention_factor = scaling.get("attention_factor")
+    mscale = scaling.get("mscale")
+    mscale_all_dim = scaling.get("mscale_all_dim")
+    orig_max = float(scaling.get("original_max_position_embeddings",
+                                 scaling.get("max_position_embeddings",
+                                             2048)))
+    beta_fast = float(scaling.get("beta_fast") or 32)
+    beta_slow = float(scaling.get("beta_slow") or 1)
+
+    def get_mscale(scale, ms=1.0):
+        if scale <= 1:
+            return 1.0
+        return 0.1 * ms * math.log(scale) + 1.0
+
+    if attention_factor is None:
+        if mscale and mscale_all_dim:
+            attention_factor = (get_mscale(factor, mscale)
+                                / get_mscale(factor, mscale_all_dim))
+        else:
+            attention_factor = get_mscale(factor)
+
+    def correction_dim(num_rot):
+        return (head_dim * math.log(orig_max / (num_rot * 2 * math.pi))
+                ) / (2 * math.log(theta))
+
+    low = correction_dim(beta_fast)
+    high = correction_dim(beta_slow)
+    if scaling.get("truncate", True):
+        low, high = math.floor(low), math.ceil(high)
+    low, high = max(low, 0), min(high, head_dim - 1)
+    if low == high:
+        high += 0.001
+    ramp = jnp.clip(
+        (jnp.arange(head_dim // 2, dtype=jnp.float32) - low)
+        / (high - low), 0, 1)
+    extrapolation_factor = 1.0 - ramp
+    inv_freq = (inv_freq / factor * (1 - extrapolation_factor)
+                + inv_freq * extrapolation_factor)
+    return inv_freq, float(attention_factor)
 
 
 def _rotate_half(x):

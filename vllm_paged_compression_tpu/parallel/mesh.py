@@ -51,17 +51,36 @@ _LLAMA_PARAM_SPECS = {
         "wqkv": P(None, None, "model"),
         "bqkv": P(None, "model"),
         "wo": P(None, "model", None),
+        "bo": P(None, None),
         "w_gate_up": P(None, None, "model"),
         "w_down": P(None, "model", None),
+        "b_gate_up": P(None, "model"),
+        "b_down": P(None, None),
         "router": P(None, None, None),
         "q_norm": P(None, None),
         "k_norm": P(None, None),
         "input_norm": P(None, None),
         "post_norm": P(None, None),
+        "input_norm_b": P(None, None),
+        "post_norm_b": P(None, None),
         "post_attn_out_norm": P(None, None),
         "post_ffw_norm": P(None, None),
+        # Qwen-MoE shared expert (dense, column/row-parallel like the MLP)
+        "ws_gate_up": P(None, None, "model"),
+        "ws_down": P(None, "model", None),
+        "ws_gate": P(None, None, None),
+        # MLA (DeepSeek): head-spanning projections shard over "model";
+        # the shared low-rank latents replicate.
+        "wq": P(None, None, "model"),
+        "wq_a": P(None, None, None),
+        "q_a_norm": P(None, None),
+        "wq_b": P(None, None, "model"),
+        "w_kv_a": P(None, None, None),
+        "kv_a_norm": P(None, None),
+        "w_kv_b": P(None, None, "model"),
     },
 }
+_LLAMA_PARAM_SPECS["dense_layers"] = _LLAMA_PARAM_SPECS["layers"]
 
 _OPT_PARAM_SPECS = {
     "embed": P("model", None),
@@ -104,7 +123,7 @@ def param_shardings(mesh: Mesh, architecture: str, params: dict,
     def fit(spec, ndim):
         """MoE expert leaves carry an extra axis after the layer axis:
         widen the dense spec with Nones there."""
-        if len(spec) >= ndim:
+        if len(spec) >= ndim or len(spec) == 0:
             return spec
         return P(*((spec[0],) + (None,) * (ndim - len(spec)) + spec[1:]))
 
@@ -115,7 +134,12 @@ def param_shardings(mesh: Mesh, architecture: str, params: dict,
             return QuantizedWeight(q=NamedSharding(mesh, spec),
                                    s=NamedSharding(mesh, s_spec))
         if isinstance(param_node, dict):
-            return {k: walk(spec_node[k], v) for k, v in param_node.items()}
+            # Unknown keys (adapter stacks, family-specific biases)
+            # replicate rather than fail; all bandwidth-relevant weights
+            # carry explicit specs above.
+            return {k: walk(spec_node.get(k, P()) if isinstance(
+                spec_node, dict) else P(), v)
+                for k, v in param_node.items()}
         return NamedSharding(mesh, fit(spec_node, param_node.ndim))
 
     return walk(specs, params)

@@ -292,3 +292,29 @@ class TestDeepseekV2:
         hf = transformers.DeepseekV2ForCausalLM(cfg).eval()
         d = cfg.to_dict(); d["architectures"] = ["DeepseekV2ForCausalLM"]
         _check_parity(hf, d)
+
+
+class TestDeepseekV3:
+    def test_noaux_tc_logits_match_hf(self):
+        cfg = transformers.DeepseekV3Config(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=3, num_attention_heads=4,
+            num_key_value_heads=4, max_position_embeddings=128,
+            rope_theta=10000.0, rms_norm_eps=1e-6,
+            kv_lora_rank=32, q_lora_rank=24,
+            qk_nope_head_dim=16, qk_rope_head_dim=8, v_head_dim=12,
+            head_dim=8,    # V3 config head_dim == the ROPE dim
+            n_routed_experts=8, moe_intermediate_size=48,
+            num_experts_per_tok=2, n_shared_experts=1,
+            first_k_dense_replace=1, n_group=4, topk_group=2,
+            norm_topk_prob=True, routed_scaling_factor=2.5,
+            tie_word_embeddings=False)
+        torch.manual_seed(35)
+        hf = transformers.DeepseekV3ForCausalLM(cfg).eval()
+        # the correction bias ships zero-initialized; perturb it so the
+        # test actually exercises the bias-corrected selection
+        with torch.no_grad():
+            for layer in hf.model.layers[1:]:
+                layer.mlp.gate.e_score_correction_bias.uniform_(-0.2, 0.2)
+        d = cfg.to_dict(); d["architectures"] = ["DeepseekV3ForCausalLM"]
+        _check_parity(hf, d, rtol=1e-3, atol=1e-3)

@@ -740,6 +740,34 @@ class DeepseekV2Arch(LlamaArch):
 
 
 @dataclass
+class DeepseekV3Arch(DeepseekV2Arch):
+    """DeepSeek V3/R1 (reference vllm/model_executor/models/deepseek_v3
+    via deepseek_v2.py): V2's MLA plus the noaux_tc router — sigmoid
+    scores, bias-corrected top-2-sum group selection, renormalized
+    uncorrected weights — and an mscale²-adjusted attention scale under
+    yarn."""
+
+    @classmethod
+    def from_hf_config(cls, cfg: dict) -> "DeepseekV3Arch":
+        import math
+        a = super().from_hf_config(cfg)
+        a.rope_interleaved = cfg.get("rope_interleave", True)
+        if a.num_experts:
+            a.moe_routing = "noaux_tc"
+            a.moe_norm_topk = cfg.get("norm_topk_prob", True)
+        rs = cfg.get("rope_scaling") or {}
+        mad = rs.get("mscale_all_dim", 0)
+        if mad:
+            factor = rs["factor"]
+            mscale = (0.1 * mad * math.log(factor) + 1.0) \
+                if factor > 1 else 1.0
+            # attn_scale = qk^-0.5 * mscale^2, via query_pre_attn_scalar.
+            a.query_pre_attn_scalar = (
+                a.head_dim ** -0.5 * mscale * mscale) ** -2
+        return a
+
+
+@dataclass
 class OlmoArch(LlamaArch):
     """OLMo (reference vllm/model_executor/models/olmo.py): Llama layout
     with NON-parametric LayerNorms (no learned weight/bias — synthesized
@@ -1122,6 +1150,8 @@ class LlamaModel:
             shapes["wq"] = (a.hidden_size, a.num_heads * qk)
         if moe:
             shapes["router"] = (a.hidden_size, a.num_experts)
+            if a.moe_routing == "noaux_tc":
+                shapes["e_corr_bias"] = (a.num_experts,)
             shapes["w_gate_up"] = (a.num_experts, a.hidden_size,
                                    2 * a.moe_inter)
             shapes["w_down"] = (a.num_experts, a.moe_inter, a.hidden_size)
@@ -1209,6 +1239,9 @@ class LlamaModel:
                     p + "post_attention_layernorm.weight"))
                 if moe:
                     acc["router"].append(proj(p + "mlp.gate.weight"))
+                    if a.moe_routing == "noaux_tc":
+                        acc["e_corr_bias"].append(t(
+                            p + "mlp.gate.e_score_correction_bias"))
                     acc["w_gate_up"].append(np.stack([
                         np.concatenate([
                             proj(p + f"mlp.experts.{e}.gate_proj.weight"),
@@ -1703,7 +1736,7 @@ class LlamaModel:
                     t, a.num_heads, nope + a.v_head_dim)
                 q_pe, k_pe = apply_rope(
                     q[..., nope:], ckv[:, None, a.kv_lora_rank:],
-                    cos, sin, interleaved=True)
+                    cos, sin, interleaved=a.rope_interleaved)
                 q = jnp.concatenate([q[..., :nope], q_pe], axis=-1)
                 k = jnp.concatenate(
                     [kvb[..., :nope],
@@ -1770,7 +1803,29 @@ class LlamaModel:
                 # topk, optional renorm / group limiting / routed
                 # scaling), dense expert compute.
                 router_logits = (x @ lp["router"]).astype(jnp.float32)
-                if a.moe_routing == "softmax_topk":
+                if a.moe_routing == "noaux_tc":
+                    # DeepSeek V3 (HF DeepseekV3TopkRouter): sigmoid
+                    # scores; selection by bias-corrected scores with
+                    # top-2-sum group limiting; weights are the UNcorrected
+                    # scores of the selected experts, renormalized.
+                    scores = jax.nn.sigmoid(router_logits)
+                    choice = scores + lp["e_corr_bias"].astype(jnp.float32)
+                    g = a.moe_n_group
+                    pg = choice.reshape(*choice.shape[:-1], g, -1)
+                    g2, _ = jax.lax.top_k(pg, min(2, pg.shape[-1]))
+                    gscore = jnp.sum(g2, axis=-1)
+                    gtop, _ = jax.lax.top_k(gscore, a.moe_topk_group)
+                    gmask = gscore >= gtop[..., -1:]
+                    choice = jnp.where(
+                        jnp.repeat(gmask, choice.shape[-1] // g, axis=-1),
+                        choice, 0.0)
+                    _, topi = jax.lax.top_k(choice, a.num_experts_per_tok)
+                    rw = jnp.take_along_axis(scores, topi, axis=-1)
+                    if a.moe_norm_topk:
+                        rw = rw / (jnp.sum(rw, axis=-1, keepdims=True)
+                                   + 1e-20)
+                    rw = rw * a.moe_routed_scaling
+                elif a.moe_routing == "softmax_topk":
                     probs = jax.nn.softmax(router_logits, axis=-1)
                     if a.moe_topk_method == "group_limited_greedy":
                         # DeepSeek V2: keep only the top `topk_group`
@@ -1789,10 +1844,11 @@ class LlamaModel:
                     topv, topi = jax.lax.top_k(router_logits,
                                                a.num_experts_per_tok)
                     rw = jax.nn.softmax(topv, axis=-1)
-                if a.moe_norm_topk:
-                    rw = rw / jnp.sum(rw, axis=-1, keepdims=True)
-                if a.moe_routed_scaling != 1.0:
-                    rw = rw * a.moe_routed_scaling
+                if a.moe_routing != "noaux_tc":   # noaux applied its own
+                    if a.moe_norm_topk:
+                        rw = rw / jnp.sum(rw, axis=-1, keepdims=True)
+                    if a.moe_routed_scaling != 1.0:
+                        rw = rw * a.moe_routed_scaling
                 combine = jnp.sum(
                     jax.nn.one_hot(topi, a.num_experts, dtype=jnp.float32)
                     * rw[..., None], axis=1)                  # [T, E]

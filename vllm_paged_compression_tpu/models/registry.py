@@ -20,7 +20,7 @@ def register_model(hf_arch: str):
 def _ensure_builtin():
     if _REGISTRY:
         return
-    from .llama import (BaichuanArch, CohereArch, DbrxArch, DeepseekV2Arch,
+    from .llama import (BaichuanArch, CohereArch, DbrxArch, DeepseekV2Arch, DeepseekV3Arch,
                         ExaoneArch,
                         FalconArch,
                         Gemma2Arch, GemmaArch, Glm4Arch, GlmArch,
@@ -68,6 +68,7 @@ def _ensure_builtin():
         "MiniCPMForCausalLM": (LlamaModel, MiniCPMArch),
         "DbrxForCausalLM": (LlamaModel, DbrxArch),
         "DeepseekV2ForCausalLM": (LlamaModel, DeepseekV2Arch),
+        "DeepseekV3ForCausalLM": (LlamaModel, DeepseekV3Arch),
     })
 
 

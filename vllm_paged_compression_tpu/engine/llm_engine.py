@@ -100,6 +100,34 @@ class LLMEngine:
                 self.params = self.model.init_params(mc.seed,
                                                      as_numpy=as_numpy)
 
+        # Encoder-only models (BERT/Roberta embedders, cross-encoder
+        # rerankers — reference vllm pooling models): no paged cache, no
+        # scheduler, no decode phase.  encode()/classify() run bucketed
+        # stateless forwards; generation APIs raise.
+        self.encode_only = getattr(self.model, "encode_only", False)
+        if self.encode_only:
+            for bad, name in ((config.lora, "LoRA"),
+                              (config.speculative, "speculative decoding"),
+                              (config.kv_transfer, "KV transfer"),
+                              (config.prompt_adapter, "prompt adapters"),
+                              (mc.weight_dtype == "int8" or None,
+                               "int8 weights")):
+                if bad is not None:
+                    raise ValueError(f"{name} is not supported for "
+                                     "encoder-only models")
+            self.tokenizer = maybe_load_tokenizer(mc.tokenizer or mc.model)
+            self.cache_engine = None
+            self.runner = None
+            self.scheduler = None
+            self.mesh = None
+            self.tracer = None
+            self._seqs = {}
+            self._req_counter = 0
+            self._inflight = None
+            self._guided_vocab = None
+            self._encoder_jits = {}
+            return
+
         if (mc.weight_dtype == "int8"
                 and not getattr(self, "_pre_quantized", False)):
             from ..ops.quant import quantize_params_tree
@@ -268,6 +296,8 @@ class LLMEngine:
                     lora_request=None,
                     multi_modal_data: Optional[dict] = None,
                     prompt_adapter_request=None) -> str:
+        if getattr(self, "encode_only", False):
+            raise ValueError("encoder-only model: use encode()/classify()")
         if request_id is None:
             request_id = f"req-{self._req_counter}"
             self._req_counter += 1
@@ -640,8 +670,82 @@ class LLMEngine:
 
     # ---- embeddings / pooling (reference LLM.encode + pooling models) --
 
+    def _encoder_buckets(self) -> list[int]:
+        from ..utils import next_bucket  # noqa: F401
+        out, b = [], 32
+        top = self.config.scheduler.max_model_len
+        while b < top:
+            out.append(b)
+            b *= 2
+        out.append(top)
+        return sorted(set(out))
+
+    def _encode_encoder(self, prompt_token_ids, pooling, normalize,
+                        token_type_ids=None):
+        """Encoder-model embeddings (BERT-family; bucketed bidirectional
+        forwards)."""
+        import functools
+
+        import jax
+        import numpy as np
+
+        from ..utils import next_bucket
+        buckets = self._encoder_buckets()
+        out = []
+        for i, ids in enumerate(prompt_token_ids):
+            l_pad = next_bucket(len(ids), buckets)
+            key = ("emb", l_pad, pooling, normalize)
+            fn = self._encoder_jits.get(key)
+            if fn is None:
+                fn = self._encoder_jits[key] = jax.jit(functools.partial(
+                    self.model.encode_pooled, pooling=pooling,
+                    normalize=normalize))
+            toks = np.zeros(l_pad, np.int32)
+            toks[:len(ids)] = ids
+            tts = np.zeros(l_pad, np.int32)
+            if token_type_ids is not None:
+                tts[:len(ids)] = token_type_ids[i]
+            out.append(np.asarray(fn(self.params, toks,
+                                     np.int32(len(ids)),
+                                     token_type_ids=tts)))
+        return out
+
+    def classify(self, prompt_token_ids: list[list[int]],
+                 token_type_ids=None):
+        """Cross-encoder classification logits per sequence (reranker
+        scoring, reference vllm pooling 'score' task)."""
+        import functools
+
+        import jax
+        import numpy as np
+
+        from ..utils import next_bucket
+        if not getattr(self, "encode_only", False) \
+                or not self.model.arch.num_labels:
+            raise ValueError("classify() needs a sequence-classification "
+                             "encoder model")
+        buckets = self._encoder_buckets()
+        out = []
+        for i, ids in enumerate(prompt_token_ids):
+            l_pad = next_bucket(len(ids), buckets)
+            key = ("cls", l_pad)
+            fn = self._encoder_jits.get(key)
+            if fn is None:
+                fn = self._encoder_jits[key] = jax.jit(
+                    functools.partial(self.model.classify))
+            toks = np.zeros(l_pad, np.int32)
+            toks[:len(ids)] = ids
+            tts = np.zeros(l_pad, np.int32)
+            if token_type_ids is not None:
+                tts[:len(ids)] = token_type_ids[i]
+            out.append(np.asarray(fn(self.params, toks,
+                                     np.int32(len(ids)),
+                                     token_type_ids=tts)))
+        return out
+
     def encode(self, prompt_token_ids: list[list[int]],
-               pooling: str = "last", normalize: bool = True):
+               pooling: str = "last", normalize: bool = True,
+               token_type_ids=None):
         """Pooled final hidden states (embedding requests have no decode
         phase, so they bypass the paged cache: each prompt is one bucketed
         stateless forward)."""
@@ -652,6 +756,11 @@ class LLMEngine:
 
         from ..ops.attention import prefill_attention
         from ..utils import next_bucket
+        if getattr(self, "encode_only", False):
+            if pooling == "last":
+                pooling = "mean"     # encoder default (BGE/e5 convention)
+            return self._encode_encoder(prompt_token_ids, pooling,
+                                        normalize, token_type_ids)
         if pooling not in ("last", "mean"):
             raise ValueError("pooling must be 'last' or 'mean'")
         model, params = self.model, self.params

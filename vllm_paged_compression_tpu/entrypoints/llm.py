@@ -324,9 +324,10 @@ class ScoringRequestOutput:
 def _llm_score(self, text_1, text_2) -> list[ScoringRequestOutput]:
     """Similarity scoring API (reference LLM.score, vllm/entrypoints/
     llm.py): cosine similarity of pooled embeddings between ``text_1``
-    (one query, or one per pair) and each of ``text_2``.  (The reference
-    additionally supports cross-encoder classification heads; this build
-    scores with the decoder's own pooled representations.)"""
+    (one query, or one per pair) and each of ``text_2``.  With a
+    cross-encoder model (BertForSequenceClassification-family rerankers)
+    the pair is classified jointly instead (reference cross-encoder
+    score task)."""
     import numpy as np
     if isinstance(text_2, str):
         text_2 = [text_2]
@@ -336,6 +337,26 @@ def _llm_score(self, text_1, text_2) -> list[ScoringRequestOutput]:
         text_1 = text_1 * len(text_2)
     if len(text_1) != len(text_2):
         raise ValueError("text_1 and text_2 must pair up")
+    eng = self.engine
+    if getattr(eng, "encode_only", False) and eng.model.arch.num_labels:
+        # Cross-encoder: tokenize each (query, doc) pair jointly.
+        if eng.tokenizer is None:
+            raise ValueError("cross-encoder scoring needs a tokenizer")
+        ids, tts = [], []
+        for a, b in zip(text_1, text_2):
+            enc = eng.tokenizer.encode(a, b)
+            ids.append(enc.ids)
+            tts.append(list(getattr(enc, "type_ids", None)
+                            or [0] * len(enc.ids)))
+        logits = eng.classify(ids, token_type_ids=tts)
+        out = []
+        for i, lg in enumerate(logits):
+            s = float(lg[0]) if lg.shape[-1] == 1 else float(
+                np.exp(lg[-1]) / np.exp(lg).sum())
+            out.append(ScoringRequestOutput(
+                request_id=f"score-{i}",
+                outputs=ScoringOutput(score=s)))
+        return out
     emb1 = self.encode(prompts=list(text_1))
     emb2 = self.encode(prompts=list(text_2))
     out = []

@@ -296,6 +296,27 @@ class OpenAIServer:
         engine = self.engine.engine
         if engine.tokenizer is None:
             raise HTTPError(400, "server has no tokenizer")
+        if getattr(engine, "encode_only", False) \
+                and engine.model.arch.num_labels:
+            # Cross-encoder reranker: classify each (query, doc) pair.
+            ids, tts = [], []
+            for doc in t2:
+                enc = engine.tokenizer.encode(t1, doc)
+                ids.append(enc.ids)
+                tts.append(list(getattr(enc, "type_ids", None)
+                                or [0] * len(enc.ids)))
+            logits = engine.classify(ids, token_type_ids=tts)
+            scores = [float(lg[0]) if lg.shape[-1] == 1 else float(
+                np.exp(lg[-1]) / np.exp(lg).sum()) for lg in logits]
+            await self._send(writer, 200, {
+                "object": "list",
+                "model": req.get("model", self.model_name),
+                "data": [{"object": "score", "index": i, "score": s}
+                         for i, s in enumerate(scores)],
+                "usage": {"prompt_tokens": sum(len(t) for t in ids),
+                          "total_tokens": sum(len(t) for t in ids)},
+            })
+            return
         toks = [engine.tokenizer.encode(t).ids for t in [t1] + list(t2)]
         vecs = engine.encode(toks)
         q = np.asarray(vecs[0])

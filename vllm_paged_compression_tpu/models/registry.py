@@ -74,7 +74,17 @@ def _ensure_builtin():
 
 def supported_architectures() -> list[str]:
     _ensure_builtin()
-    return sorted(_REGISTRY)
+    return sorted(set(_REGISTRY) | set(_BERT_ARCHS)
+                  | {"LlavaForConditionalGeneration"})
+
+
+_BERT_ARCHS = {
+    "BertModel": (False, False), "BertForMaskedLM": (False, False),
+    "RobertaModel": (True, False), "XLMRobertaModel": (True, False),
+    "BertForSequenceClassification": (False, True),
+    "RobertaForSequenceClassification": (True, True),
+    "XLMRobertaForSequenceClassification": (True, True),
+}
 
 
 def build_model(hf_config: dict, dtype=jnp.bfloat16):
@@ -86,6 +96,15 @@ def build_model(hf_config: dict, dtype=jnp.bfloat16):
         if name == "LlavaForConditionalGeneration":
             from .llava import LlavaModel
             return LlavaModel.from_hf_config(hf_config, dtype=dtype)
+        if name in _BERT_ARCHS:
+            from .bert import BertArch, BertModel
+            roberta, classifier = _BERT_ARCHS[name]
+            arch = BertArch.from_hf_config(
+                hf_config, roberta=roberta,
+                num_labels=(len(hf_config.get("id2label") or [])
+                            or (1 if classifier else 0))
+                if classifier else 0)
+            return BertModel(arch, dtype=dtype)
         if name in _REGISTRY:
             model_cls, arch_cls = _REGISTRY[name]
             return model_cls(arch_cls.from_hf_config(hf_config), dtype=dtype)

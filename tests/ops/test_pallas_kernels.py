@@ -198,3 +198,31 @@ def test_fused_decode_untouched_layer_intact():
     np.testing.assert_array_equal(np.asarray(kc1[0]), np.asarray(kc[0]))
     np.testing.assert_array_equal(np.asarray(vc1[0]), np.asarray(vc[0]))
     assert not np.array_equal(np.asarray(kc1[1]), np.asarray(kc[1]))
+
+
+@pytest.mark.parametrize("d,hkv", [(128, 4), (64, 8), (64, 2)])
+def test_fused_decode_layout_variants(d, hkv):
+    """Both write layouts — aligned row-DMA (d % 128 == 0) and the
+    flat-page RMW variant (64-dim heads) — must match the reference."""
+    rng = np.random.default_rng(5)
+    (fused, ref_fn, q, kn, vn, kc, vc, tables, kv_lens,
+     slots) = _fused_setup(rng, hkv=hkv, d=d)
+    o1, kc1, vc1 = fused(q, kn, vn, kc, vc, 1, tables, kv_lens, slots,
+                         scale=d ** -0.5)
+    o2, kc2, vc2 = ref_fn(q, kn, vn, kc, vc, 1, tables, kv_lens, slots,
+                          scale=d ** -0.5)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(kc1), np.asarray(kc2))
+    np.testing.assert_array_equal(np.asarray(vc1), np.asarray(vc2))
+
+
+def test_fused_decode_rejects_untileable_dims():
+    from vllm_paged_compression_tpu.ops.pallas.fused_decode import (
+        fused_paged_decode_attention)
+    rng = np.random.default_rng(6)
+    (fused, _, q, kn, vn, kc, vc, tables, kv_lens,
+     slots) = _fused_setup(rng, hkv=3, d=40)
+    with pytest.raises(ValueError, match="multiple of 128"):
+        fused_paged_decode_attention(q, kn, vn, kc, vc, 1, tables,
+                                     kv_lens, slots, scale=0.1)

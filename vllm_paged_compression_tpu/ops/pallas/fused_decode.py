@@ -162,6 +162,215 @@ def _fused_kernel(layer_ref, tables_ref, lens_ref, slots_ref, zslots_ref,
                 / jnp.where(lsum == 0.0, 1.0, lsum)).astype(o_ref.dtype)
 
 
+def _fused_kernel_flat(layer_ref, tables_ref, lens_ref, slots_ref,
+                       zslots_ref, q_ref, knew_ref, vnew_ref, kc_in, vc_in,
+                       o_ref, kc_ref, vc_ref,
+                       kbuf, vbuf, pbuf, zrow, csem, wsem,
+                       m_ref, l_ref, acc_ref, *,
+                       scale: float, page_size: int, softcap, ppb: int,
+                       zero_writes: bool):
+    """Flat-page variant for head dims that break lane tiling (d % 128
+    != 0, e.g. 64): pools travel as [L, NP, ps, Hkv*d] so every DMA is a
+    whole [ps, F] trailing block.  The slot write becomes a page
+    read-modify-write through ``pbuf``; attention runs with per-kv-head
+    query segments (q_ref rows are zero outside the head's own segment,
+    so no (head, kv-head) masking is needed) and accumulates [H, F]
+    outputs whose per-head segment the host extracts."""
+    del kc_in, vc_in
+    b = pl.program_id(0)
+    lay = layer_ref[0]
+    ps = page_size
+    f = q_ref.shape[2]
+    h = q_ref.shape[1]
+    chunk_tokens = ppb * ps
+
+    @pl.when(b == 0)
+    def _():
+        zrow[:] = jnp.zeros_like(zrow)
+
+    slot = slots_ref[b]
+
+    def rmw(pool_ref, row, s):
+        pg = s // ps
+        off = s % ps
+        cin = pltpu.make_async_copy(pool_ref.at[lay, pg], pbuf, wsem.at[0])
+        cin.start()
+        cin.wait()
+        sel = (jax.lax.broadcasted_iota(jnp.int32, (ps, 1), 0) == off)
+        pbuf[:] = jnp.where(sel, row, pbuf[:])
+        cout = pltpu.make_async_copy(pbuf, pool_ref.at[lay, pg],
+                                     wsem.at[0])
+        cout.start()
+        cout.wait()
+
+    if zero_writes:
+        zs = zslots_ref[b]
+        rmw(kc_ref, zrow[:], zs)
+        rmw(vc_ref, zrow[:], zs)
+    rmw(kc_ref, knew_ref[0], slot)
+    rmw(vc_ref, vnew_ref[0], slot)
+
+    kv_len = lens_ref[b]
+    n_ch = (kv_len + chunk_tokens - 1) // chunk_tokens
+    m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+    l_ref[:] = jnp.zeros_like(l_ref)
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def chunk_copies(c, tog):
+        out = []
+        for j in range(ppb):
+            pg = tables_ref[b, c * ppb + j]
+            out.append(pltpu.make_async_copy(
+                kc_ref.at[lay, pg], kbuf.at[tog, j], csem.at[tog, 0, j]))
+            out.append(pltpu.make_async_copy(
+                vc_ref.at[lay, pg], vbuf.at[tog, j], csem.at[tog, 1, j]))
+        return out
+
+    for dma in chunk_copies(0, 0):
+        dma.start()
+
+    q = q_ref[0] * jnp.asarray(scale, q_ref.dtype)          # [H, F]
+    tok_col = jax.lax.broadcasted_iota(jnp.int32, (h, chunk_tokens), 1)
+
+    def body(c, _):
+        tog = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < n_ch)
+        def _():
+            for dma in chunk_copies(c + 1, 1 - tog):
+                dma.start()
+
+        for dma in chunk_copies(c, tog):
+            dma.wait()
+
+        k = kbuf[tog].reshape(chunk_tokens, f)
+        v = vbuf[tog].reshape(chunk_tokens, f)
+        # Zero segments of q annihilate other kv heads' contributions.
+        s = jax.lax.dot_general(                            # [H, tokens]
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if softcap is not None:
+            s = softcap * jnp.tanh(s / softcap)
+        tok_ok = (c * chunk_tokens + tok_col) < kv_len
+        s = jnp.where(tok_ok, s, _NEG_INF)
+
+        m_prev = m_ref[:, :1]
+        l_prev = l_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(                           # [H, F]
+            p.astype(v.dtype), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_ref[:, :] = acc_ref[:, :] * alpha + pv
+        m_ref[:, :] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[:, :] = jnp.broadcast_to(l_new, l_ref.shape)
+        return 0
+
+    jax.lax.fori_loop(0, n_ch, body, 0)
+
+    lsum = l_ref[:, :1]
+    o_ref[0] = (acc_ref[:, :]
+                / jnp.where(lsum == 0.0, 1.0, lsum)).astype(o_ref.dtype)
+
+
+def _fused_flat(q, k_new, v_new, kc_all, vc_all, layer, tables, kv_lens,
+                slots, zero_slots, *, scale, softcap, pages_per_chunk):
+    b, h_orig, d = q.shape
+    num_layers, num_pages, page_size, num_kv, _ = kc_all.shape
+    f = num_kv * d
+    group = h_orig // num_kv
+    h = _round_up(h_orig, 8)
+
+    # Per-kv-head query segments: row h is zero except in segment h//group.
+    kh = jnp.clip(jnp.arange(h) // group, 0, num_kv - 1)
+    oh = jax.nn.one_hot(kh, num_kv, dtype=q.dtype)          # [h, Hkv]
+    q_pad = (jnp.pad(q, ((0, 0), (0, h - h_orig), (0, 0)))
+             if h != h_orig else q)
+    q_flat = (oh[None, :, :, None] * q_pad[:, :, None, :]).reshape(
+        b, h, f)
+
+    kc_flat = kc_all.reshape(num_layers, num_pages, page_size, f)
+    vc_flat = vc_all.reshape(num_layers, num_pages, page_size, f)
+    kn = k_new.reshape(b, 1, f)
+    vn = v_new.reshape(b, 1, f)
+
+    p = tables.shape[1]
+    ppb = min(pages_per_chunk, p)
+    n_ch = -(-p // ppb)
+    pad_w = n_ch * ppb - p
+    if pad_w:
+        tables = jnp.pad(tables, ((0, 0), (0, pad_w)), mode="edge")
+
+    zero_writes = zero_slots is not None
+    if zero_slots is None:
+        zero_slots = jnp.zeros_like(slots)
+    layer = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    def q_map(b_, *refs):
+        return (b_, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, f), q_map),
+            pl.BlockSpec((1, 1, f), q_map),
+            pl.BlockSpec((1, 1, f), q_map),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, h, f), q_map),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, ppb, page_size, f), kc_flat.dtype),
+            pltpu.VMEM((2, ppb, page_size, f), vc_flat.dtype),
+            pltpu.VMEM((page_size, f), kc_flat.dtype),   # RMW staging
+            pltpu.VMEM((1, f), kc_flat.dtype),           # zeros row
+            pltpu.SemaphoreType.DMA((2, 2, ppb)),
+            pltpu.SemaphoreType.DMA((1,)),
+            pltpu.VMEM((h, 128), jnp.float32),
+            pltpu.VMEM((h, 128), jnp.float32),
+            pltpu.VMEM((h, f), jnp.float32),
+        ],
+    )
+    kern = functools.partial(
+        _fused_kernel_flat, scale=scale, page_size=page_size,
+        softcap=softcap, ppb=ppb, zero_writes=zero_writes)
+    kv_bytes = (2 * p * page_size * f
+                * jnp.dtype(kc_flat.dtype).itemsize * b)
+    out, kc_flat, vc_flat = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, f), q.dtype),
+            jax.ShapeDtypeStruct(kc_flat.shape, kc_flat.dtype),
+            jax.ShapeDtypeStruct(vc_flat.shape, vc_flat.dtype),
+        ],
+        input_output_aliases={8: 1, 9: 2},
+        interpret=jax.default_backend() == "cpu",
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * p * page_size * f * h,
+            bytes_accessed=kv_bytes,
+            transcendentals=b * p * page_size * h),
+    )(layer, tables, kv_lens, slots, zero_slots, q_flat, kn, vn,
+      kc_flat, vc_flat)
+    # Extract each head's own kv segment from the [H, F] accumulators.
+    out4 = out[:, :h_orig].reshape(b, h_orig, num_kv, d)
+    idx = (jnp.arange(h_orig) // group)[None, :, None, None]
+    out_h = jnp.take_along_axis(out4, idx, axis=2)[:, :, 0]
+    pool_shape = (num_layers, num_pages, page_size, num_kv, d)
+    return (out_h, kc_flat.reshape(pool_shape),
+            vc_flat.reshape(pool_shape))
+
+
 def fused_paged_decode_attention(q, k_new, v_new, kc_all, vc_all, layer,
                                  tables, kv_lens, slots, zero_slots=None,
                                  *, scale: float,
@@ -185,6 +394,16 @@ def fused_paged_decode_attention(q, k_new, v_new, kc_all, vc_all, layer,
     b, h_orig, d = q.shape
     _, _, page_size, num_kv, _ = kc_all.shape
     group = h_orig // num_kv
+    if d % 128 != 0:
+        # Unaligned head dims (64-dim models) take the flat-page variant.
+        if (num_kv * d) % 128 != 0:
+            raise ValueError(
+                f"fused decode kernel needs head_dim or num_kv_heads*"
+                f"head_dim to be a multiple of 128, got {num_kv}x{d}")
+        return _fused_flat(q, k_new, v_new, kc_all, vc_all, layer,
+                           tables, kv_lens, slots, zero_slots,
+                           scale=scale, softcap=softcap,
+                           pages_per_chunk=pages_per_chunk)
     h = _round_up(h_orig, 8)
     if h != h_orig:
         q = jnp.pad(q, ((0, 0), (0, h - h_orig), (0, 0)))

@@ -165,6 +165,16 @@ class ModelRunner:
         self.lora_enabled = config.lora is not None
         self.attn_backend = select_attention_backend()
         logger.info("Attention backend: %s", self.attn_backend)
+        # 64-dim-head models use the fused kernel's flat-page variant; the
+        # decode/spec programs carry the pools as [L, NP, ps, Hkv*d] so
+        # XLA keeps ONE layout across the layer scan (a 5D carry forces
+        # four full-pool relayout copies per layer — measured 9.4x).
+        a_ = model.arch
+        self.flat_kv = (
+            self.attn_backend == "pallas"
+            and not cache_engine.quantized_kv
+            and a_.head_dim % 128 != 0
+            and (a_.num_kv_heads * a_.head_dim) % 128 == 0)
         import functools
         cap = dict(softcap=self.attn_softcap)
         if self.attn_backend == "pallas":
@@ -331,7 +341,9 @@ class ModelRunner:
         """Record value-L2 scores of pages that just became full (layer 0 —
         the reference's feedback also acts on layer 0's decision,
         model_runner.py:1797-1802).  ``v_pool`` is the layer-stacked V pool
-        (plain array or QuantKV)."""
+        (plain array, flat-carry array, or QuantKV)."""
+        if self.flat_kv:
+            v_pool = jax.tree.map(self._kv_view5, v_pool)
         v0 = jax.tree.map(lambda x: x[0], v_pool)
         scores = page_scores_from_cache(
             index_cache_pages(v0, fill_pages))
@@ -341,16 +353,52 @@ class ModelRunner:
     _PLAN_FIELDS = ("positions", "slots", "evict", "victims", "zero_slots",
                     "fill_pages", "new_pages", "steps")
 
+    # ---- flat-KV carry helpers (see self.flat_kv) -----------------------
+
+    def _kv_carry_in(self, caches):
+        if not self.flat_kv:
+            return caches
+        return jax.tree.map(
+            lambda x: x.reshape(*x.shape[:3], -1), caches)
+
+    def _kv_carry_out(self, caches):
+        if not self.flat_kv:
+            return caches
+        a = self.model.arch
+        return jax.tree.map(
+            lambda x: x.reshape(*x.shape[:3], a.num_kv_heads, a.head_dim),
+            caches)
+
+    def _kv_view5(self, pool):
+        """5D view of one stacked pool regardless of carry layout."""
+        if pool.ndim == 4:
+            a = self.model.arch
+            return pool.reshape(*pool.shape[:3], a.num_kv_heads,
+                                a.head_dim)
+        return pool
+
     def _fused_attn(self, q, k, v, kc_all, vc_all, layer, tables, kv_lens,
                     slots, zero_slots):
         """One decode-attention layer against the STACKED pools: write this
         step's K/V rows in place, then paged attention.  Pallas fused
-        kernel on TPU bf16 pools; slice-update fallback elsewhere (CPU
-        oracle path, quantized pools)."""
-        if self.attn_backend == "pallas" and not self.cache_engine.quantized_kv:
-            return fused_paged_decode_attention(
-                q, k, v, kc_all, vc_all, layer, tables, kv_lens, slots,
-                zero_slots, scale=self.scale, softcap=self.attn_softcap)
+        kernel on TPU bf16 pools (64-dim heads route to the kernel's
+        flat-page variant); slice-update fallback elsewhere (CPU oracle
+        path, quantized pools, exotic head dims)."""
+        a = self.model.arch
+        fused_ok = (a.head_dim % 128 == 0
+                    or (a.num_kv_heads * a.head_dim) % 128 == 0)
+        if self.attn_backend == "pallas" and fused_ok \
+                and not self.cache_engine.quantized_kv:
+            flat_in = (not isinstance(kc_all, tuple)
+                       and getattr(kc_all, "ndim", 5) == 4)
+            out, kc5, vc5 = fused_paged_decode_attention(
+                q, k, v, self._kv_view5(kc_all), self._kv_view5(vc_all),
+                layer, tables, kv_lens, slots, zero_slots,
+                scale=self.scale, softcap=self.attn_softcap)
+            if flat_in:
+                kc5 = kc5.reshape(*kc5.shape[:3], -1)
+                vc5 = vc5.reshape(*vc5.shape[:3], -1)
+            return out, kc5, vc5
         kc = jax.tree.map(lambda x: x[layer], kc_all)
         vc = jax.tree.map(lambda x: x[layer], vc_all)
         kc, vc = write_kv_slots(kc, vc, k, v, slots)
@@ -446,6 +494,7 @@ class ModelRunner:
         bs = self.block_size
         p = self.max_table_len
         b = state_pack.shape[0]
+        caches = self._kv_carry_in(caches)
         tables0 = state_pack[:, :p]
         kv0 = state_pack[:, p]
         np0 = state_pack[:, p + 1]
@@ -520,6 +569,7 @@ class ModelRunner:
         carry, ys = jax.lax.scan(body, init, xs)
         (new_caches, page_scores, tables_end, kv_end, np_end, tok_end,
          _counts) = carry
+        new_caches = self._kv_carry_out(new_caches)
         lp_pack = None
         if logprobs_l > 0:
             ys, lp_pack = ys          # lp_pack: [K, B, 2L+1] f32
@@ -798,8 +848,9 @@ class ModelRunner:
         lk = (self._lora_kwargs(params, batch["lora_idx"])
               if self.lora_enabled else {})
         hidden, new_caches = self.model.forward_hidden(
-            params, batch["tokens"], batch["positions"], attn_fn, caches,
-            state_mode="carry", **lk)
+            params, batch["tokens"], batch["positions"], attn_fn,
+            self._kv_carry_in(caches), state_mode="carry", **lk)
+        new_caches = self._kv_carry_out(new_caches)
         logits = self.model.logits(params, hidden)
         toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return new_caches, page_scores, toks
@@ -825,8 +876,9 @@ class ModelRunner:
         lk = (self._lora_kwargs(params, batch["lora_idx"])
               if self.lora_enabled else {})
         hidden, new_caches = self.model.forward_hidden(
-            params, batch["tokens"], batch["positions"], attn_fn, caches,
-            state_mode="carry", **lk)
+            params, batch["tokens"], batch["positions"], attn_fn,
+            self._kv_carry_in(caches), state_mode="carry", **lk)
+        new_caches = self._kv_carry_out(new_caches)
         logits = self.model.logits(params, hidden)          # [rows, V]
         zeros = jnp.zeros(rows, jnp.int32)
         probs = sampling_probs(logits, SamplingTensors(

@@ -34,6 +34,11 @@ def main() -> None:
     from vllm_paged_compression_tpu.sampling_params import SamplingParams
 
     engine_args = EngineArgs.from_cli_args(args)
+    if engine_args.num_scheduler_steps == 1:
+        # Throughput runs want multi-step decode windows (the per-step
+        # host round trip dominates otherwise); --num-scheduler-steps 1
+        # restores literal per-step scheduling if explicitly wanted.
+        engine_args.num_scheduler_steps = 32
     engine_args.max_model_len = max(engine_args.max_model_len,
                                     args.input_len + args.output_len + 64)
     config = engine_args.create_engine_config()

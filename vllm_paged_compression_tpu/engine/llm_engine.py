@@ -179,6 +179,39 @@ class LLMEngine:
                 draft_model, draft_params, sc.num_speculative_tokens,
                 sc.draft_window)
 
+        if self.model.architecture == "mamba":
+            # State-space serving: one page per sequence (block_size =
+            # max_model_len) whose index is the state slot; paged-KV-only
+            # features are rejected (the reference's Mamba path similarly
+            # bypasses the KV block machinery).
+            cc, sc2 = config.cache, config.scheduler
+            for bad, name in (
+                    (cc.paged_evict and cc.paged_evict.enabled or None,
+                     "paged eviction"),
+                    (cc.enable_prefix_caching or None, "prefix caching"),
+                    (sc2.enable_chunked_prefill or None, "chunked prefill"),
+                    (config.speculative, "speculative decoding"),
+                    (config.lora, "LoRA"),
+                    (config.prompt_adapter, "prompt adapters"),
+                    (config.kv_transfer, "KV transfer"),
+                    (cc.cache_dtype not in ("auto", "float32") or None,
+                     "quantized KV"),
+                    ((config.parallel is not None
+                      and config.parallel.world_size > 1) or None,
+                     "multi-chip parallelism (round-2)"),
+                    (sc2.preemption_mode == "swap" or None,
+                     "preemption by swap")):
+                if bad is not None:
+                    raise ValueError(
+                        f"{name} is not supported with Mamba models")
+            cc.block_size = sc2.max_model_len
+            if cc.num_device_blocks is None:
+                # +spares: a window planned across the max_model_len
+                # boundary may reserve one page before the stop check
+                # retires the sequence.
+                cc.num_device_blocks = sc2.max_num_seqs + 4
+            logger.info("Mamba state pools: %d slots", cc.num_device_blocks)
+
         kv_dtype = _KV_DTYPES.get(config.cache.cache_dtype) or dtype
         import jax
         weight_bytes = sum(x.nbytes for x in jax.tree.leaves(self.params))

@@ -75,7 +75,8 @@ def _ensure_builtin():
 def supported_architectures() -> list[str]:
     _ensure_builtin()
     return sorted(set(_REGISTRY) | set(_BERT_ARCHS)
-                  | {"LlavaForConditionalGeneration"})
+                  | {"LlavaForConditionalGeneration",
+                     "MambaForCausalLM"})
 
 
 _BERT_ARCHS = {
@@ -96,6 +97,10 @@ def build_model(hf_config: dict, dtype=jnp.bfloat16):
         if name == "LlavaForConditionalGeneration":
             from .llava import LlavaModel
             return LlavaModel.from_hf_config(hf_config, dtype=dtype)
+        if name == "MambaForCausalLM":
+            from .mamba import MambaArch, MambaModel
+            return MambaModel(MambaArch.from_hf_config(hf_config),
+                              dtype=dtype)
         if name in _BERT_ARCHS:
             from .bert import BertArch, BertModel
             roberta, classifier = _BERT_ARCHS[name]

@@ -77,6 +77,17 @@ class CacheEngine:
         self.num_kv_heads = model.arch.num_kv_heads
         self.head_dim = model.arch.head_dim
         self.quantized_kv = jnp.dtype(kv_dtype).itemsize == 1
+        # State-space models (Mamba): constant-size per-sequence state
+        # pools instead of paged KV — one "page" per sequence, whose pool
+        # index doubles as the state slot (reference MambaCacheManager,
+        # vllm/model_executor/models/mamba_cache.py).
+        self.is_state_model = getattr(model, "architecture", "") == "mamba"
+        if self.is_state_model:
+            self.model = model
+            self.num_pages = cache_config.num_device_blocks \
+                or config.scheduler.max_num_seqs
+            self.page_bytes = model.state_bytes_per_seq(jnp.float32)
+            return
         scale_bytes = (4 * self.block_size * self.num_kv_heads
                        if self.quantized_kv else 0)
         page_bytes = (2 * self.num_layers
@@ -127,6 +138,14 @@ class CacheEngine:
         kernel (cf. reference layout vllm/attention/ops/paged_attn.py:40-62,
         re-chosen for TPU tiling).
         """
+        if self.is_state_model:
+            a = self.model.arch
+            conv = jnp.zeros((self.num_layers, self.num_pages + 1,
+                              a.d_inner, a.d_conv - 1), jnp.float32)
+            ssm = jnp.zeros((self.num_layers, self.num_pages + 1,
+                             a.d_inner, a.d_state), jnp.float32)
+            return (conv, ssm), jnp.zeros((self.num_pages + 1,),
+                                          jnp.float32)
         shape = (self.num_layers, self.num_pages + 1, self.block_size,
                  self.num_kv_heads, self.head_dim)
         if self.quantized_kv:

@@ -163,6 +163,7 @@ class ModelRunner:
             and self.evict.selection == "l2")
 
         self.lora_enabled = config.lora is not None
+        self.is_mamba = getattr(model, "architecture", "") == "mamba"
         self.attn_backend = select_attention_backend()
         logger.info("Attention backend: %s", self.attn_backend)
         # 64-dim-head models use the fused kernel's flat-page variant; the
@@ -413,7 +414,8 @@ class ModelRunner:
         import functools
         key = (greedy, logprobs_l)
         if key not in self._decode_window_jits:
-            body = (self._decode_window_pp if self.pp > 1
+            body = (self._decode_window_mamba if self.is_mamba
+                    else self._decode_window_pp if self.pp > 1
                     else self._decode_window)
             self._decode_window_jits[key] = jax.jit(
                 functools.partial(body, greedy_only=greedy,
@@ -583,6 +585,131 @@ class ModelRunner:
             state_pack[:, p + 3:],
         ], axis=1)
         return new_caches, page_scores, out_pack, new_state, lp_pack
+
+    # ------------------------------------------------------------------
+    # Mamba (state-space) programs — same packing/dispatch interface as
+    # the attention window/prefill programs, but per-sequence conv/SSM
+    # state slots instead of paged KV (reference
+    # vllm/model_executor/models/mamba.py + mamba_cache.py).
+    # ------------------------------------------------------------------
+
+    def _decode_window_mamba(self, params, caches, page_scores, plan_pack,
+                             state_pack, f32_pack, token_counts=None,
+                             mask_pack=None, bias_pack=None,
+                             greedy_only=False, logprobs_l=0):
+        p = self.max_table_len           # == 1: the page IS the state slot
+        b = state_pack.shape[0]
+        slots = state_pack[:, 0]
+        tok0 = state_pack[:, p + 2]
+        seeds = state_pack[:, p + 3]
+        topk = state_pack[:, p + 4]
+        temp, top_p, min_p = f32_pack[0], f32_pack[1], f32_pack[5]
+        if not greedy_only:
+            presence, frequency, repetition = (f32_pack[2], f32_pack[3],
+                                               f32_pack[4])
+        iota_b = jnp.arange(b)
+
+        def body(carry, xs):
+            caches, tokens, counts = carry
+            xs_plan, mask = (xs, None) if mask_pack is None else xs
+            stepctr = xs_plan[7]
+            hidden, caches = self.model.forward_decode_step(
+                params, tokens, slots, caches)
+            logits = self.model.logits(params, hidden)
+            if not greedy_only:
+                from ..ops.sampling import apply_penalties
+                logits = apply_penalties(logits, counts, presence,
+                                         frequency, repetition)
+            if bias_pack is not None:
+                bias_ids, bias_vals = bias_pack
+                logits = logits.astype(jnp.float32).at[
+                    iota_b[:, None], bias_ids].add(bias_vals)
+            if mask is not None:
+                from ..ops.sampling import apply_token_bitmask
+                logits = apply_token_bitmask(logits, mask)
+            toks = sample(logits, SamplingTensors(
+                temperature=temp, top_p=top_p, top_k=topk, seed=seeds,
+                step=stepctr, min_p=min_p),
+                greedy_only=greedy_only).astype(jnp.int32)
+            if counts is not None:
+                counts = counts.at[iota_b, toks].add(1)
+            ys = jnp.stack([toks, jnp.full_like(toks, -1)])  # no victims
+            if logprobs_l > 0:
+                lp = jax.nn.log_softmax(logits.astype(jnp.float32))
+                tv, ti = jax.lax.top_k(lp, logprobs_l)
+                chosen = lp[iota_b, toks]
+                ys = (ys, jnp.concatenate(
+                    [tv, ti.astype(jnp.float32), chosen[:, None]], axis=1))
+            return (caches, toks, counts), ys
+
+        init = (caches, tok0, token_counts)
+        xs = plan_pack if mask_pack is None else (plan_pack, mask_pack)
+        (caches, tok_end, _counts), ys = jax.lax.scan(body, init, xs)
+        lp_pack = None
+        if logprobs_l > 0:
+            ys, lp_pack = ys
+        out_pack = jnp.swapaxes(ys, 0, 1)
+        new_state = jnp.concatenate([
+            state_pack[:, :p + 2], tok_end[:, None],
+            state_pack[:, p + 3:]], axis=1)
+        return caches, page_scores, out_pack, new_state, lp_pack
+
+    def _prefill_mamba(self, params, caches, page_scores, batch,
+                       greedy_only=False, logprobs_l=0):
+        last, caches = self.model.forward_prefill(
+            params, batch["tokens"], batch["q_len"], batch["slot"], caches)
+        logits = self.model.logits(params, last)
+        if "bias_ids" in batch:
+            logits = logits.astype(jnp.float32).at[
+                jnp.zeros(1, jnp.int32)[:, None],
+                batch["bias_ids"][None]].add(batch["bias_vals"][None])
+        if "mask_words" in batch:
+            from ..ops.sampling import apply_token_bitmask
+            logits = apply_token_bitmask(logits, batch["mask_words"][None])
+        tokens = sample(logits, self._sampling_tensors(batch),
+                        greedy_only=greedy_only)
+        lp_row = None
+        if logprobs_l > 0:
+            lp = jax.nn.log_softmax(logits.astype(jnp.float32))
+            tv, ti = jax.lax.top_k(lp, logprobs_l)
+            chosen = lp[jnp.arange(1), tokens]
+            lp_row = jnp.concatenate(
+                [tv, ti.astype(jnp.float32), chosen[:, None]], axis=1)[0]
+        return caches, page_scores, tokens, lp_row
+
+    def _run_prefill_mamba(self, params, caches, page_scores,
+                           sp: ScheduledPrefill):
+        seq = sp.seq
+        prompt = seq.prompt_token_ids
+        q_len = len(prompt)
+        l_pad = next_bucket(q_len, self.prefill_buckets)
+        tokens = np.zeros(l_pad, np.int32)
+        tokens[:q_len] = prompt
+        batch = {"tokens": tokens, "q_len": np.int32(q_len),
+                 "slot": np.int32(seq.block_table.pages[0])}
+        batch.update(self._seq_sampling_arrays([seq], 1))
+        if self._lane_needs_mask(seq):
+            words = self._lane_mask_words(seq, 0)
+            if words is not None:
+                batch["mask_words"] = words
+        bias = self._bias_arrays([seq], 1)
+        if bias is not None:
+            batch["bias_ids"], batch["bias_vals"] = bias[0][0], bias[1][0]
+        greedy = seq.params.greedy
+        logprobs_l = min(seq.params.logprobs or 0, 32)
+        key = (greedy, logprobs_l)
+        fn = self._prefill_plain_jits.get(("mamba",) + key)
+        if fn is None:
+            import functools
+            fn = jax.jit(functools.partial(self._prefill_mamba,
+                                           greedy_only=greedy,
+                                           logprobs_l=logprobs_l),
+                         donate_argnums=(1, 2))
+            self._prefill_plain_jits[("mamba",) + key] = fn
+        caches, page_scores, tok, lp_row = fn(params, caches, page_scores,
+                                              batch)
+        lp = np.asarray(lp_row) if lp_row is not None else None
+        return caches, page_scores, int(np.asarray(tok)[0]), lp
 
     # ------------------------------------------------------------------
     # pipeline-parallel program wrappers (shard_map over "pipe")
@@ -1211,6 +1338,8 @@ class ModelRunner:
 
     def run_prefill(self, params, caches, page_scores,
                     sp: ScheduledPrefill):
+        if self.is_mamba:
+            return self._run_prefill_mamba(params, caches, page_scores, sp)
         if sp.chunk_start > 0 or not sp.is_last:
             return self._run_prefill_chunk(params, caches, page_scores, sp)
         seq = sp.seq

@@ -137,3 +137,32 @@ class TestEngine:
         with pytest.raises(ValueError, match="not supported with Mamba"):
             self._llm(enable_paged_eviction=True, evict_method="global",
                       cache_budget=128, block_size=16)
+
+
+def test_falcon_mamba_logits_match_hf():
+    """FalconMamba = Mamba + weightless RMS on dt/B/C (HF
+    modeling_falcon_mamba rms_forward)."""
+    cfg = transformers.FalconMambaConfig(
+        vocab_size=128, hidden_size=64, state_size=8,
+        num_hidden_layers=2, conv_kernel=4, expand=2, time_step_rank=8,
+        use_bias=False, use_conv_bias=True, mixer_rms_eps=1e-6)
+    torch.manual_seed(53)
+    hf = transformers.FalconMambaForCausalLM(cfg).eval()
+    with torch.no_grad():
+        want = hf(torch.tensor([IDS])).logits[0].numpy()
+    d = cfg.to_dict(); d["architectures"] = ["FalconMambaForCausalLM"]
+    model = build_model(d, dtype=jnp.float32)
+    assert model.arch.mixer_rms_eps == 1e-6
+    params = _params(model, hf)
+    a = model.arch
+    pools = (jnp.zeros((a.num_layers, 4, a.d_inner, a.d_conv - 1),
+                       jnp.float32),
+             jnp.zeros((a.num_layers, 4, a.d_inner, a.d_state),
+                       jnp.float32))
+    slots = jnp.asarray([0], jnp.int32)
+    got = []
+    for tok in IDS:
+        h, pools = model.forward_decode_step(params, jnp.asarray([tok]),
+                                             slots, pools)
+        got.append(np.asarray(model.logits(params, h))[0])
+    np.testing.assert_allclose(np.stack(got), want, rtol=3e-4, atol=3e-4)

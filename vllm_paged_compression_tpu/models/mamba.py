@@ -49,6 +49,9 @@ class MambaArch:
     head_dim: int = 1
     rms_norm_eps: float = 1e-5
     max_position_embeddings: int = 1 << 20   # no positional encoding
+    # FalconMamba: weightless RMS on dt/B/C after x_proj (HF
+    # modeling_falcon_mamba rms_forward, mixer_rms_eps).
+    mixer_rms_eps: float | None = None
 
     @classmethod
     def from_hf_config(cls, cfg: dict) -> "MambaArch":
@@ -69,7 +72,16 @@ class MambaArch:
             tie_word_embeddings=cfg.get("tie_word_embeddings", True),
             use_conv_bias=cfg.get("use_conv_bias", True),
             use_bias=cfg.get("use_bias", False),
+            mixer_rms_eps=cfg.get("mixer_rms_eps")
+            if "FalconMambaForCausalLM" in (cfg.get("architectures") or [])
+            or "mixer_rms_eps" in cfg else None,
         )
+
+
+def _wrms(x, eps):
+    """Weightless RMS (FalconMamba rms_forward)."""
+    var = jnp.mean(x * x, axis=-1, keepdims=True)
+    return x * jax.lax.rsqrt(var + eps)
 
 
 def _rms(x, w, eps):
@@ -168,6 +180,10 @@ class MambaModel:
         dt = proj[:, :a.dt_rank]
         B = proj[:, a.dt_rank:a.dt_rank + a.d_state]
         C = proj[:, a.dt_rank + a.d_state:]
+        if a.mixer_rms_eps is not None:
+            dt = _wrms(dt, a.mixer_rms_eps)
+            B = _wrms(B, a.mixer_rms_eps)
+            C = _wrms(C, a.mixer_rms_eps)
         dt = jax.nn.softplus(dt @ lp["dt_w"].astype(jnp.float32)
                              + lp["dt_b"].astype(jnp.float32))  # [T, I]
         A = -jnp.exp(lp["A_log"].astype(jnp.float32))           # [I, S]
@@ -240,6 +256,10 @@ class MambaModel:
         dt = projx[:, :a.dt_rank]
         B = projx[:, a.dt_rank:a.dt_rank + a.d_state]
         C = projx[:, a.dt_rank + a.d_state:]
+        if a.mixer_rms_eps is not None:
+            dt = _wrms(dt, a.mixer_rms_eps)
+            B = _wrms(B, a.mixer_rms_eps)
+            C = _wrms(C, a.mixer_rms_eps)
         dt = jax.nn.softplus(dt @ lp["dt_w"].astype(jnp.float32)
                              + lp["dt_b"].astype(jnp.float32))   # [B, I]
         A = -jnp.exp(lp["A_log"].astype(jnp.float32))            # [I, S]

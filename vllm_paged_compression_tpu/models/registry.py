@@ -76,7 +76,7 @@ def supported_architectures() -> list[str]:
     _ensure_builtin()
     return sorted(set(_REGISTRY) | set(_BERT_ARCHS)
                   | {"LlavaForConditionalGeneration",
-                     "MambaForCausalLM"})
+                     "MambaForCausalLM", "FalconMambaForCausalLM"})
 
 
 _BERT_ARCHS = {
@@ -97,7 +97,7 @@ def build_model(hf_config: dict, dtype=jnp.bfloat16):
         if name == "LlavaForConditionalGeneration":
             from .llava import LlavaModel
             return LlavaModel.from_hf_config(hf_config, dtype=dtype)
-        if name == "MambaForCausalLM":
+        if name in ("MambaForCausalLM", "FalconMambaForCausalLM"):
             from .mamba import MambaArch, MambaModel
             return MambaModel(MambaArch.from_hf_config(hf_config),
                               dtype=dtype)

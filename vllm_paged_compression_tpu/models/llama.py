@@ -334,9 +334,132 @@ class StableLmArch(LlamaArch):
         a = super().from_hf_config(cfg)
         a.norm_type = "layernorm"
         a.norm_bias = True
-        a.partial_rotary_factor = cfg.get("partial_rotary_factor", 0.25)
+        # StableLM-2 spells these partial_rotary_factor / layer_norm_eps /
+        # use_qkv_bias; the older StableLMEpoch checkpoints (reference maps
+        # StableLMEpochForCausalLM to the same impl, stablelm.py) say
+        # rope_pct / norm_eps and have no qkv bias.
+        a.partial_rotary_factor = cfg.get(
+            "partial_rotary_factor", cfg.get("rope_pct", 0.25))
         a.qkv_bias = cfg.get("use_qkv_bias", False)
-        a.rms_norm_eps = cfg.get("layer_norm_eps", 1e-5)
+        a.rms_norm_eps = cfg.get("layer_norm_eps",
+                                 cfg.get("norm_eps", 1e-5))
+        return a
+
+
+@dataclass
+class InternLMArch(LlamaArch):
+    """InternLM v1 (reference vllm/model_executor/models/internlm.py →
+    llama trunk): Llama with biases on q/k/v/o controlled by config
+    ``bias`` (default true)."""
+
+    @classmethod
+    def from_hf_config(cls, cfg: dict) -> "InternLMArch":
+        a = super().from_hf_config(cfg)
+        a.qkv_bias = cfg.get("bias", True)
+        a.o_bias = cfg.get("bias", True)
+        return a
+
+
+@dataclass
+class QwenV1Arch(LlamaArch):
+    """Qwen v1 (reference vllm/model_executor/models/qwen.py): RMSNorm +
+    rotary Llama-shaped trunk with a fused biased ``c_attn`` projection;
+    the MLP's gate is ``w2`` and up is ``w1`` (SiluAndMul over [w2|w1]),
+    each half of the config's ``intermediate_size``."""
+
+    @classmethod
+    def from_hf_config(cls, cfg: dict) -> "QwenV1Arch":
+        num_heads = cfg["num_attention_heads"]
+        a = cls(
+            vocab_size=cfg["vocab_size"],
+            hidden_size=cfg["hidden_size"],
+            intermediate_size=cfg["intermediate_size"] // 2,
+            num_layers=cfg["num_hidden_layers"],
+            num_heads=num_heads,
+            num_kv_heads=num_heads,
+            head_dim=cfg.get("kv_channels")
+            or cfg["hidden_size"] // num_heads,
+            rms_norm_eps=cfg.get("layer_norm_epsilon", 1e-6),
+            rope_theta=cfg.get("rotary_emb_base", 10000.0),
+            tie_word_embeddings=False,
+            max_position_embeddings=cfg.get("max_position_embeddings",
+                                            cfg.get("seq_length", 8192)),
+        )
+        a.qkv_bias = True     # c_attn keeps its bias even under no_bias
+        return a
+
+    def canonicalize_hf(self, tensors: dict) -> dict:
+        out = {}
+        for k, v in tensors.items():
+            k = k.replace("transformer.wte.weight",
+                          "model.embed_tokens.weight")
+            k = k.replace("transformer.ln_f.weight", "model.norm.weight")
+            if k.startswith("transformer.h."):
+                k = k.replace("transformer.h.", "model.layers.")
+                k = k.replace(".ln_1.", ".input_layernorm.")
+                k = k.replace(".ln_2.", ".post_attention_layernorm.")
+                k = k.replace(".attn.c_proj.", ".self_attn.o_proj.")
+                k = k.replace(".mlp.w2.", ".mlp.gate_proj.")
+                k = k.replace(".mlp.w1.", ".mlp.up_proj.")
+                k = k.replace(".mlp.c_proj.", ".mlp.down_proj.")
+                if ".attn.c_attn." in k:
+                    v = np.asarray(v)
+                    third = v.shape[0] // 3
+                    for j, name in enumerate(("q", "k", "v")):
+                        out[k.replace(".attn.c_attn.",
+                                      f".self_attn.{name}_proj.")] = \
+                            v[j * third:(j + 1) * third]
+                    continue
+            out[k] = v
+        return out
+
+
+@dataclass
+class OlmoeArch(LlamaArch):
+    """OLMoE (reference vllm/model_executor/models/olmoe.py): Llama
+    attention with full-projection q/k RMSNorm (OLMo2-style, pre-reshape)
+    and a softmax-then-topk routed MoE; optional qkv clamp."""
+
+    @classmethod
+    def from_hf_config(cls, cfg: dict) -> "OlmoeArch":
+        a = super().from_hf_config(cfg)
+        a.qk_norm_flat = True
+        a.qkv_clip = cfg.get("clip_qkv")
+        a.num_experts = cfg["num_experts"]
+        a.num_experts_per_tok = cfg.get("num_experts_per_tok", 8)
+        a.moe_intermediate_size = cfg["intermediate_size"]
+        a.moe_routing = "softmax_topk"
+        a.moe_norm_topk = cfg.get("norm_topk_prob", False)
+        a.moe_hf_style = "qwen"
+        return a
+
+
+@dataclass
+class DeepseekV1Arch(LlamaArch):
+    """DeepSeek V1 MoE (reference vllm/model_executor/models/deepseek.py):
+    plain Llama attention + DeepSeek-MoE — softmax-then-topk routing,
+    ungated shared experts ("shared_experts." plural naming), and a dense
+    first-k layer prefix."""
+
+    @classmethod
+    def from_hf_config(cls, cfg: dict) -> "DeepseekV1Arch":
+        a = super().from_hf_config(cfg)
+        n_routed = cfg.get("n_routed_experts")
+        if n_routed:
+            if cfg.get("moe_layer_freq", 1) != 1:
+                raise NotImplementedError("moe_layer_freq != 1")
+            a.num_experts = n_routed
+            a.num_experts_per_tok = cfg.get("num_experts_per_tok", 2)
+            a.moe_intermediate_size = cfg["moe_intermediate_size"]
+            a.moe_routing = "softmax_topk"
+            a.moe_norm_topk = cfg.get("norm_topk_prob", False)
+            a.moe_hf_style = "qwen"
+            a.first_k_dense = cfg.get("first_k_dense_replace", 0)
+            ns = cfg.get("n_shared_experts")
+            if ns:
+                a.moe_shared_intermediate = \
+                    ns * cfg["moe_intermediate_size"]
+                a.moe_shared_plural = True
         return a
 
 
@@ -1311,57 +1434,62 @@ class LlamaModel:
             return self._init_params_mla(w, ones)
         qkv_out = (a.num_heads + 2 * a.num_kv_heads) * a.head_dim
         mlp_out = (2 if a.mlp_gated else 1) * a.intermediate_size
-        layers = {
-            "wqkv": w(a.num_layers, a.hidden_size, qkv_out),
-            "wo": w(a.num_layers, a.num_heads * a.head_dim, a.hidden_size),
-            "input_norm": ones((a.num_layers, a.hidden_size)),
-        }
-        if not a.shared_input_norm:
-            layers["post_norm"] = ones((a.num_layers, a.hidden_size))
-        if a.num_experts:
-            layers["router"] = w(a.num_layers, a.hidden_size, a.num_experts)
-            layers["w_gate_up"] = w(a.num_layers, a.num_experts,
-                                    a.hidden_size, 2 * a.moe_inter)
-            layers["w_down"] = w(a.num_layers, a.num_experts,
-                                 a.moe_inter, a.hidden_size)
-            if a.moe_shared_intermediate:
-                si = a.moe_shared_intermediate
-                layers["ws_gate_up"] = w(a.num_layers, a.hidden_size, 2 * si)
-                layers["ws_down"] = w(a.num_layers, si, a.hidden_size)
-                if a.moe_shared_gate:
-                    layers["ws_gate"] = w(a.num_layers, a.hidden_size, 1)
-        else:
-            layers["w_gate_up"] = w(a.num_layers, a.hidden_size, mlp_out)
-            layers["w_down"] = w(a.num_layers, a.intermediate_size,
-                                 a.hidden_size)
-        if a.qkv_bias:
-            layers["bqkv"] = w(a.num_layers, qkv_out)
-        if a.o_bias:
-            layers["bo"] = w(a.num_layers, a.hidden_size)
-        if a.mlp_bias:
-            layers["b_gate_up"] = w(a.num_layers, mlp_out)
-            layers["b_down"] = w(a.num_layers, a.hidden_size)
-        if a.qk_norm:
-            layers["q_norm"] = ones((a.num_layers, a.head_dim))
-            layers["k_norm"] = ones((a.num_layers, a.head_dim))
-        elif a.qk_norm_flat:
-            layers["q_norm"] = ones((a.num_layers,
-                                     a.num_heads * a.head_dim))
-            layers["k_norm"] = ones((a.num_layers,
-                                     a.num_kv_heads * a.head_dim))
-        if a.norm_type == "layernorm" and a.norm_bias:
-            layers["input_norm_b"] = w(a.num_layers, a.hidden_size)
+
+        def make_layers(n: int, moe: bool) -> dict:
+            layers = {
+                "wqkv": w(n, a.hidden_size, qkv_out),
+                "wo": w(n, a.num_heads * a.head_dim, a.hidden_size),
+                "input_norm": ones((n, a.hidden_size)),
+            }
             if not a.shared_input_norm:
-                layers["post_norm_b"] = w(a.num_layers, a.hidden_size)
-        if a.sandwich_norms:
-            layers["post_attn_out_norm"] = ones((a.num_layers,
-                                                 a.hidden_size))
-            layers["post_ffw_norm"] = ones((a.num_layers, a.hidden_size))
+                layers["post_norm"] = ones((n, a.hidden_size))
+            if moe:
+                layers["router"] = w(n, a.hidden_size, a.num_experts)
+                layers["w_gate_up"] = w(n, a.num_experts,
+                                        a.hidden_size, 2 * a.moe_inter)
+                layers["w_down"] = w(n, a.num_experts,
+                                     a.moe_inter, a.hidden_size)
+                if a.moe_shared_intermediate:
+                    si = a.moe_shared_intermediate
+                    layers["ws_gate_up"] = w(n, a.hidden_size, 2 * si)
+                    layers["ws_down"] = w(n, si, a.hidden_size)
+                    if a.moe_shared_gate:
+                        layers["ws_gate"] = w(n, a.hidden_size, 1)
+            else:
+                layers["w_gate_up"] = w(n, a.hidden_size, mlp_out)
+                layers["w_down"] = w(n, a.intermediate_size, a.hidden_size)
+            if a.qkv_bias:
+                layers["bqkv"] = w(n, qkv_out)
+            if a.o_bias:
+                layers["bo"] = w(n, a.hidden_size)
+            if a.mlp_bias:
+                layers["b_gate_up"] = w(n, mlp_out)
+                layers["b_down"] = w(n, a.hidden_size)
+            if a.qk_norm:
+                layers["q_norm"] = ones((n, a.head_dim))
+                layers["k_norm"] = ones((n, a.head_dim))
+            elif a.qk_norm_flat:
+                layers["q_norm"] = ones((n, a.num_heads * a.head_dim))
+                layers["k_norm"] = ones((n, a.num_kv_heads * a.head_dim))
+            if a.norm_type == "layernorm" and a.norm_bias:
+                layers["input_norm_b"] = w(n, a.hidden_size)
+                if not a.shared_input_norm:
+                    layers["post_norm_b"] = w(n, a.hidden_size)
+            if a.sandwich_norms:
+                layers["post_attn_out_norm"] = ones((n, a.hidden_size))
+                layers["post_ffw_norm"] = ones((n, a.hidden_size))
+            return layers
+
+        # DeepSeek-V1-style dense first-k prefix on the generic (non-MLA)
+        # trunk: dense layers and MoE layers form separate scan stacks.
+        kd = min(a.first_k_dense, a.num_layers) if a.num_experts else 0
         params = {
             "embed": w(a.vocab_size, a.hidden_size),
-            "layers": layers,
+            "layers": make_layers(a.num_layers - kd, bool(a.num_experts)),
             "final_norm": ones((a.hidden_size,)),
         }
+        if kd:
+            params["dense_layers"] = make_layers(kd, False)
         if a.norm_type == "layernorm" and a.norm_bias:
             params["final_norm_b"] = w(a.hidden_size)
         if not a.tie_word_embeddings:
@@ -1433,115 +1561,6 @@ class LlamaModel:
         # Phi-3 checkpoints ship the projections pre-fused.
         hf_fused = "model.layers.0.self_attn.qkv_proj.weight" in tensors
 
-        wqkv, bqkv, wo, gate_up, down, router = [], [], [], [], [], []
-        bo, b_gate_up, b_down = [], [], []
-        ws_gu, ws_dn, ws_g = [], [], []
-        qn, kn = [], []
-        in_n, post_n, pao_n, pff_n = [], [], [], []
-        in_nb, post_nb = [], []
-        for i in range(a.num_layers):
-            p = f"model.layers.{i}."
-            if a.num_experts:
-                if a.moe_hf_style == "qwen":
-                    # Qwen2/3-MoE: mlp.{gate, experts.N.gate/up/down_proj,
-                    # shared_expert.*, shared_expert_gate}.
-                    router.append(proj(p + "mlp.gate.weight"))
-                    gate_up.append(np.stack([
-                        np.concatenate([
-                            proj(p + f"mlp.experts.{e}.gate_proj.weight"),
-                            proj(p + f"mlp.experts.{e}.up_proj.weight"),
-                        ], axis=1) for e in range(a.num_experts)]))
-                    down.append(np.stack([
-                        proj(p + f"mlp.experts.{e}.down_proj.weight")
-                        for e in range(a.num_experts)]))
-                elif a.moe_hf_style == "granite":
-                    # GraniteMoe: block_sparse_moe.{router.layer,
-                    # input_linear [E, 2I, D] (chunk -> gate|up),
-                    # output_linear [E, D, I]} (HF modeling_granitemoe).
-                    router.append(proj(
-                        p + "block_sparse_moe.router.layer.weight"))
-                    il = t(p + "block_sparse_moe.input_linear.weight")
-                    gate_up.append(np.transpose(il, (0, 2, 1)))
-                    ol = t(p + "block_sparse_moe.output_linear.weight")
-                    down.append(np.transpose(ol, (0, 2, 1)))
-                else:
-                    # Mixtral: block_sparse_moe.{gate, experts.N.w1/w2/w3}
-                    # (w1 = gate, w3 = up, w2 = down).
-                    router.append(proj(p + "block_sparse_moe.gate.weight"))
-                    gate_up.append(np.stack([
-                        np.concatenate([
-                            proj(p +
-                                 f"block_sparse_moe.experts.{e}.w1.weight"),
-                            proj(p +
-                                 f"block_sparse_moe.experts.{e}.w3.weight"),
-                        ], axis=1) for e in range(a.num_experts)]))
-                    down.append(np.stack([
-                        proj(p + f"block_sparse_moe.experts.{e}.w2.weight")
-                        for e in range(a.num_experts)]))
-                wqkv.append(np.concatenate([
-                    proj(p + "self_attn.q_proj.weight"),
-                    proj(p + "self_attn.k_proj.weight"),
-                    proj(p + "self_attn.v_proj.weight")], axis=1))
-                if a.moe_shared_intermediate:
-                    ws_gu.append(np.concatenate([
-                        proj(p + "mlp.shared_expert.gate_proj.weight"),
-                        proj(p + "mlp.shared_expert.up_proj.weight")],
-                        axis=1))
-                    ws_dn.append(proj(
-                        p + "mlp.shared_expert.down_proj.weight"))
-                    if a.moe_shared_gate:
-                        ws_g.append(proj(
-                            p + "mlp.shared_expert_gate.weight"))
-            elif hf_fused:
-                wqkv.append(proj(p + "self_attn.qkv_proj.weight"))
-                gate_up.append(proj(p + "mlp.gate_up_proj.weight"))
-            elif not a.mlp_gated:
-                wqkv.append(np.concatenate([
-                    proj(p + "self_attn.q_proj.weight"),
-                    proj(p + "self_attn.k_proj.weight"),
-                    proj(p + "self_attn.v_proj.weight")], axis=1))
-                gate_up.append(proj(p + "mlp.up_proj.weight"))
-            else:
-                wqkv.append(np.concatenate([
-                    proj(p + "self_attn.q_proj.weight"),
-                    proj(p + "self_attn.k_proj.weight"),
-                    proj(p + "self_attn.v_proj.weight")], axis=1))
-                gate_up.append(np.concatenate([
-                    proj(p + "mlp.gate_proj.weight"),
-                    proj(p + "mlp.up_proj.weight")], axis=1))
-            if a.qkv_bias:
-                bqkv.append(np.concatenate([
-                    t(p + "self_attn.q_proj.bias"),
-                    t(p + "self_attn.k_proj.bias"),
-                    t(p + "self_attn.v_proj.bias")]))
-            if a.o_bias:
-                bo.append(t(p + "self_attn.o_proj.bias"))
-            if a.mlp_bias:
-                if a.mlp_gated:
-                    b_gate_up.append(np.concatenate([
-                        t(p + "mlp.gate_proj.bias"),
-                        t(p + "mlp.up_proj.bias")]))
-                else:
-                    b_gate_up.append(t(p + "mlp.up_proj.bias"))
-                b_down.append(t(p + "mlp.down_proj.bias"))
-            if a.qk_norm or a.qk_norm_flat:
-                qn.append(t(p + "self_attn.q_norm.weight"))
-                kn.append(t(p + "self_attn.k_norm.weight"))
-            wo.append(proj(p + "self_attn.o_proj.weight"))
-            if not a.num_experts:
-                down.append(proj(p + "mlp.down_proj.weight"))
-            in_n.append(t(p + "input_layernorm.weight"))
-            if a.norm_type == "layernorm" and a.norm_bias:
-                in_nb.append(t(p + "input_layernorm.bias"))
-                if not a.shared_input_norm:
-                    post_nb.append(t(p + "post_attention_layernorm.bias"))
-            if a.sandwich_norms:
-                pao_n.append(t(p + "post_attention_layernorm.weight"))
-                post_n.append(t(p + "pre_feedforward_layernorm.weight"))
-                pff_n.append(t(p + "post_feedforward_layernorm.weight"))
-            elif not a.shared_input_norm:
-                post_n.append(t(p + "post_attention_layernorm.weight"))
-
         def stack(xs):
             arr = np.stack(xs)
             return arr if as_numpy else jnp.asarray(arr, self.dtype)
@@ -1550,44 +1569,170 @@ class LlamaModel:
             return np.asarray(x) if as_numpy \
                 else jnp.asarray(x, self.dtype)
 
-        layers = {
-            "wqkv": stack(wqkv),
-            "wo": stack(wo),
-            "w_gate_up": stack(gate_up),
-            "w_down": stack(down),
-            "input_norm": stack(in_n),
-        }
-        if post_n:
-            layers["post_norm"] = stack(post_n)
-        if a.qkv_bias:
-            layers["bqkv"] = stack(bqkv)
-        if a.o_bias:
-            layers["bo"] = stack(bo)
-        if a.mlp_bias:
-            layers["b_gate_up"] = stack(b_gate_up)
-            layers["b_down"] = stack(b_down)
-        if in_nb:
-            layers["input_norm_b"] = stack(in_nb)
-        if post_nb:
-            layers["post_norm_b"] = stack(post_nb)
-        if a.qk_norm or a.qk_norm_flat:
-            layers["q_norm"] = stack(qn)
-            layers["k_norm"] = stack(kn)
-        if a.num_experts:
-            layers["router"] = stack(router)
-            if a.moe_shared_intermediate:
-                layers["ws_gate_up"] = stack(ws_gu)
-                layers["ws_down"] = stack(ws_dn)
-                if a.moe_shared_gate:
-                    layers["ws_gate"] = stack(ws_g)
-        if a.sandwich_norms:
-            layers["post_attn_out_norm"] = stack(pao_n)
-            layers["post_ffw_norm"] = stack(pff_n)
+        shared_prefix = "mlp.shared_experts." if a.moe_shared_plural \
+            else "mlp.shared_expert."
+
+        def collect(lo: int, hi: int, moe: bool) -> dict:
+            wqkv, bqkv, wo, gate_up, down, router = [], [], [], [], [], []
+            bo, b_gate_up, b_down = [], [], []
+            ws_gu, ws_dn, ws_g = [], [], []
+            qn, kn = [], []
+            in_n, post_n, pao_n, pff_n = [], [], [], []
+            in_nb, post_nb = [], []
+            for i in range(lo, hi):
+                p = f"model.layers.{i}."
+                if moe:
+                    if a.moe_hf_style == "qwen":
+                        # Qwen2/3-MoE + DeepSeek-MoE: mlp.{gate,
+                        # experts.N.gate/up/down_proj, shared_expert(s).*,
+                        # shared_expert_gate}.
+                        router.append(proj(p + "mlp.gate.weight"))
+                        gate_up.append(np.stack([
+                            np.concatenate([
+                                proj(p +
+                                     f"mlp.experts.{e}.gate_proj.weight"),
+                                proj(p + f"mlp.experts.{e}.up_proj.weight"),
+                            ], axis=1) for e in range(a.num_experts)]))
+                        down.append(np.stack([
+                            proj(p + f"mlp.experts.{e}.down_proj.weight")
+                            for e in range(a.num_experts)]))
+                    elif a.moe_hf_style == "granite":
+                        # GraniteMoe: block_sparse_moe.{router.layer,
+                        # input_linear [E, 2I, D] (chunk -> gate|up),
+                        # output_linear [E, D, I]} (HF modeling_granitemoe).
+                        router.append(proj(
+                            p + "block_sparse_moe.router.layer.weight"))
+                        il = t(p + "block_sparse_moe.input_linear.weight")
+                        gate_up.append(np.transpose(il, (0, 2, 1)))
+                        ol = t(p + "block_sparse_moe.output_linear.weight")
+                        down.append(np.transpose(ol, (0, 2, 1)))
+                    else:
+                        # Mixtral: block_sparse_moe.{gate,
+                        # experts.N.w1/w2/w3} (w1 = gate, w3 = up,
+                        # w2 = down).
+                        router.append(proj(
+                            p + "block_sparse_moe.gate.weight"))
+                        gate_up.append(np.stack([
+                            np.concatenate([
+                                proj(p + f"block_sparse_moe.experts.{e}"
+                                     ".w1.weight"),
+                                proj(p + f"block_sparse_moe.experts.{e}"
+                                     ".w3.weight"),
+                            ], axis=1) for e in range(a.num_experts)]))
+                        down.append(np.stack([
+                            proj(p + f"block_sparse_moe.experts.{e}"
+                                 ".w2.weight")
+                            for e in range(a.num_experts)]))
+                    wqkv.append(np.concatenate([
+                        proj(p + "self_attn.q_proj.weight"),
+                        proj(p + "self_attn.k_proj.weight"),
+                        proj(p + "self_attn.v_proj.weight")], axis=1))
+                    if a.moe_shared_intermediate:
+                        ws_gu.append(np.concatenate([
+                            proj(p + shared_prefix + "gate_proj.weight"),
+                            proj(p + shared_prefix + "up_proj.weight")],
+                            axis=1))
+                        ws_dn.append(proj(
+                            p + shared_prefix + "down_proj.weight"))
+                        if a.moe_shared_gate:
+                            ws_g.append(proj(
+                                p + "mlp.shared_expert_gate.weight"))
+                elif hf_fused:
+                    wqkv.append(proj(p + "self_attn.qkv_proj.weight"))
+                    gate_up.append(proj(p + "mlp.gate_up_proj.weight"))
+                elif not a.mlp_gated:
+                    wqkv.append(np.concatenate([
+                        proj(p + "self_attn.q_proj.weight"),
+                        proj(p + "self_attn.k_proj.weight"),
+                        proj(p + "self_attn.v_proj.weight")], axis=1))
+                    gate_up.append(proj(p + "mlp.up_proj.weight"))
+                else:
+                    wqkv.append(np.concatenate([
+                        proj(p + "self_attn.q_proj.weight"),
+                        proj(p + "self_attn.k_proj.weight"),
+                        proj(p + "self_attn.v_proj.weight")], axis=1))
+                    gate_up.append(np.concatenate([
+                        proj(p + "mlp.gate_proj.weight"),
+                        proj(p + "mlp.up_proj.weight")], axis=1))
+                if a.qkv_bias:
+                    bqkv.append(np.concatenate([
+                        t(p + "self_attn.q_proj.bias"),
+                        t(p + "self_attn.k_proj.bias"),
+                        t(p + "self_attn.v_proj.bias")]))
+                if a.o_bias:
+                    bo.append(t(p + "self_attn.o_proj.bias"))
+                if a.mlp_bias:
+                    if a.mlp_gated:
+                        b_gate_up.append(np.concatenate([
+                            t(p + "mlp.gate_proj.bias"),
+                            t(p + "mlp.up_proj.bias")]))
+                    else:
+                        b_gate_up.append(t(p + "mlp.up_proj.bias"))
+                    b_down.append(t(p + "mlp.down_proj.bias"))
+                if a.qk_norm or a.qk_norm_flat:
+                    qn.append(t(p + "self_attn.q_norm.weight"))
+                    kn.append(t(p + "self_attn.k_norm.weight"))
+                wo.append(proj(p + "self_attn.o_proj.weight"))
+                if not moe:
+                    down.append(proj(p + "mlp.down_proj.weight"))
+                in_n.append(t(p + "input_layernorm.weight"))
+                if a.norm_type == "layernorm" and a.norm_bias:
+                    in_nb.append(t(p + "input_layernorm.bias"))
+                    if not a.shared_input_norm:
+                        post_nb.append(t(
+                            p + "post_attention_layernorm.bias"))
+                if a.sandwich_norms:
+                    pao_n.append(t(p + "post_attention_layernorm.weight"))
+                    post_n.append(t(p + "pre_feedforward_layernorm"
+                                    ".weight"))
+                    pff_n.append(t(p + "post_feedforward_layernorm"
+                                   ".weight"))
+                elif not a.shared_input_norm:
+                    post_n.append(t(p + "post_attention_layernorm.weight"))
+
+            layers = {
+                "wqkv": stack(wqkv),
+                "wo": stack(wo),
+                "w_gate_up": stack(gate_up),
+                "w_down": stack(down),
+                "input_norm": stack(in_n),
+            }
+            if post_n:
+                layers["post_norm"] = stack(post_n)
+            if a.qkv_bias:
+                layers["bqkv"] = stack(bqkv)
+            if a.o_bias:
+                layers["bo"] = stack(bo)
+            if a.mlp_bias:
+                layers["b_gate_up"] = stack(b_gate_up)
+                layers["b_down"] = stack(b_down)
+            if in_nb:
+                layers["input_norm_b"] = stack(in_nb)
+            if post_nb:
+                layers["post_norm_b"] = stack(post_nb)
+            if a.qk_norm or a.qk_norm_flat:
+                layers["q_norm"] = stack(qn)
+                layers["k_norm"] = stack(kn)
+            if moe:
+                layers["router"] = stack(router)
+                if a.moe_shared_intermediate:
+                    layers["ws_gate_up"] = stack(ws_gu)
+                    layers["ws_down"] = stack(ws_dn)
+                    if a.moe_shared_gate:
+                        layers["ws_gate"] = stack(ws_g)
+            if a.sandwich_norms:
+                layers["post_attn_out_norm"] = stack(pao_n)
+                layers["post_ffw_norm"] = stack(pff_n)
+            return layers
+
+        kd = min(a.first_k_dense, a.num_layers) if a.num_experts else 0
         params = {
             "embed": leaf(t("model.embed_tokens.weight")),
-            "layers": layers,
+            "layers": collect(kd, a.num_layers, bool(a.num_experts)),
             "final_norm": leaf(t("model.norm.weight")),
         }
+        if kd:
+            params["dense_layers"] = collect(0, kd, False)
         if a.norm_type == "layernorm" and a.norm_bias:
             params["final_norm_b"] = leaf(t("model.norm.bias"))
         if not a.tie_word_embeddings:
@@ -1750,20 +1895,24 @@ class LlamaModel:
                 qkv = with_lora(matmul(x, lp["wqkv"]), "wqkv", x)
                 if a.qkv_bias:
                     qkv = qkv + lp["bqkv"]
-                if a.qkv_clip is not None:
-                    # OLMo clip_qkv / DBRX clip_qkv.
-                    qkv = jnp.clip(qkv, -a.qkv_clip, a.qkv_clip)
                 q2d = qkv[:, :q_sz]
                 k2d = qkv[:, q_sz:q_sz + kv_sz]
+                v2d = qkv[:, q_sz + kv_sz:]
                 if a.qk_norm_flat:
-                    # OLMo2: RMSNorm over the whole projection,
+                    # OLMo2/OLMoE: RMSNorm over the whole projection,
                     # pre-reshape.
                     q2d = rms_norm(q2d, lp["q_norm"], a.rms_norm_eps)
                     k2d = rms_norm(k2d, lp["k_norm"], a.rms_norm_eps)
+                if a.qkv_clip is not None:
+                    # OLMo/DBRX clip_qkv (no qk norms: same as clipping
+                    # the fused projection); OLMoE clamps AFTER its flat
+                    # q/k norms (HF modeling_olmoe.OlmoeAttention).
+                    q2d = jnp.clip(q2d, -a.qkv_clip, a.qkv_clip)
+                    k2d = jnp.clip(k2d, -a.qkv_clip, a.qkv_clip)
+                    v2d = jnp.clip(v2d, -a.qkv_clip, a.qkv_clip)
                 q = q2d.reshape(t, a.num_heads, a.head_dim)
                 k = k2d.reshape(t, a.num_kv_heads, a.head_dim)
-                v = qkv[:, q_sz + kv_sz:].reshape(t, a.num_kv_heads,
-                                                  a.head_dim)
+                v = v2d.reshape(t, a.num_kv_heads, a.head_dim)
                 if a.qk_norm:
                     # Qwen3: per-head RMSNorm on q/k BEFORE rope (HF
                     # Qwen3Attention applies q_norm/k_norm to head_dim).

@@ -20,15 +20,18 @@ def register_model(hf_arch: str):
 def _ensure_builtin():
     if _REGISTRY:
         return
-    from .llama import (BaichuanArch, CohereArch, DbrxArch, DeepseekV2Arch, DeepseekV3Arch,
+    from .llama import (BaichuanArch, CohereArch, DbrxArch, DeepseekV1Arch,
+                        DeepseekV2Arch, DeepseekV3Arch,
                         ExaoneArch,
                         FalconArch,
                         Gemma2Arch, GemmaArch, Glm4Arch, GlmArch,
                         GPTJArch, GPTNeoXArch, GraniteArch, GraniteMoeArch,
-                        InternLM2Arch, LlamaArch, LlamaModel, MiniCPMArch,
+                        InternLM2Arch, InternLMArch, LlamaArch, LlamaModel,
+                        MiniCPMArch,
                         MixtralArch, NemotronArch, Olmo2Arch, OlmoArch,
+                        OlmoeArch,
                         OrionArch, Phi3Arch, PhiArch, Qwen2Arch,
-                        Qwen2MoeArch, Qwen3Arch, Qwen3MoeArch,
+                        Qwen2MoeArch, Qwen3Arch, Qwen3MoeArch, QwenV1Arch,
                         StableLmArch, Starcoder2Arch)
     from .opt import GPT2Arch, OPTArch, OPTModel
     _REGISTRY.update({
@@ -67,8 +70,21 @@ def _ensure_builtin():
         "OrionForCausalLM": (LlamaModel, OrionArch),
         "MiniCPMForCausalLM": (LlamaModel, MiniCPMArch),
         "DbrxForCausalLM": (LlamaModel, DbrxArch),
+        "DeepseekForCausalLM": (LlamaModel, DeepseekV1Arch),
         "DeepseekV2ForCausalLM": (LlamaModel, DeepseekV2Arch),
         "DeepseekV3ForCausalLM": (LlamaModel, DeepseekV3Arch),
+        # Llama-named checkpoint aliases (reference registry.py maps these
+        # to the same llama/stablelm/mixtral impls).
+        "LLaMAForCausalLM": (LlamaModel, LlamaArch),
+        "AquilaForCausalLM": (LlamaModel, LlamaArch),
+        "AquilaModel": (LlamaModel, LlamaArch),
+        "XverseForCausalLM": (LlamaModel, LlamaArch),
+        "InternLMForCausalLM": (LlamaModel, InternLMArch),
+        "StableLMEpochForCausalLM": (LlamaModel, StableLmArch),
+        "StablelmForCausalLM": (LlamaModel, StableLmArch),
+        "QuantMixtralForCausalLM": (LlamaModel, MixtralArch),
+        "QWenLMHeadModel": (LlamaModel, QwenV1Arch),
+        "OlmoeForCausalLM": (LlamaModel, OlmoeArch),
     })
 
 

@@ -108,6 +108,14 @@ class LlamaArch:
     #                                   post_norm slot = post-mlp norm)
     qk_norm_flat: bool = False        # OLMo2: q/k RMSNorm over the FULL
     #                                   H*d projection (vs per-head)
+    # --- position schemes beyond rope (Bloom/MPT/JAIS/GPT-BigCode) ---
+    use_rope: bool = True             # False: no rotary embedding
+    alibi: bool = False               # additive per-head linear key bias
+    alibi_variant: str = "bloom"      # | "mpt" (ceil-pow2, bias_max-scaled)
+    alibi_bias_max: float = 8.0       # MPT attn_config.alibi_bias_max
+    pos_embed_learned: bool = False   # learned absolute position table
+    pos_offset: int = 0               # OPT-style table offset
+    embed_ln: bool = False            # Bloom word_embeddings_layernorm
     # --- MLA (DeepSeek V2/V3 multi-head latent attention) ---
     attn_type: str = "mha"            # "mla": latent kv + decoupled rope
     q_lora_rank: Optional[int] = None
@@ -461,6 +469,287 @@ class DeepseekV1Arch(LlamaArch):
                     ns * cfg["moe_intermediate_size"]
                 a.moe_shared_plural = True
         return a
+
+
+@dataclass
+class BloomArch(LlamaArch):
+    """Bloom (reference vllm/model_executor/models/bloom.py): ALiBi
+    positions (no rope), biased LayerNorms everywhere incl. a
+    word-embedding LayerNorm, per-head-interleaved fused QKV checkpoint,
+    non-gated tanh-GELU MLP, tied head."""
+
+    @classmethod
+    def from_hf_config(cls, cfg: dict) -> "BloomArch":
+        hidden = cfg.get("hidden_size") or cfg.get("n_embed")
+        heads = cfg.get("n_head") or cfg.get("num_attention_heads")
+        a = cls(
+            vocab_size=cfg["vocab_size"],
+            hidden_size=hidden,
+            intermediate_size=4 * hidden,
+            num_layers=cfg.get("n_layer") or cfg.get("num_hidden_layers"),
+            num_heads=heads,
+            num_kv_heads=heads,
+            head_dim=hidden // heads,
+            rms_norm_eps=cfg.get("layer_norm_epsilon", 1e-5),
+            tie_word_embeddings=True,
+            max_position_embeddings=cfg.get("max_position_embeddings",
+                                            2048),
+        )
+        a.norm_type = "layernorm"
+        a.norm_bias = True
+        a.mlp_gated = False
+        a.hidden_act = "gelu_tanh"     # HF BloomGelu = tanh approximation
+        a.qkv_bias = a.o_bias = a.mlp_bias = True
+        a.use_rope = False
+        a.alibi = True
+        a.embed_ln = True
+        return a
+
+    def canonicalize_hf(self, tensors: dict) -> dict:
+        h, d = self.num_heads, self.head_dim
+        out = {}
+        for k, v in tensors.items():
+            if not k.startswith("transformer."):
+                out[k] = v
+                continue
+            k = k[len("transformer."):]
+            k = k.replace("word_embeddings_layernorm.", "model.embed_ln.")
+            k = k.replace("word_embeddings.weight",
+                          "model.embed_tokens.weight")
+            k = k.replace("ln_f.", "model.norm.")
+            if k.startswith("h."):
+                k = "model.layers." + k[2:]
+                k = k.replace(".self_attention.dense.",
+                              ".self_attn.o_proj.")
+                k = k.replace(".mlp.dense_h_to_4h.", ".mlp.up_proj.")
+                k = k.replace(".mlp.dense_4h_to_h.", ".mlp.down_proj.")
+                if ".self_attention.query_key_value." in k:
+                    # Fused layout interleaves (q, k, v) PER HEAD
+                    # (HF BloomAttention._reshape views [..., H, 3, d]);
+                    # regroup to plain q|k|v.
+                    v = np.asarray(v)
+                    parts = v.reshape(h, 3, d, *v.shape[1:])
+                    for j, name in enumerate(("q", "k", "v")):
+                        out[k.replace(
+                            ".self_attention.query_key_value.",
+                            f".self_attn.{name}_proj.")] = \
+                            parts[:, j].reshape(h * d, *v.shape[1:])
+                    continue
+            out[k] = v
+        return out
+
+
+@dataclass
+class MptArch(LlamaArch):
+    """MPT (reference vllm/model_executor/models/mpt.py): ALiBi with
+    MosaicML's ceil-pow2 slope variant, bias-free LayerNorms (weight
+    only), fused Wqkv, non-gated exact-GELU MLP, optional qkv clamp and
+    custom softmax scale, tied head."""
+
+    @classmethod
+    def from_hf_config(cls, cfg: dict) -> "MptArch":
+        attn_cfg = cfg.get("attn_config") or {}
+        if hasattr(attn_cfg, "to_dict"):
+            attn_cfg = attn_cfg.to_dict()
+        if not attn_cfg.get("alibi", True):
+            raise NotImplementedError("MPT without ALiBi")
+        if attn_cfg.get("qk_ln"):
+            raise NotImplementedError("MPT qk_ln")
+        hidden = cfg["d_model"]
+        heads = cfg["n_heads"]
+        a = cls(
+            vocab_size=cfg["vocab_size"],
+            hidden_size=hidden,
+            intermediate_size=int(cfg.get("expansion_ratio", 4) * hidden),
+            num_layers=cfg["n_layers"],
+            num_heads=heads,
+            num_kv_heads=heads,
+            head_dim=hidden // heads,
+            rms_norm_eps=cfg.get("layer_norm_epsilon", 1e-5),
+            tie_word_embeddings=True,
+            max_position_embeddings=cfg.get("max_seq_len", 2048),
+        )
+        a.norm_type = "layernorm"
+        a.norm_bias = False
+        a.mlp_gated = False
+        a.hidden_act = "gelu"          # HF MptMLP: GELU(approximate=none)
+        a.use_rope = False
+        a.alibi = True
+        a.alibi_variant = "mpt"
+        a.alibi_bias_max = attn_cfg.get("alibi_bias_max", 8)
+        a.qkv_clip = attn_cfg.get("clip_qkv")
+        ss = attn_cfg.get("softmax_scale")
+        if ss:
+            a.query_pre_attn_scalar = ss ** -2    # attn_scale = base**-0.5
+        return a
+
+    def canonicalize_hf(self, tensors: dict) -> dict:
+        out = {}
+        for k, v in tensors.items():
+            k = k.replace("transformer.wte.weight",
+                          "model.embed_tokens.weight")
+            k = k.replace("transformer.norm_f.weight", "model.norm.weight")
+            if k.startswith("transformer.blocks."):
+                k = "model.layers." + k[len("transformer.blocks."):]
+                k = k.replace(".norm_1.", ".input_layernorm.")
+                k = k.replace(".norm_2.", ".post_attention_layernorm.")
+                k = k.replace(".attn.out_proj.", ".self_attn.o_proj.")
+                k = k.replace(".ffn.up_proj.", ".mlp.up_proj.")
+                k = k.replace(".ffn.down_proj.", ".mlp.down_proj.")
+                if ".attn.Wqkv." in k:
+                    v = np.asarray(v)
+                    third = v.shape[0] // 3
+                    for j, name in enumerate(("q", "k", "v")):
+                        out[k.replace(".attn.Wqkv.",
+                                      f".self_attn.{name}_proj.")] = \
+                            v[j * third:(j + 1) * third]
+                    continue
+            out[k] = v
+        return out
+
+
+@dataclass
+class GPTBigCodeArch(LlamaArch):
+    """GPT-BigCode / StarCoder (reference
+    vllm/model_executor/models/gpt_bigcode.py): GPT-2-shaped trunk
+    (learned positions, biased LayerNorms, tanh-GELU MLP) with
+    multi-query attention."""
+
+    @classmethod
+    def from_hf_config(cls, cfg: dict) -> "GPTBigCodeArch":
+        hidden = cfg.get("n_embd") or cfg.get("hidden_size")
+        heads = cfg.get("n_head") or cfg.get("num_attention_heads")
+        a = cls(
+            vocab_size=cfg["vocab_size"],
+            hidden_size=hidden,
+            intermediate_size=cfg.get("n_inner") or 4 * hidden,
+            num_layers=cfg.get("n_layer") or cfg.get("num_hidden_layers"),
+            num_heads=heads,
+            num_kv_heads=1 if cfg.get("multi_query", True) else heads,
+            head_dim=hidden // heads,
+            rms_norm_eps=cfg.get("layer_norm_epsilon", 1e-5),
+            tie_word_embeddings=True,
+            max_position_embeddings=cfg.get("n_positions", 1024),
+        )
+        a.norm_type = "layernorm"
+        a.norm_bias = True
+        a.mlp_gated = False
+        a.hidden_act = "gelu_tanh"     # HF "gelu_pytorch_tanh"
+        a.qkv_bias = a.o_bias = a.mlp_bias = True
+        a.use_rope = False
+        a.pos_embed_learned = True
+        return a
+
+    def canonicalize_hf(self, tensors: dict) -> dict:
+        q_sz = self.num_heads * self.head_dim
+        kv_sz = self.num_kv_heads * self.head_dim
+        out = {}
+        for k, v in tensors.items():
+            k = k.replace("transformer.wte.weight",
+                          "model.embed_tokens.weight")
+            k = k.replace("transformer.wpe.weight",
+                          "model.embed_pos.weight")
+            k = k.replace("transformer.ln_f.", "model.norm.")
+            if k.startswith("transformer.h."):
+                k = "model.layers." + k[len("transformer.h."):]
+                k = k.replace(".ln_1.", ".input_layernorm.")
+                k = k.replace(".ln_2.", ".post_attention_layernorm.")
+                k = k.replace(".attn.c_proj.", ".self_attn.o_proj.")
+                k = k.replace(".mlp.c_fc.", ".mlp.up_proj.")
+                k = k.replace(".mlp.c_proj.", ".mlp.down_proj.")
+                if ".attn.c_attn." in k:
+                    v = np.asarray(v)
+                    if self.num_kv_heads == self.num_heads:
+                        # MHA checkpoints interleave (q, k, v) PER HEAD
+                        # (HF GPTBigCodeAttention views [.., H, 3, d]).
+                        parts = v.reshape(self.num_heads, 3,
+                                          self.head_dim, *v.shape[1:])
+                        splits = {
+                            name: parts[:, j].reshape(q_sz, *v.shape[1:])
+                            for j, name in enumerate(("q", "k", "v"))}
+                    else:
+                        # MQA: plain [q | kv | kv] rows.
+                        splits = {"q": v[:q_sz],
+                                  "k": v[q_sz:q_sz + kv_sz],
+                                  "v": v[q_sz + kv_sz:]}
+                    for name, part in splits.items():
+                        out[k.replace(".attn.c_attn.",
+                                      f".self_attn.{name}_proj.")] = part
+                    continue
+            out[k] = v
+        return out
+
+
+@dataclass
+class JaisArch(LlamaArch):
+    """JAIS (reference vllm/model_executor/models/jais.py): GPT-2
+    checkpoint layout (Conv1D [in, out] weights) with ALiBi, SwiGLU
+    (gate = c_fc2, up = c_fc), muP embedding/logit/attention scales."""
+
+    @classmethod
+    def from_hf_config(cls, cfg: dict) -> "JaisArch":
+        if cfg.get("position_embedding_type", "alibi") != "alibi":
+            raise NotImplementedError("JAIS without ALiBi")
+        hidden = cfg.get("n_embd") or cfg.get("hidden_size")
+        heads = cfg.get("n_head") or cfg.get("num_attention_heads")
+        swiglu = cfg.get("activation_function", "swiglu") == "swiglu"
+        a = cls(
+            vocab_size=cfg["vocab_size"],
+            hidden_size=hidden,
+            intermediate_size=cfg.get("n_inner") or 4 * hidden,
+            num_layers=cfg.get("n_layer") or cfg.get("num_hidden_layers"),
+            num_heads=heads,
+            num_kv_heads=heads,
+            head_dim=hidden // heads,
+            rms_norm_eps=cfg.get("layer_norm_epsilon", 1e-5),
+            tie_word_embeddings=True,
+            max_position_embeddings=cfg.get("n_positions", 2048),
+        )
+        a.norm_type = "layernorm"
+        a.norm_bias = True
+        a.mlp_gated = swiglu
+        a.hidden_act = "silu" if swiglu else "gelu_tanh"
+        a.qkv_bias = a.o_bias = a.mlp_bias = True
+        a.use_rope = False
+        a.alibi = True
+        a.embed_scale = cfg.get("embeddings_scale",
+                                cfg.get("mup_embeddings_scale", 1.0))
+        a.logit_scale = cfg.get(
+            "width_scale", cfg.get("mup_output_alpha", 1.0)
+            * cfg.get("mup_width_scale", 1.0))
+        if cfg.get("scale_qk_dot_by_d",
+                   cfg.get("mup_scale_qk_dot_by_d", False)):
+            # scale = 1/d  (attn_scale = base**-0.5 with base = d**2)
+            a.query_pre_attn_scalar = (hidden // heads) ** 2
+        return a
+
+    def canonicalize_hf(self, tensors: dict) -> dict:
+        d = self.hidden_size
+        out = {}
+        for k, v in tensors.items():
+            k = k.replace("transformer.wte.weight",
+                          "model.embed_tokens.weight")
+            k = k.replace("transformer.ln_f.", "model.norm.")
+            if k.startswith("transformer.h."):
+                k = "model.layers." + k[len("transformer.h."):]
+                k = k.replace(".ln_1.", ".input_layernorm.")
+                k = k.replace(".ln_2.", ".post_attention_layernorm.")
+                if k.endswith(".weight") and (".attn." in k
+                                              or ".mlp." in k):
+                    v = np.asarray(v).T      # Conv1D stores [in, out]
+                k = k.replace(".attn.c_proj.", ".self_attn.o_proj.")
+                k = k.replace(".mlp.c_fc2.", ".mlp.gate_proj.")
+                k = k.replace(".mlp.c_fc.", ".mlp.up_proj.")
+                k = k.replace(".mlp.c_proj.", ".mlp.down_proj.")
+                if ".attn.c_attn." in k:
+                    v = np.asarray(v)
+                    for j, name in enumerate(("q", "k", "v")):
+                        out[k.replace(".attn.c_attn.",
+                                      f".self_attn.{name}_proj.")] = \
+                            v[j * d:(j + 1) * d]
+                    continue
+            out[k] = v
+        return out
 
 
 @dataclass
@@ -1490,6 +1779,12 @@ class LlamaModel:
         }
         if kd:
             params["dense_layers"] = make_layers(kd, False)
+        if a.pos_embed_learned:
+            params["embed_pos"] = w(
+                a.max_position_embeddings + a.pos_offset, a.hidden_size)
+        if a.embed_ln:
+            params["embed_ln_w"] = ones((a.hidden_size,))
+            params["embed_ln_b"] = w(a.hidden_size)
         if a.norm_type == "layernorm" and a.norm_bias:
             params["final_norm_b"] = w(a.hidden_size)
         if not a.tie_word_embeddings:
@@ -1733,6 +2028,11 @@ class LlamaModel:
         }
         if kd:
             params["dense_layers"] = collect(0, kd, False)
+        if a.pos_embed_learned:
+            params["embed_pos"] = leaf(t("model.embed_pos.weight"))
+        if a.embed_ln:
+            params["embed_ln_w"] = leaf(t("model.embed_ln.weight"))
+            params["embed_ln_b"] = leaf(t("model.embed_ln.bias"))
         if a.norm_type == "layernorm" and a.norm_bias:
             params["final_norm_b"] = leaf(t("model.norm.bias"))
         if not a.tie_word_embeddings:
@@ -1796,6 +2096,12 @@ class LlamaModel:
                 # Gemma normalizer: cast to model dtype first (HF rounds
                 # the sqrt(hidden) constant to bf16 before multiplying).
                 h = h * jnp.asarray(a.embed_scale, self.dtype)
+        if a.pos_embed_learned:
+            h = h + params["embed_pos"][positions + a.pos_offset]
+        if a.embed_ln:
+            # Bloom word_embeddings_layernorm.
+            h = layer_norm(h, params["embed_ln_w"], params["embed_ln_b"],
+                           a.rms_norm_eps)
         h, new_state = self.forward_layers(params, h, positions, attn_fn,
                                            attn_state, lora, lora_idx,
                                            state_mode)
@@ -1820,9 +2126,12 @@ class LlamaModel:
         local slice (parallel/pipeline.py) and carry-mode layer indices
         are local to that slice."""
         a = self.arch
-        cos, sin = rope_cos_sin(positions, a.rot_dim, a.rope_theta,
-                                scaling=a.rope_scaling,
-                                interleaved=a.rope_interleaved)
+        if a.use_rope:
+            cos, sin = rope_cos_sin(positions, a.rot_dim, a.rope_theta,
+                                    scaling=a.rope_scaling,
+                                    interleaved=a.rope_interleaved)
+        else:
+            cos = sin = None           # ALiBi / learned-position models
         q_sz = a.num_heads * a.head_dim
         kv_sz = a.num_kv_heads * a.head_dim
         t = h.shape[0]
@@ -1918,8 +2227,9 @@ class LlamaModel:
                     # Qwen3Attention applies q_norm/k_norm to head_dim).
                     q = rms_norm(q, lp["q_norm"], a.rms_norm_eps)
                     k = rms_norm(k, lp["k_norm"], a.rms_norm_eps)
-                q, k = apply_rope(q, k, cos, sin, rot_dim=a.rot_dim,
-                                  interleaved=a.rope_interleaved)
+                if a.use_rope:
+                    q, k = apply_rope(q, k, cos, sin, rot_dim=a.rot_dim,
+                                      interleaved=a.rope_interleaved)
             if layer_idx is None:
                 attn_out, new_state = attn_fn(q, k, v, state)
             else:

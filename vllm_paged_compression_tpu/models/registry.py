@@ -20,10 +20,11 @@ def register_model(hf_arch: str):
 def _ensure_builtin():
     if _REGISTRY:
         return
-    from .llama import (BaichuanArch, CohereArch, DbrxArch, DeepseekV1Arch,
+    from .llama import (BaichuanArch, BloomArch, CohereArch, DbrxArch,
+                        DeepseekV1Arch,
                         DeepseekV2Arch, DeepseekV3Arch,
                         ExaoneArch,
-                        FalconArch,
+                        FalconArch, GPTBigCodeArch, JaisArch, MptArch,
                         Gemma2Arch, GemmaArch, Glm4Arch, GlmArch,
                         GPTJArch, GPTNeoXArch, GraniteArch, GraniteMoeArch,
                         InternLM2Arch, InternLMArch, LlamaArch, LlamaModel,
@@ -85,6 +86,12 @@ def _ensure_builtin():
         "QuantMixtralForCausalLM": (LlamaModel, MixtralArch),
         "QWenLMHeadModel": (LlamaModel, QwenV1Arch),
         "OlmoeForCausalLM": (LlamaModel, OlmoeArch),
+        # ALiBi / learned-position families.
+        "BloomForCausalLM": (LlamaModel, BloomArch),
+        "MptForCausalLM": (LlamaModel, MptArch),
+        "MPTForCausalLM": (LlamaModel, MptArch),
+        "GPTBigCodeForCausalLM": (LlamaModel, GPTBigCodeArch),
+        "JAISLMHeadModel": (LlamaModel, JaisArch),
     })
 
 

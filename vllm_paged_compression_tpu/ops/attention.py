@@ -22,11 +22,55 @@ MXU without duplicating K/V bytes).
 
 from __future__ import annotations
 
+import math
+
 import jax.numpy as jnp
 
 _NEG_INF = -2.0**30  # large-negative instead of -inf: avoids NaNs for fully
                      # masked rows (padded queries), matches masked-softmax
                      # behavior of the CUDA kernels for valid rows.
+
+
+def alibi_slopes(num_heads: int, variant: str = "bloom",
+                 bias_max: float = 8.0) -> list[float]:
+    """Per-head ALiBi slopes.
+
+    ``bloom``: the closed form used by Bloom / JAIS / Baichuan-13B
+    (reference vllm/model_executor/models/jais.py:57-69 and HF
+    build_alibi_tensor) — floor power of two + every-other extras.
+    ``mpt``: MosaicML's variant (HF build_mpt_alibi_tensor) — ceil power
+    of two scaled by ``alibi_bias_max``, odd slopes first for the
+    non-power-of-two remainder.  The two agree when num_heads is a power
+    of two and bias_max is 8.
+    """
+    if variant == "mpt":
+        np2 = 2 ** math.ceil(math.log2(num_heads))
+        base = [(i + 1) * bias_max / np2 for i in range(np2)]
+        slopes = [1.0 / 2 ** b for b in base]
+        if np2 != num_heads:
+            slopes = (slopes[1::2] + slopes[0::2])[:num_heads]
+        return slopes
+
+    def pow2_slopes(n):
+        start = 2 ** (-(2 ** -(math.log2(n) - 3)))
+        return [start ** (i + 1) for i in range(n)]
+
+    if math.log2(num_heads).is_integer():
+        return pow2_slopes(num_heads)
+    c = 2 ** math.floor(math.log2(num_heads))
+    return pow2_slopes(c) + \
+        alibi_slopes(2 * c, variant)[0::2][:num_heads - c]
+
+
+def _alibi_bias(slopes: jnp.ndarray, num_kv_heads: int,
+                key_pos: jnp.ndarray) -> jnp.ndarray:
+    """[Hkv, G, 1, S] bias = slope * key_position.  ALiBi's canonical bias
+    is slope * (j - i); softmax is shift-invariant per query row, so the
+    absolute-key-position form is equivalent wherever the row's valid key
+    set is contiguous from 0 (HF build_alibi_tensor uses the same trick).
+    """
+    s = slopes.astype(jnp.float32).reshape(num_kv_heads, -1)
+    return s[:, :, None, None] * key_pos.astype(jnp.float32)
 
 
 def _group_query(q: jnp.ndarray, num_kv_heads: int):
@@ -52,7 +96,9 @@ def _softcap(scores: jnp.ndarray, cap):
 
 def prefill_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                       scale: float, q_len: jnp.ndarray | int,
-                      softcap: float | None = None) -> jnp.ndarray:
+                      softcap: float | None = None,
+                      alibi_slopes: jnp.ndarray | None = None
+                      ) -> jnp.ndarray:
     """Causal self-attention for one (padded) prompt.
 
     q: [T, H, d], k/v: [T, Hkv, d]; positions beyond ``q_len`` are padding.
@@ -63,6 +109,9 @@ def prefill_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     scores = _softcap(
         jnp.einsum("tkgd,skd->kgts", qg.astype(jnp.float32),
                    k.astype(jnp.float32)) * scale, softcap)
+    if alibi_slopes is not None:
+        scores = scores + _alibi_bias(alibi_slopes, k.shape[1],
+                                      jnp.arange(t))
     pos = jnp.arange(t)
     causal = pos[:, None] >= pos[None, :]
     valid = pos[None, :] < q_len
@@ -75,7 +124,9 @@ def pruned_prefill_attention(q: jnp.ndarray, k_kept: jnp.ndarray,
                              v_kept: jnp.ndarray, scale: float,
                              q_len: jnp.ndarray | int,
                              kept_len: jnp.ndarray | int,
-                             softcap: float | None = None) -> jnp.ndarray:
+                             softcap: float | None = None,
+                             alibi_slopes: jnp.ndarray | None = None
+                             ) -> jnp.ndarray:
     """Evict-then-attend prefill: all queries vs the pruned key set.
 
     torch.sdpa with ``is_causal=True`` on an [L, S] problem builds a
@@ -89,6 +140,11 @@ def pruned_prefill_attention(q: jnp.ndarray, k_kept: jnp.ndarray,
     scores = _softcap(
         jnp.einsum("tkgd,skd->kgts", qg.astype(jnp.float32),
                    k_kept.astype(jnp.float32)) * scale, softcap)
+    if alibi_slopes is not None:
+        # Key positions = indices in the kept set (the cache layout the
+        # decode path will also see).
+        scores = scores + _alibi_bias(alibi_slopes, k_kept.shape[1],
+                                      jnp.arange(s))
     qpos = jnp.arange(t)[:, None]
     kpos = jnp.arange(s)[None, :]
     mask = (kpos <= qpos) & (kpos < kept_len) & (qpos < q_len)
@@ -100,7 +156,9 @@ def pruned_prefill_attention(q: jnp.ndarray, k_kept: jnp.ndarray,
 def paged_decode_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
                            v_cache: jnp.ndarray, block_tables: jnp.ndarray,
                            kv_lens: jnp.ndarray, scale: float,
-                           softcap: float | None = None) -> jnp.ndarray:
+                           softcap: float | None = None,
+                           alibi_slopes: jnp.ndarray | None = None
+                           ) -> jnp.ndarray:
     """Single-token decode attention through block tables.
 
     q:            [B, H, d]
@@ -136,6 +194,13 @@ def paged_decode_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
     scores = _softcap(
         jnp.einsum("bkgd,bskd->bkgs", qg.astype(jnp.float32),
                    k.astype(jnp.float32)) * scale, softcap)
+    if alibi_slopes is not None:
+        # Key position = physical cache index (the reference CUDA paged
+        # attention kernel's alibi handling does the same; under eviction
+        # indices shift with the compacted table).
+        scores = scores + _alibi_bias(
+            alibi_slopes, num_kv,
+            jnp.arange(max_pages * page_size))[:, :, 0, :][None]
     valid = jnp.arange(max_pages * page_size)[None, :] < kv_lens[:, None]
     probs = _masked_softmax(scores, valid[:, None, None, :])
     out = jnp.einsum("bkgs,bskd->bkgd", probs, v.astype(jnp.float32))
@@ -146,7 +211,9 @@ def context_prefill_attention(q: jnp.ndarray, k_ctx: jnp.ndarray,
                               v_ctx: jnp.ndarray, k_chunk: jnp.ndarray,
                               v_chunk: jnp.ndarray, scale: float,
                               q_len, ctx_len,
-                              softcap: float | None = None) -> jnp.ndarray:
+                              softcap: float | None = None,
+                              alibi_slopes: jnp.ndarray | None = None
+                              ) -> jnp.ndarray:
     """Chunked-prefill attention: chunk queries attend to (a) all previously
     cached context tokens and (b) the chunk itself, causally.
 
@@ -174,6 +241,12 @@ def context_prefill_attention(q: jnp.ndarray, k_ctx: jnp.ndarray,
     col = jnp.arange(c + tc)[None, :]
     is_ctx = col < c
     local = col - c
+    if alibi_slopes is not None:
+        # Global key position: context rows sit at their own index, chunk
+        # rows at ctx_len + local.
+        key_pos = jnp.where(is_ctx[0], jnp.arange(c + tc),
+                            ctx_len + jnp.arange(c + tc) - c)
+        scores = scores + _alibi_bias(alibi_slopes, k.shape[1], key_pos)
     mask = jnp.where(is_ctx, col < ctx_len,
                      (local <= row) & (local < q_len)) & (row < q_len)
     probs = _masked_softmax(scores, mask[None, None])

@@ -165,6 +165,19 @@ class ModelRunner:
         self.lora_enabled = config.lora is not None
         self.is_mamba = getattr(model, "architecture", "") == "mamba"
         self.attn_backend = select_attention_backend()
+        # ALiBi models (Bloom/MPT/JAIS): additive per-head key bias, served
+        # by the jnp oracles (Pallas kernels don't take a bias yet).
+        self.alibi_slopes = None
+        if getattr(model.arch, "alibi", False):
+            from ..ops.attention import alibi_slopes as _slopes
+            self.alibi_slopes = jnp.asarray(
+                _slopes(model.arch.num_heads,
+                        getattr(model.arch, "alibi_variant", "bloom"),
+                        getattr(model.arch, "alibi_bias_max", 8.0)),
+                jnp.float32)
+            if self.attn_backend == "pallas":
+                logger.info("ALiBi model: using the jnp attention backend")
+                self.attn_backend = "jnp"
         logger.info("Attention backend: %s", self.attn_backend)
         # 64-dim-head models use the fused kernel's flat-page variant; the
         # decode/spec programs carry the pools as [L, NP, ps, Hkv*d] so
@@ -178,6 +191,8 @@ class ModelRunner:
             and (a_.num_kv_heads * a_.head_dim) % 128 == 0)
         import functools
         cap = dict(softcap=self.attn_softcap)
+        if self.alibi_slopes is not None:
+            cap["alibi_slopes"] = self.alibi_slopes
         if self.attn_backend == "pallas":
             self._paged_decode = functools.partial(
                 paged_decode_attention_pallas, **cap)

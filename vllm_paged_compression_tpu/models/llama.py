@@ -63,6 +63,8 @@ class LlamaArch:
     # --- variant flags ---
     qkv_bias: bool = False            # Qwen2: q/k/v projections carry bias
     qk_norm: bool = False             # Qwen3: per-head RMSNorm on q/k
+    qk_norm_type: str = "rms"         # "layernorm": per-head LayerNorm
+    #                                   with bias (Persimmon qk_layernorm)
     hidden_act: str = "silu"          # gemma: "gelu_tanh"
     norm_unit_offset: bool = False    # gemma RMSNorm scales by (1 + w)
     embed_scale: Optional[float] = None   # gemma: sqrt(hidden_size)
@@ -75,7 +77,9 @@ class LlamaArch:
     moe_intermediate_size: Optional[int] = None  # expert width (qwen-moe)
     moe_routing: str = "topk_softmax"  # mixtral: topk then softmax;
     #                                    "softmax_topk": softmax over all
-    #                                    logits then topk (qwen/deepseek)
+    #                                    logits then topk (qwen/deepseek);
+    #                                    "sparsemixer": PhiMoE top-2
+    moe_jitter_eps: float = 0.01       # sparsemixer router_jitter_noise
     moe_norm_topk: bool = False       # renormalize the selected weights
     moe_shared_intermediate: int = 0  # qwen-moe: dense shared expert width
     moe_shared_gate: bool = False     # qwen-moe: sigmoid gate on shared out
@@ -95,6 +99,7 @@ class LlamaArch:
     #                                   (GPT-J, Falcon-7B, Phi, Cohere)
     mlp_gated: bool = True            # False: up -> act -> down (no gate)
     mlp_bias: bool = False            # biases on the MLP projections
+    mlp_down_bias: bool = False       # bias on down_proj ONLY (TeleChat2)
     o_bias: bool = False              # bias on the attention out projection
     lm_head_bias: bool = False        # GPT-J ships an lm_head bias
     partial_rotary_factor: float = 1.0  # rope on the first rot_dim dims only
@@ -748,6 +753,296 @@ class JaisArch(LlamaArch):
                                       f".self_attn.{name}_proj.")] = \
                             v[j * d:(j + 1) * d]
                     continue
+            out[k] = v
+        return out
+
+
+@dataclass
+class PersimmonArch(LlamaArch):
+    """Persimmon (reference vllm/model_executor/models/persimmon.py):
+    biased LayerNorms, per-head-interleaved fused QKV with bias, per-head
+    q/k LayerNorm (with bias), partial rotary, squared-ReLU non-gated MLP,
+    untied head.  (Fuyu's language backbone.)"""
+
+    @classmethod
+    def from_hf_config(cls, cfg: dict) -> "PersimmonArch":
+        a = super().from_hf_config(cfg)
+        a.norm_type = "layernorm"
+        a.norm_bias = True
+        a.mlp_gated = False
+        a.hidden_act = "relu2"
+        a.qkv_bias = a.o_bias = a.mlp_bias = True
+        a.partial_rotary_factor = cfg.get("partial_rotary_factor", 0.5)
+        a.rms_norm_eps = cfg.get("layer_norm_eps", 1e-5)
+        if cfg.get("qk_layernorm", True):
+            a.qk_norm = True
+            a.qk_norm_type = "layernorm"
+        return a
+
+    def canonicalize_hf(self, tensors: dict) -> dict:
+        h, d = self.num_heads, self.head_dim
+        out = {}
+        for k, v in tensors.items():
+            k = k.replace("model.final_layernorm.", "model.norm.")
+            k = k.replace(".self_attn.dense.", ".self_attn.o_proj.")
+            k = k.replace(".self_attn.q_layernorm.", ".self_attn.q_norm.")
+            k = k.replace(".self_attn.k_layernorm.", ".self_attn.k_norm.")
+            k = k.replace(".mlp.dense_h_to_4h.", ".mlp.up_proj.")
+            k = k.replace(".mlp.dense_4h_to_h.", ".mlp.down_proj.")
+            if ".self_attn.query_key_value." in k:
+                # Per-head (q, k, v) interleave (HF
+                # PersimmonAttention._split_heads views [.., H, 3, d]).
+                v = np.asarray(v)
+                parts = v.reshape(h, 3, d, *v.shape[1:])
+                for j, name in enumerate(("q", "k", "v")):
+                    out[k.replace(".self_attn.query_key_value.",
+                                  f".self_attn.{name}_proj.")] = \
+                        parts[:, j].reshape(h * d, *v.shape[1:])
+                continue
+            out[k] = v
+        return out
+
+
+@dataclass
+class ChatGLMArch(LlamaArch):
+    """ChatGLM2/3 / GLM-4 (trust-remote-code lineage) (reference
+    vllm/model_executor/models/chatglm.py): RMSNorm, fused biased QKV with
+    grouped MQA, half-dim interleaved rotary (base 10000*rope_ratio),
+    SwiGLU with a fused [gate|up] dense_h_to_4h."""
+
+    @classmethod
+    def from_hf_config(cls, cfg: dict) -> "ChatGLMArch":
+        heads = cfg["num_attention_heads"]
+        hidden = cfg["hidden_size"]
+        head_dim = cfg.get("kv_channels") or hidden // heads
+        a = cls(
+            vocab_size=cfg.get("padded_vocab_size") or cfg["vocab_size"],
+            hidden_size=hidden,
+            intermediate_size=cfg["ffn_hidden_size"],
+            num_layers=cfg["num_layers"],
+            num_heads=heads,
+            num_kv_heads=(cfg.get("multi_query_group_num", heads)
+                          if cfg.get("multi_query_attention") else heads),
+            head_dim=head_dim,
+            rms_norm_eps=cfg.get("layernorm_epsilon", 1e-5),
+            rope_theta=10000.0 * cfg.get("rope_ratio", 1.0),
+            tie_word_embeddings=False,
+            max_position_embeddings=cfg.get("seq_length", 8192),
+        )
+        if not cfg.get("rmsnorm", True):
+            a.norm_type = "layernorm"
+            a.norm_bias = True
+        a.qkv_bias = cfg.get("add_qkv_bias",
+                             cfg.get("add_bias_linear", False))
+        a.o_bias = cfg.get("add_bias_linear", False)
+        a.mlp_bias = cfg.get("add_bias_linear", False)
+        a.partial_rotary_factor = 0.5
+        a.rope_interleaved = True      # is_neox_style=False in reference
+        return a
+
+    def canonicalize_hf(self, tensors: dict) -> dict:
+        q_sz = self.num_heads * self.head_dim
+        kv_sz = self.num_kv_heads * self.head_dim
+        ff = self.intermediate_size
+        out = {}
+        for k, v in tensors.items():
+            k = k.replace("transformer.embedding.word_embeddings.weight",
+                          "model.embed_tokens.weight")
+            k = k.replace("transformer.encoder.final_layernorm.",
+                          "model.norm.")
+            k = k.replace("transformer.output_layer.weight",
+                          "lm_head.weight")
+            if k.startswith("transformer.encoder.layers."):
+                k = "model.layers." + \
+                    k[len("transformer.encoder.layers."):]
+                k = k.replace(".self_attention.dense.",
+                              ".self_attn.o_proj.")
+                k = k.replace(".mlp.dense_4h_to_h.", ".mlp.down_proj.")
+                if ".self_attention.query_key_value." in k:
+                    v = np.asarray(v)
+                    splits = {"q": v[:q_sz], "k": v[q_sz:q_sz + kv_sz],
+                              "v": v[q_sz + kv_sz:]}
+                    for name, part in splits.items():
+                        out[k.replace(".self_attention.query_key_value.",
+                                      f".self_attn.{name}_proj.")] = part
+                    continue
+                if ".mlp.dense_h_to_4h." in k:
+                    # Fused [gate | up] (ChatGLM swiglu chunks in halves,
+                    # silu on the FIRST half).
+                    v = np.asarray(v)
+                    out[k.replace(".mlp.dense_h_to_4h.",
+                                  ".mlp.gate_proj.")] = v[:ff]
+                    out[k.replace(".mlp.dense_h_to_4h.",
+                                  ".mlp.up_proj.")] = v[ff:]
+                    continue
+            out[k] = v
+        return out
+
+
+@dataclass
+class TeleChat2Arch(LlamaArch):
+    """TeleChat2 (reference vllm/model_executor/models/telechat2.py):
+    Llama trunk with biases ONLY on o_proj and down_proj; separate query +
+    per-head-interleaved fused key_value checkpoints."""
+
+    @classmethod
+    def from_hf_config(cls, cfg: dict) -> "TeleChat2Arch":
+        heads = cfg.get("n_head") or cfg.get("num_attention_heads")
+        hidden = cfg["hidden_size"]
+        a = cls(
+            vocab_size=cfg["vocab_size"],
+            hidden_size=hidden,
+            intermediate_size=cfg.get("ffn_hidden_size")
+            or cfg.get("intermediate_size"),
+            num_layers=cfg.get("n_layer") or cfg.get("num_hidden_layers"),
+            num_heads=heads,
+            num_kv_heads=cfg.get("num_key_value_heads", heads),
+            head_dim=hidden // heads,
+            rms_norm_eps=cfg.get("layer_norm_epsilon",
+                                 cfg.get("rms_norm_eps", 1e-5)),
+            rope_theta=cfg.get("rope_theta", 10000.0),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            max_position_embeddings=cfg.get("seq_length", 8192),
+        )
+        a.o_bias = True
+        a.mlp_down_bias = True
+        return a
+
+    def canonicalize_hf(self, tensors: dict) -> dict:
+        h, d = self.num_heads, self.head_dim
+        out = {}
+        for k, v in tensors.items():
+            k = k.replace("transformer.word_embeddings.weight",
+                          "model.embed_tokens.weight")
+            k = k.replace("transformer.ln_f.", "model.norm.")
+            if k.startswith("transformer.h."):
+                k = "model.layers." + k[len("transformer.h."):]
+                k = k.replace(".self_attention.dense.",
+                              ".self_attn.o_proj.")
+                k = k.replace(".self_attention.query.",
+                              ".self_attn.q_proj.")
+                if ".self_attention.key_value." in k:
+                    # (k, v) interleaved per head (reference
+                    # telechat2.py:60-68 degroups the same way).
+                    v = np.asarray(v)
+                    parts = v.reshape(h, 2, d, *v.shape[1:])
+                    for j, name in enumerate(("k", "v")):
+                        out[k.replace(".self_attention.key_value.",
+                                      f".self_attn.{name}_proj.")] = \
+                            parts[:, j].reshape(h * d, *v.shape[1:])
+                    continue
+            out[k] = v
+        return out
+
+
+@dataclass
+class MiniCPM3Arch(LlamaArch):
+    """MiniCPM3 (reference vllm/model_executor/models/minicpm3.py):
+    DeepSeek-style MLA attention (always q-LoRA) with NEOX-style rope on
+    the decoupled rope dims, plus MiniCPM's μ-param scalings."""
+
+    @classmethod
+    def from_hf_config(cls, cfg: dict) -> "MiniCPM3Arch":
+        num_heads = cfg["num_attention_heads"]
+        nope = cfg["qk_nope_head_dim"]
+        rope = cfg["qk_rope_head_dim"]
+        qk_head_dim = nope + rope
+        a = cls(
+            vocab_size=cfg["vocab_size"],
+            hidden_size=cfg["hidden_size"],
+            intermediate_size=cfg["intermediate_size"],
+            num_layers=cfg["num_hidden_layers"],
+            num_heads=num_heads,
+            num_kv_heads=num_heads,
+            head_dim=qk_head_dim,
+            rms_norm_eps=cfg.get("rms_norm_eps", 1e-6),
+            rope_theta=cfg.get("rope_theta", 10000.0),
+            rope_scaling=cfg.get("rope_scaling"),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            max_position_embeddings=cfg.get("max_position_embeddings",
+                                            8192),
+        )
+        a.attn_type = "mla"
+        a.q_lora_rank = cfg["q_lora_rank"]
+        a.kv_lora_rank = cfg["kv_lora_rank"]
+        a.qk_nope_head_dim = nope
+        a.qk_rope_head_dim = rope
+        a.v_head_dim = cfg.get("v_head_dim",
+                               cfg["hidden_size"] // num_heads)
+        a.partial_rotary_factor = rope / qk_head_dim
+        a.rope_interleaved = False     # get_rope default neox style
+        a.query_pre_attn_scalar = qk_head_dim
+        se = cfg.get("scale_emb", 1.0)
+        if se != 1.0:
+            a.embed_scale = se
+        sd = cfg.get("scale_depth")
+        if sd is not None:
+            a.residual_multiplier = sd / (a.num_layers ** 0.5)
+        dmb = cfg.get("dim_model_base")
+        if dmb is not None and dmb != a.hidden_size:
+            a.logit_scale = dmb / a.hidden_size
+        return a
+
+
+@dataclass
+class PhiMoEArch(LlamaArch):
+    """PhiMoE / Phi-3.5-MoE (reference
+    vllm/model_executor/models/phimoe.py): Mixtral checkpoint layout with
+    biased LayerNorms, biased qkv/o/lm_head, and the sparsemixer top-2
+    router."""
+
+    @classmethod
+    def from_hf_config(cls, cfg: dict) -> "PhiMoEArch":
+        a = super().from_hf_config(cfg)
+        a.norm_type = "layernorm"
+        a.norm_bias = True
+        a.qkv_bias = cfg.get("attention_bias", True)
+        a.o_bias = cfg.get("attention_bias", True)
+        a.lm_head_bias = cfg.get("lm_head_bias", True)
+        a.num_experts = cfg.get("num_local_experts", 16)
+        a.num_experts_per_tok = cfg.get("num_experts_per_tok", 2)
+        a.moe_routing = "sparsemixer"
+        a.moe_jitter_eps = cfg.get("router_jitter_noise", 0.01)
+        if cfg.get("rope_scaling"):
+            raise NotImplementedError("PhiMoE longrope scaling")
+        return a
+
+
+@dataclass
+class DeciLMArch(LlamaArch):
+    """DeciLM (reference vllm/model_executor/models/decilm.py): Llama
+    with VARIABLE grouped-query attention per layer.  Served uniformly at
+    max(num_key_value_heads_per_layer) by replicating each layer's KV
+    head weights — exact, since duplicated KV heads attend identically
+    (the reference's _degroup_weight does the same)."""
+
+    kv_heads_per_layer: tuple = ()
+
+    @classmethod
+    def from_hf_config(cls, cfg: dict) -> "DeciLMArch":
+        a = super().from_hf_config(cfg)
+        per_layer = cfg.get("num_key_value_heads_per_layer")
+        if per_layer:
+            a.kv_heads_per_layer = tuple(per_layer)
+            a.num_kv_heads = max(per_layer)
+        return a
+
+    def canonicalize_hf(self, tensors: dict) -> dict:
+        if not self.kv_heads_per_layer:
+            return tensors
+        d = self.head_dim
+        out = {}
+        for k, v in tensors.items():
+            if (".self_attn.k_proj." in k or ".self_attn.v_proj." in k) \
+                    and "model.layers." in k:
+                li = int(k.split("model.layers.")[1].split(".")[0])
+                reps = self.num_kv_heads // self.kv_heads_per_layer[li]
+                if reps > 1:
+                    v = np.asarray(v)
+                    kvh = self.kv_heads_per_layer[li]
+                    v = np.repeat(v.reshape(kvh, d, *v.shape[1:]), reps,
+                                  axis=0).reshape(self.num_kv_heads * d,
+                                                  *v.shape[1:])
             out[k] = v
         return out
 
@@ -1754,9 +2049,14 @@ class LlamaModel:
             if a.mlp_bias:
                 layers["b_gate_up"] = w(n, mlp_out)
                 layers["b_down"] = w(n, a.hidden_size)
+            elif a.mlp_down_bias:
+                layers["b_down"] = w(n, a.hidden_size)
             if a.qk_norm:
                 layers["q_norm"] = ones((n, a.head_dim))
                 layers["k_norm"] = ones((n, a.head_dim))
+                if a.qk_norm_type == "layernorm":
+                    layers["q_norm_b"] = w(n, a.head_dim)
+                    layers["k_norm_b"] = w(n, a.head_dim)
             elif a.qk_norm_flat:
                 layers["q_norm"] = ones((n, a.num_heads * a.head_dim))
                 layers["k_norm"] = ones((n, a.num_kv_heads * a.head_dim))
@@ -1871,7 +2171,7 @@ class LlamaModel:
             wqkv, bqkv, wo, gate_up, down, router = [], [], [], [], [], []
             bo, b_gate_up, b_down = [], [], []
             ws_gu, ws_dn, ws_g = [], [], []
-            qn, kn = [], []
+            qn, kn, qnb, knb = [], [], [], []
             in_n, post_n, pao_n, pff_n = [], [], [], []
             in_nb, post_nb = [], []
             for i in range(lo, hi):
@@ -1964,9 +2264,14 @@ class LlamaModel:
                     else:
                         b_gate_up.append(t(p + "mlp.up_proj.bias"))
                     b_down.append(t(p + "mlp.down_proj.bias"))
+                elif a.mlp_down_bias:
+                    b_down.append(t(p + "mlp.down_proj.bias"))
                 if a.qk_norm or a.qk_norm_flat:
                     qn.append(t(p + "self_attn.q_norm.weight"))
                     kn.append(t(p + "self_attn.k_norm.weight"))
+                if a.qk_norm and a.qk_norm_type == "layernorm":
+                    qnb.append(t(p + "self_attn.q_norm.bias"))
+                    knb.append(t(p + "self_attn.k_norm.bias"))
                 wo.append(proj(p + "self_attn.o_proj.weight"))
                 if not moe:
                     down.append(proj(p + "mlp.down_proj.weight"))
@@ -2001,6 +2306,8 @@ class LlamaModel:
             if a.mlp_bias:
                 layers["b_gate_up"] = stack(b_gate_up)
                 layers["b_down"] = stack(b_down)
+            elif a.mlp_down_bias:
+                layers["b_down"] = stack(b_down)
             if in_nb:
                 layers["input_norm_b"] = stack(in_nb)
             if post_nb:
@@ -2008,6 +2315,9 @@ class LlamaModel:
             if a.qk_norm or a.qk_norm_flat:
                 layers["q_norm"] = stack(qn)
                 layers["k_norm"] = stack(kn)
+            if qnb:
+                layers["q_norm_b"] = stack(qnb)
+                layers["k_norm_b"] = stack(knb)
             if moe:
                 layers["router"] = stack(router)
                 if a.moe_shared_intermediate:
@@ -2224,9 +2534,16 @@ class LlamaModel:
                 v = v2d.reshape(t, a.num_kv_heads, a.head_dim)
                 if a.qk_norm:
                     # Qwen3: per-head RMSNorm on q/k BEFORE rope (HF
-                    # Qwen3Attention applies q_norm/k_norm to head_dim).
-                    q = rms_norm(q, lp["q_norm"], a.rms_norm_eps)
-                    k = rms_norm(k, lp["k_norm"], a.rms_norm_eps)
+                    # Qwen3Attention applies q_norm/k_norm to head_dim);
+                    # Persimmon uses a per-head LayerNorm with bias.
+                    if a.qk_norm_type == "layernorm":
+                        q = layer_norm(q, lp["q_norm"], lp["q_norm_b"],
+                                       a.rms_norm_eps)
+                        k = layer_norm(k, lp["k_norm"], lp["k_norm_b"],
+                                       a.rms_norm_eps)
+                    else:
+                        q = rms_norm(q, lp["q_norm"], a.rms_norm_eps)
+                        k = rms_norm(k, lp["k_norm"], a.rms_norm_eps)
                 if a.use_rope:
                     q, k = apply_rope(q, k, cos, sin, rot_dim=a.rot_dim,
                                       interleaved=a.rope_interleaved)
@@ -2284,6 +2601,33 @@ class LlamaModel:
                         rw = rw / (jnp.sum(rw, axis=-1, keepdims=True)
                                    + 1e-20)
                     rw = rw * a.moe_routed_scaling
+                elif a.moe_routing == "sparsemixer":
+                    # PhiMoE inference-time sparsemixer (HF
+                    # modeling_phimoe.sparsemixer, training=False): pick
+                    # argmax, weight = softmax over the near-max set
+                    # ((max - s)/max(|s|, max) <= 2*jitter_eps); mask the
+                    # winner out and repeat for the second expert.
+                    eps2 = 2.0 * a.moe_jitter_eps
+                    ninf = jnp.float32(-jnp.inf)
+
+                    def pick(sel_from, ref_scores):
+                        m = jnp.max(sel_from, axis=-1, keepdims=True)
+                        e = jnp.argmax(sel_from, axis=-1)
+                        factor = jnp.maximum(jnp.abs(ref_scores), m)
+                        far = (m - ref_scores) / factor > eps2
+                        g = jax.nn.softmax(
+                            jnp.where(far, ninf, sel_from), axis=-1)
+                        w_ = jnp.take_along_axis(g, e[..., None],
+                                                 axis=-1)
+                        return e, w_
+
+                    e1, w1 = pick(router_logits, router_logits)
+                    masked = jnp.where(
+                        jax.nn.one_hot(e1, a.num_experts, dtype=bool),
+                        ninf, router_logits)
+                    e2, w2 = pick(masked, router_logits)
+                    topi = jnp.stack([e1, e2], axis=-1)
+                    rw = jnp.concatenate([w1, w2], axis=-1)
                 elif a.moe_routing == "softmax_topk":
                     probs = jax.nn.softmax(router_logits, axis=-1)
                     if a.moe_topk_method == "group_limited_greedy":
@@ -2344,7 +2688,7 @@ class LlamaModel:
                     gated = act(gate_up)
                 mlp_res = with_lora(matmul(gated, lp["w_down"]),
                                     "w_down", gated)
-                if a.mlp_bias:
+                if a.mlp_bias or a.mlp_down_bias:
                     mlp_res = mlp_res + lp["b_down"]
             if a.sandwich_norms:
                 mlp_res = norm(mlp_res, lp["post_ffw_norm"])

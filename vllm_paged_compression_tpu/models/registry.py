@@ -20,11 +20,13 @@ def register_model(hf_arch: str):
 def _ensure_builtin():
     if _REGISTRY:
         return
-    from .llama import (BaichuanArch, BloomArch, CohereArch, DbrxArch,
+    from .llama import (BaichuanArch, BloomArch, ChatGLMArch, CohereArch,
+                        DbrxArch, DeciLMArch,
                         DeepseekV1Arch,
                         DeepseekV2Arch, DeepseekV3Arch,
                         ExaoneArch,
-                        FalconArch, GPTBigCodeArch, JaisArch, MptArch,
+                        FalconArch, GPTBigCodeArch, JaisArch, MiniCPM3Arch,
+                        MptArch, PersimmonArch, PhiMoEArch, TeleChat2Arch,
                         Gemma2Arch, GemmaArch, Glm4Arch, GlmArch,
                         GPTJArch, GPTNeoXArch, GraniteArch, GraniteMoeArch,
                         InternLM2Arch, InternLMArch, LlamaArch, LlamaModel,
@@ -92,6 +94,15 @@ def _ensure_builtin():
         "MPTForCausalLM": (LlamaModel, MptArch),
         "GPTBigCodeForCausalLM": (LlamaModel, GPTBigCodeArch),
         "JAISLMHeadModel": (LlamaModel, JaisArch),
+        "PersimmonForCausalLM": (LlamaModel, PersimmonArch),
+        "ChatGLMForCausalLM": (LlamaModel, ChatGLMArch),
+        "ChatGLMModel": (LlamaModel, ChatGLMArch),
+        "ChatGLMForConditionalGeneration": (LlamaModel, ChatGLMArch),
+        "TeleChat2ForCausalLM": (LlamaModel, TeleChat2Arch),
+        "MiniCPM3ForCausalLM": (LlamaModel, MiniCPM3Arch),
+        "PhimoeForCausalLM": (LlamaModel, PhiMoEArch),
+        "PhiMoEForCausalLM": (LlamaModel, PhiMoEArch),
+        "DeciLMForCausalLM": (LlamaModel, DeciLMArch),
     })
 
 

@@ -331,6 +331,9 @@ class LLMEngine:
                     prompt_adapter_request=None) -> str:
         if getattr(self, "encode_only", False):
             raise ValueError("encoder-only model: use encode()/classify()")
+        if getattr(self.model.arch, "head_type", "none") != "none":
+            raise ValueError("pooling-task model (classifier/reward head, "
+                             "no lm_head): use classify()")
         if request_id is None:
             request_id = f"req-{self._req_counter}"
             self._req_counter += 1
@@ -753,8 +756,12 @@ class LLMEngine:
         import numpy as np
 
         from ..utils import next_bucket
-        if not getattr(self, "encode_only", False) \
-                or not self.model.arch.num_labels:
+        if not getattr(self, "encode_only", False):
+            if getattr(self.model.arch, "head_type", "none") != "none":
+                return self._classify_decoder(prompt_token_ids)
+            raise ValueError("classify() needs a sequence-classification "
+                             "model")
+        if not self.model.arch.num_labels:
             raise ValueError("classify() needs a sequence-classification "
                              "encoder model")
         buckets = self._encoder_buckets()
@@ -774,6 +781,49 @@ class LLMEngine:
             out.append(np.asarray(fn(self.params, toks,
                                      np.int32(len(ids)),
                                      token_type_ids=tts)))
+        return out
+
+    def _classify_decoder(self, prompt_token_ids: list[list[int]]):
+        """Pooling-task heads on a decoder trunk (reference qwen2_cls.py:
+        LAST pooling; qwen2_rm.py: ALL pooling).  "cls" returns per-sequence
+        label logits [num_labels]; "reward" returns per-token values
+        [len, num_labels]."""
+        import functools
+
+        import jax
+        import numpy as np
+
+        from ..ops.attention import prefill_attention
+        from ..utils import next_bucket
+        model, params = self.model, self.params
+        head_type = model.arch.head_type
+        scale = getattr(model.arch, "attn_scale",
+                        model.arch.head_dim ** -0.5)
+        cache = getattr(self, "_encoder_jits", None)
+        if cache is None:
+            cache = self._encoder_jits = {}
+
+        def make(l_pad):
+            def fn(params, tokens, length):
+                h, _ = model.forward_hidden(
+                    params, tokens, jnp.arange(l_pad),
+                    lambda q, k, v, s: (prefill_attention(
+                        q, k, v, scale, length), s))
+                if head_type == "cls":
+                    return model.head_forward(params, h[length - 1])
+                return model.head_forward(params, h)
+            return jax.jit(fn)
+
+        out = []
+        for ids in prompt_token_ids:
+            l_pad = next_bucket(len(ids), self.runner.prefill_buckets)
+            key = ("dec_head", l_pad)
+            if key not in cache:
+                cache[key] = make(l_pad)
+            toks = np.zeros(l_pad, np.int32)
+            toks[:len(ids)] = ids
+            res = np.asarray(cache[key](params, toks, np.int32(len(ids))))
+            out.append(res if head_type == "cls" else res[:len(ids)])
         return out
 
     def encode(self, prompt_token_ids: list[list[int]],

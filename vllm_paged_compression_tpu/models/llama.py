@@ -128,6 +128,13 @@ class LlamaArch:
     qk_nope_head_dim: int = 0
     qk_rope_head_dim: int = 0
     v_head_dim: Optional[int] = None  # < head_dim: v padded in the cache
+    # --- pooling-task heads (reference qwen2_cls.py / qwen2_rm.py):
+    # a decoder trunk served as a classifier / reward model instead of a
+    # generator.  "cls": score.weight [num_labels, D], last-token pooled.
+    # "reward": score.{0,2} two-layer ReLU MLP -> per-token values (ALL
+    # pooling).  These checkpoints ship no lm_head.
+    head_type: str = "none"           # | "cls" | "reward"
+    num_labels: int = 0
     # --- DeepSeek-MoE extensions ---
     first_k_dense: int = 0            # dense layers before the MoE stack
     moe_topk_method: str = "greedy"   # | "group_limited_greedy"
@@ -2087,6 +2094,13 @@ class LlamaModel:
             params["embed_ln_b"] = w(a.hidden_size)
         if a.norm_type == "layernorm" and a.norm_bias:
             params["final_norm_b"] = w(a.hidden_size)
+        if a.head_type == "cls":
+            params["score"] = w(a.hidden_size, a.num_labels)
+        elif a.head_type == "reward":
+            params["score_w0"] = w(a.hidden_size, a.hidden_size)
+            params["score_b0"] = w(a.hidden_size)
+            params["score_w1"] = w(a.hidden_size, a.num_labels)
+            params["score_b1"] = w(a.num_labels)
         if not a.tie_word_embeddings:
             params["lm_head"] = w(a.hidden_size, a.vocab_size)
             if a.lm_head_bias:
@@ -2142,6 +2156,14 @@ class LlamaModel:
         Phi, InternLM2, Baichuan, StarCoder2) are first renamed/unpacked to
         the canonical Llama names by their arch's ``canonicalize_hf``."""
         a = self.arch
+        if ("model.embed_tokens.weight" not in tensors
+                and "embed_tokens.weight" in tensors):
+            # Bare-trunk checkpoints (HF AutoModel: LlamaModel/MistralModel/
+            # Qwen2Model embedding variants — reference registry.py maps
+            # "*Model" to the same decoder impls) store weights without the
+            # "model." prefix; normalize to the ForCausalLM layout.
+            tensors = {k if k.startswith(("lm_head", "score", "v_head"))
+                       else "model." + k: v for k, v in tensors.items()}
         tensors = a.canonicalize_hf(tensors)
         if a.attn_type == "mla":
             return self._load_hf_deepseek(tensors, as_numpy)
@@ -2345,10 +2367,23 @@ class LlamaModel:
             params["embed_ln_b"] = leaf(t("model.embed_ln.bias"))
         if a.norm_type == "layernorm" and a.norm_bias:
             params["final_norm_b"] = leaf(t("model.norm.bias"))
+        if a.head_type == "cls":
+            params["score"] = leaf(proj("score.weight"))
+        elif a.head_type == "reward":
+            params["score_w0"] = leaf(proj("score.0.weight"))
+            params["score_b0"] = leaf(t("score.0.bias"))
+            params["score_w1"] = leaf(proj("score.2.weight"))
+            params["score_b1"] = leaf(t("score.2.bias"))
         if not a.tie_word_embeddings:
-            params["lm_head"] = leaf(t("lm_head.weight").T)
-            if a.lm_head_bias:
-                params["lm_head_b"] = leaf(t("lm_head.bias"))
+            if "lm_head.weight" not in tensors:
+                # Pooling-task and bare-trunk embedding checkpoints ship no
+                # lm_head; fall back to tied embeddings (the head / pooled
+                # hidden replaces it functionally).
+                params["lm_head"] = leaf(t("model.embed_tokens.weight").T)
+            else:
+                params["lm_head"] = leaf(t("lm_head.weight").T)
+                if a.lm_head_bias:
+                    params["lm_head_b"] = leaf(t("lm_head.bias"))
         return params
 
     # ---- forward --------------------------------------------------------
@@ -2781,6 +2816,23 @@ class LlamaModel:
         if cap is not None:
             y = (cap * jnp.tanh(y.astype(jnp.float32) / cap)).astype(y.dtype)
         return y
+
+    def head_forward(self, params: dict, hidden: jnp.ndarray) -> jnp.ndarray:
+        """Pooling-task head on final hidden states [*, D] -> [*, num_labels]
+        (reference qwen2_cls.py score RowParallelLinear; qwen2_rm.py score
+        Sequential(Linear, ReLU, Linear))."""
+        a = self.arch
+        h = hidden.astype(jnp.float32)
+        if a.head_type == "cls":
+            return h @ params["score"].astype(jnp.float32)
+        if a.head_type == "reward":
+            x = jnp.maximum(
+                h @ params["score_w0"].astype(jnp.float32)
+                + params["score_b0"].astype(jnp.float32), 0.0)
+            return (x @ params["score_w1"].astype(jnp.float32)
+                    + params["score_b1"].astype(jnp.float32))
+        raise ValueError(f"model has no pooling head (head_type="
+                         f"{a.head_type!r})")
 
     # ---- sizing ---------------------------------------------------------
 

@@ -103,19 +103,46 @@ def _ensure_builtin():
         "PhimoeForCausalLM": (LlamaModel, PhiMoEArch),
         "PhiMoEForCausalLM": (LlamaModel, PhiMoEArch),
         "DeciLMForCausalLM": (LlamaModel, DeciLMArch),
+        # Bare-trunk / embedding variants (reference registry.py
+        # _EMBEDDING_MODELS maps "*Model" names to the decoder impls; the
+        # engine serves them through encode()).  GritLM is a Mistral
+        # checkpoint served for both generate and embed
+        # (vllm/model_executor/models/gritlm.py).
+        "LlamaModel": (LlamaModel, LlamaArch),
+        "MistralModel": (LlamaModel, LlamaArch),
+        "Qwen2Model": (LlamaModel, Qwen2Arch),
+        "Qwen2EmbeddingModel": (LlamaModel, Qwen2Arch),
+        "Gemma2Model": (LlamaModel, Gemma2Arch),
+        "GritLM": (LlamaModel, LlamaArch),
+        # InternLM2-VE ("visual expert": a second MLP branch applied to
+        # image tokens, vllm/model_executor/models/internlm2_ve.py) — the
+        # text path is exactly InternLM2, which is what text-only serving
+        # exercises.
+        "InternLM2VEForCausalLM": (LlamaModel, InternLM2Arch),
     })
 
 
 def supported_architectures() -> list[str]:
     _ensure_builtin()
-    return sorted(set(_REGISTRY) | set(_BERT_ARCHS)
+    return sorted(set(_REGISTRY) | set(_BERT_ARCHS) | set(_POOLING_HEADS)
                   | {"LlavaForConditionalGeneration",
                      "MambaForCausalLM", "FalconMambaForCausalLM"})
 
 
+# Decoder trunks served as pooling-task models (reference qwen2_cls.py /
+# qwen2_rm.py): arch name -> (base arch registry key, head_type).
+_POOLING_HEADS = {
+    "Qwen2ForSequenceClassification": ("Qwen2ForCausalLM", "cls"),
+    "Qwen2ForRewardModel": ("Qwen2ForCausalLM", "reward"),
+    "LlamaForSequenceClassification": ("LlamaForCausalLM", "cls"),
+}
+
+
 _BERT_ARCHS = {
     "BertModel": (False, False), "BertForMaskedLM": (False, False),
+    "BertEmbeddingModel": (False, False),
     "RobertaModel": (True, False), "XLMRobertaModel": (True, False),
+    "RobertaForMaskedLM": (True, False),
     "BertForSequenceClassification": (False, True),
     "RobertaForSequenceClassification": (True, True),
     "XLMRobertaForSequenceClassification": (True, True),
@@ -144,6 +171,14 @@ def build_model(hf_config: dict, dtype=jnp.bfloat16):
                             or (1 if classifier else 0))
                 if classifier else 0)
             return BertModel(arch, dtype=dtype)
+        if name in _POOLING_HEADS:
+            base, head_type = _POOLING_HEADS[name]
+            model_cls, arch_cls = _REGISTRY[base]
+            arch = arch_cls.from_hf_config(hf_config)
+            arch.head_type = head_type
+            arch.num_labels = (len(hf_config.get("id2label") or [])
+                               or hf_config.get("num_labels") or 1)
+            return model_cls(arch, dtype=dtype)
         if name in _REGISTRY:
             model_cls, arch_cls = _REGISTRY[name]
             return model_cls(arch_cls.from_hf_config(hf_config), dtype=dtype)

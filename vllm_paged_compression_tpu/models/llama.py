@@ -84,6 +84,13 @@ class LlamaArch:
     moe_shared_intermediate: int = 0  # qwen-moe: dense shared expert width
     moe_shared_gate: bool = False     # qwen-moe: sigmoid gate on shared out
     moe_hf_style: str = "mixtral"     # checkpoint naming scheme
+    moe_layer_frequency: int = 1      # arctic: 2 = alternating dense/MoE
+    #                                   (layer i is MoE iff (i+1) % freq
+    #                                   == 0; scan runs dense+MoE PAIRS)
+    moe_parallel_residual: bool = False  # arctic use_residual: a dense
+    #                                   hidden-width MLP branch beside the
+    #                                   MoE; MoE reads the normed LAYER
+    #                                   INPUT (arctic.py:350-359)
 
     @property
     def moe_inter(self) -> int:
@@ -452,6 +459,39 @@ class OlmoeArch(LlamaArch):
         a.moe_norm_topk = cfg.get("norm_topk_prob", False)
         a.moe_hf_style = "qwen"
         return a
+
+
+@dataclass
+class ArcticArch(LlamaArch):
+    """Snowflake Arctic (reference vllm/model_executor/models/arctic.py):
+    dense-MoE hybrid — layers alternate dense MLP / 128-expert MoE
+    (moe_layer_frequency=2, arctic.py:307), and MoE layers carry a
+    parallel hidden-width residual MLP whose sibling MoE branch reads the
+    normed layer INPUT (use_residual, arctic.py:350-359).  Routing is
+    softmax-then-topk with renormalization (fused_topk, arctic.py:176-179).
+    """
+
+    @classmethod
+    def from_hf_config(cls, cfg: dict) -> "ArcticArch":
+        a = super().from_hf_config(cfg)
+        a.num_experts = cfg["num_local_experts"]
+        a.num_experts_per_tok = cfg.get("num_experts_per_tok", 1)
+        a.moe_routing = "softmax_topk"
+        a.moe_norm_topk = a.num_experts_per_tok > 1
+        a.moe_layer_frequency = cfg.get("moe_layer_frequency", 2)
+        if a.moe_layer_frequency not in (1, 2):
+            raise NotImplementedError("moe_layer_frequency must be 1 or 2")
+        a.moe_parallel_residual = cfg.get("use_residual", True)
+        return a
+
+    def canonicalize_hf(self, tensors: dict) -> dict:
+        # Dense-layer MLPs live under block_sparse_moe.mlp.w1/w3/w2
+        # (arctic.py:507-513); rename to the canonical gated-MLP names.
+        return _rename(tensors, [
+            ("block_sparse_moe.mlp.w1.", "mlp.gate_proj."),
+            ("block_sparse_moe.mlp.w3.", "mlp.up_proj."),
+            ("block_sparse_moe.mlp.w2.", "mlp.down_proj."),
+        ])
 
 
 @dataclass
@@ -2046,6 +2086,11 @@ class LlamaModel:
                     layers["ws_down"] = w(n, si, a.hidden_size)
                     if a.moe_shared_gate:
                         layers["ws_gate"] = w(n, a.hidden_size, 1)
+                if a.moe_parallel_residual:
+                    layers["res_norm"] = ones((n, a.hidden_size))
+                    layers["wr_gate_up"] = w(n, a.hidden_size,
+                                             2 * a.hidden_size)
+                    layers["wr_down"] = w(n, a.hidden_size, a.hidden_size)
             else:
                 layers["w_gate_up"] = w(n, a.hidden_size, mlp_out)
                 layers["w_down"] = w(n, a.intermediate_size, a.hidden_size)
@@ -2078,12 +2123,25 @@ class LlamaModel:
 
         # DeepSeek-V1-style dense first-k prefix on the generic (non-MLA)
         # trunk: dense layers and MoE layers form separate scan stacks.
-        kd = min(a.first_k_dense, a.num_layers) if a.num_experts else 0
-        params = {
-            "embed": w(a.vocab_size, a.hidden_size),
-            "layers": make_layers(a.num_layers - kd, bool(a.num_experts)),
-            "final_norm": ones((a.hidden_size,)),
-        }
+        # Arctic's alternating pattern (frequency 2) reuses the same two
+        # stacks, executed interleaved by forward_layers.
+        if a.num_experts and a.moe_layer_frequency == 2:
+            n_moe = a.num_layers // 2
+            params = {
+                "embed": w(a.vocab_size, a.hidden_size),
+                "layers": make_layers(n_moe, True),
+                "dense_layers": make_layers(a.num_layers - n_moe, False),
+                "final_norm": ones((a.hidden_size,)),
+            }
+            kd = 0
+        else:
+            kd = min(a.first_k_dense, a.num_layers) if a.num_experts else 0
+            params = {
+                "embed": w(a.vocab_size, a.hidden_size),
+                "layers": make_layers(a.num_layers - kd,
+                                      bool(a.num_experts)),
+                "final_norm": ones((a.hidden_size,)),
+            }
         if kd:
             params["dense_layers"] = make_layers(kd, False)
         if a.pos_embed_learned:
@@ -2189,14 +2247,15 @@ class LlamaModel:
         shared_prefix = "mlp.shared_experts." if a.moe_shared_plural \
             else "mlp.shared_expert."
 
-        def collect(lo: int, hi: int, moe: bool) -> dict:
+        def collect(idxs, moe: bool) -> dict:
             wqkv, bqkv, wo, gate_up, down, router = [], [], [], [], [], []
             bo, b_gate_up, b_down = [], [], []
             ws_gu, ws_dn, ws_g = [], [], []
+            res_n, wr_gu, wr_dn = [], [], []
             qn, kn, qnb, knb = [], [], [], []
             in_n, post_n, pao_n, pff_n = [], [], [], []
             in_nb, post_nb = [], []
-            for i in range(lo, hi):
+            for i in idxs:
                 p = f"model.layers.{i}."
                 if moe:
                     if a.moe_hf_style == "qwen":
@@ -2254,6 +2313,14 @@ class LlamaModel:
                         if a.moe_shared_gate:
                             ws_g.append(proj(
                                 p + "mlp.shared_expert_gate.weight"))
+                    if a.moe_parallel_residual:
+                        # Arctic residual_mlp (hidden-width gated MLP,
+                        # arctic.py:500-504: w13 <- w1|w3, w2).
+                        res_n.append(t(p + "residual_layernorm.weight"))
+                        wr_gu.append(np.concatenate([
+                            proj(p + "residual_mlp.w1.weight"),
+                            proj(p + "residual_mlp.w3.weight")], axis=1))
+                        wr_dn.append(proj(p + "residual_mlp.w2.weight"))
                 elif hf_fused:
                     wqkv.append(proj(p + "self_attn.qkv_proj.weight"))
                     gate_up.append(proj(p + "mlp.gate_up_proj.weight"))
@@ -2347,19 +2414,37 @@ class LlamaModel:
                     layers["ws_down"] = stack(ws_dn)
                     if a.moe_shared_gate:
                         layers["ws_gate"] = stack(ws_g)
+                if res_n:
+                    layers["res_norm"] = stack(res_n)
+                    layers["wr_gate_up"] = stack(wr_gu)
+                    layers["wr_down"] = stack(wr_dn)
             if a.sandwich_norms:
                 layers["post_attn_out_norm"] = stack(pao_n)
                 layers["post_ffw_norm"] = stack(pff_n)
             return layers
 
-        kd = min(a.first_k_dense, a.num_layers) if a.num_experts else 0
-        params = {
-            "embed": leaf(t("model.embed_tokens.weight")),
-            "layers": collect(kd, a.num_layers, bool(a.num_experts)),
-            "final_norm": leaf(t("model.norm.weight")),
-        }
-        if kd:
-            params["dense_layers"] = collect(0, kd, False)
+        if a.num_experts and a.moe_layer_frequency == 2:
+            # Arctic alternating pattern: MoE layers are the odd indices
+            # ((i+1) % 2 == 0, arctic.py:307), dense the even.
+            moe_idx = range(1, a.num_layers, 2)
+            dense_idx = range(0, a.num_layers, 2)
+            params = {
+                "embed": leaf(t("model.embed_tokens.weight")),
+                "layers": collect(moe_idx, True),
+                "dense_layers": collect(dense_idx, False),
+                "final_norm": leaf(t("model.norm.weight")),
+            }
+            kd = 0
+        else:
+            kd = min(a.first_k_dense, a.num_layers) if a.num_experts else 0
+            params = {
+                "embed": leaf(t("model.embed_tokens.weight")),
+                "layers": collect(range(kd, a.num_layers),
+                                  bool(a.num_experts)),
+                "final_norm": leaf(t("model.norm.weight")),
+            }
+            if kd:
+                params["dense_layers"] = collect(range(kd), False)
         if a.pos_embed_learned:
             params["embed_pos"] = leaf(t("model.embed_pos.weight"))
         if a.embed_ln:
@@ -2606,8 +2691,14 @@ class LlamaModel:
                 # the same (or sibling-normed) input; one residual add.
                 x = x if a.shared_input_norm else lnorm(h, "post_norm")
             else:
+                h_in = h               # pre-attention layer input
                 h = h + attn_res
                 x = h if a.postnorm else lnorm(h, "post_norm")
+            if "router" in lp and "wr_gate_up" in lp:
+                # Arctic use_residual (arctic.py:350-359): the MoE branch
+                # reads the normed LAYER INPUT, not the post-attention
+                # stream.
+                x = lnorm(h_in, "post_norm")
             if "router" in lp:
                 # Routing (HF MixtralSparseMoeBlock: topk then softmax;
                 # Qwen2/3-MoE + DeepSeek: softmax over ALL logits then
@@ -2710,6 +2801,14 @@ class LlamaModel:
                             (x @ lp["ws_gate"]).astype(jnp.float32)
                         ).astype(x.dtype)
                     mlp_res = mlp_res + s_out
+                if "wr_gate_up" in lp:
+                    # Arctic residual_mlp: hidden-width gated SiLU MLP on
+                    # the post-attention stream, summed with the MoE out.
+                    rm_in = lnorm(h, "res_norm")
+                    rgu = matmul(rm_in, lp["wr_gate_up"])
+                    rm = matmul(act(rgu[:, :a.hidden_size])
+                                * rgu[:, a.hidden_size:], lp["wr_down"])
+                    mlp_res = mlp_res + rm
             else:
                 gate_up = with_lora(matmul(x, lp["w_gate_up"]),
                                     "w_gate_up", x)
@@ -2736,6 +2835,11 @@ class LlamaModel:
             else:
                 h = h + mlp_res
             return h, new_state
+
+        if a.num_experts and a.moe_layer_frequency == 2:
+            return self._forward_interleaved(params, h, attn_state,
+                                             layer_body, state_mode,
+                                             lora)
 
         # Heterogeneous stacks (DeepSeek-MoE first_k_dense_replace): the
         # dense prefix and the MoE body have different per-layer param
@@ -2785,6 +2889,62 @@ class LlamaModel:
                 new_state = jax.tree.map(
                     lambda a_, b_: jnp.concatenate([a_, b_], axis=0),
                     ns_d, ns_m)
+        return h, new_state
+
+    def _forward_interleaved(self, params, h, attn_state, layer_body,
+                             state_mode, lora):
+        """Alternating dense/MoE stacks (Arctic moe_layer_frequency=2,
+        arctic.py:307): scan over (dense, MoE) layer PAIRS — one pair is
+        traced regardless of depth — with an unpaired trailing dense layer
+        when the layer count is odd.  Global layer indices: pair i maps to
+        layers 2i (dense) and 2i+1 (MoE)."""
+        assert lora is None, \
+            "LoRA is unsupported with alternating dense/MoE stacks"
+        dl, ml = params["dense_layers"], params["layers"]
+        np_ = jax.tree.leaves(ml)[0].shape[0]
+        tail = jax.tree.leaves(dl)[0].shape[0] - np_
+        dl_pairs = jax.tree.map(lambda x: x[:np_], dl)
+
+        if state_mode == "carry":
+            def pair_fn(carry, xs):
+                hh, state = carry
+                lpd, lpm, i = xs
+                hh, state = layer_body(hh, lpd, None, state, 2 * i)
+                hh, state = layer_body(hh, lpm, None, state, 2 * i + 1)
+                return (hh, state), None
+
+            (h, new_state), _ = jax.lax.scan(
+                pair_fn, (h, attn_state),
+                (dl_pairs, ml, jnp.arange(np_, dtype=jnp.int32)))
+            if tail:
+                h, new_state = layer_body(
+                    h, jax.tree.map(lambda x: x[np_], dl), None,
+                    new_state, jnp.int32(2 * np_))
+            return h, new_state
+
+        # scan mode: per-layer state slices interleave even (dense) / odd
+        # (MoE) along the layer axis.
+        s_d = jax.tree.map(lambda x: x[0:2 * np_:2], attn_state)
+        s_m = jax.tree.map(lambda x: x[1:2 * np_:2], attn_state)
+
+        def pair_fn(hh, xs):
+            lpd, lpm, sd, sm = xs
+            hh, nsd = layer_body(hh, lpd, None, sd)
+            hh, nsm = layer_body(hh, lpm, None, sm)
+            return hh, (nsd, nsm)
+
+        h, (ns_d, ns_m) = jax.lax.scan(pair_fn, h,
+                                       (dl_pairs, ml, s_d, s_m))
+        new_state = jax.tree.map(
+            lambda d_, m_: jnp.stack([d_, m_], 1).reshape(
+                (2 * np_,) + d_.shape[1:]), ns_d, ns_m)
+        if tail:
+            h, ns_t = layer_body(
+                h, jax.tree.map(lambda x: x[np_], dl), None,
+                jax.tree.map(lambda x: x[2 * np_], attn_state))
+            new_state = jax.tree.map(
+                lambda ab, t_: jnp.concatenate([ab, t_[None]], 0),
+                new_state, ns_t)
         return h, new_state
 
     def embed(self, params: dict, token_ids: jnp.ndarray) -> jnp.ndarray:

@@ -20,7 +20,8 @@ def register_model(hf_arch: str):
 def _ensure_builtin():
     if _REGISTRY:
         return
-    from .llama import (BaichuanArch, BloomArch, ChatGLMArch, CohereArch,
+    from .llama import (ArcticArch,
+                        BaichuanArch, BloomArch, ChatGLMArch, CohereArch,
                         DbrxArch, DeciLMArch,
                         DeepseekV1Arch,
                         DeepseekV2Arch, DeepseekV3Arch,
@@ -103,6 +104,7 @@ def _ensure_builtin():
         "PhimoeForCausalLM": (LlamaModel, PhiMoEArch),
         "PhiMoEForCausalLM": (LlamaModel, PhiMoEArch),
         "DeciLMForCausalLM": (LlamaModel, DeciLMArch),
+        "ArcticForCausalLM": (LlamaModel, ArcticArch),
         # Bare-trunk / embedding variants (reference registry.py
         # _EMBEDDING_MODELS maps "*Model" names to the decoder impls; the
         # engine serves them through encode()).  GritLM is a Mistral

@@ -53,6 +53,7 @@ class EngineArgs:
     speculative_draft_model: str = ""
     speculative_draft_window: int = 128
     speculative_heads: str = ""
+    speculative_eagle_model: str = ""
     spec_decoding_acceptance_method: str = "rejection_sampler"
     typical_acceptance_sampler_posterior_threshold: float = 0.09
     typical_acceptance_sampler_posterior_alpha: float = 0.3
@@ -116,7 +117,7 @@ class EngineArgs:
         g.add_argument("--ngram-prompt-lookup-min", type=int, default=1)
         g.add_argument("--speculative-method", type=str, default="ngram",
                        choices=["ngram", "draft", "medusa",
-                                "mlp_speculator"])
+                                "mlp_speculator", "eagle"])
         g.add_argument("--speculative-draft-model", type=str, default="",
                        help="HF path of the small draft model "
                             "(--speculative-method draft)")
@@ -135,6 +136,9 @@ class EngineArgs:
         g.add_argument("--speculative-heads", type=str, default="",
                        help="safetensors dir with Medusa / mlp_speculator "
                             "heads")
+        g.add_argument("--speculative-eagle-model", type=str, default="",
+                       help="EAGLE checkpoint dir (fc + 1-layer decoder, "
+                            "--speculative-method eagle)")
 
         g = parser.add_argument_group("parallel")
         g.add_argument("--tensor-parallel-size", "-tp", type=int, default=1)
@@ -216,6 +220,7 @@ class EngineArgs:
                 draft_model=self.speculative_draft_model,
                 draft_window=self.speculative_draft_window,
                 heads_path=self.speculative_heads,
+                eagle_model=self.speculative_eagle_model,
                 acceptance_method=self.spec_decoding_acceptance_method,
                 typical_posterior_threshold=(
                     self.typical_acceptance_sampler_posterior_threshold),

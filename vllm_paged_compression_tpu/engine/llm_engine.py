@@ -280,6 +280,29 @@ class LLMEngine:
                         seed=mc.seed + 2)
                 self.draft_proposer = MLPSpeculatorProposer(
                     self.model, self.params, hp, k, sc.draft_window)
+        if sc is not None and sc.method == "eagle":
+            # EAGLE rides on the target params (hidden extraction), so it
+            # is built after mesh placement like the head proposers.
+            from ..spec_decode.eagle import (EagleProposer, init_eagle_params,
+                                             load_hf_eagle)
+            if sc.eagle_hf_config is not None:
+                inner = dict(sc.eagle_hf_config.get("model")
+                             or sc.eagle_hf_config)
+                inner.setdefault("architectures", ["LlamaForCausalLM"])
+                eagle_model = build_model(inner, dtype=dtype)
+                eagle_params, fcp = init_eagle_params(
+                    self.model, eagle_model, seed=mc.seed + 3)
+            else:
+                logger.info("Loading EAGLE weights from %s", sc.eagle_model)
+                ecfg = load_hf_config(sc.eagle_model)
+                inner = dict(ecfg.get("model") or ecfg)
+                inner.setdefault("architectures", ["LlamaForCausalLM"])
+                eagle_model = build_model(inner, dtype=dtype)
+                eagle_params, fcp = load_hf_eagle(
+                    load_state_dict(sc.eagle_model), eagle_model)
+            self.draft_proposer = EagleProposer(
+                self.model, self.params, eagle_model, eagle_params, fcp,
+                sc.num_speculative_tokens, sc.draft_window)
         self.runner = ModelRunner(self.model, config, self.cache_engine,
                                   mesh=self.mesh)
         self.scheduler = Scheduler(config.scheduler, config.cache,

@@ -18,6 +18,11 @@ class SpeculativeConfig:
     draft_model: str = ""
     draft_hf_config: dict | None = None
     draft_window: int = 128
+    # EAGLE proposer (method="eagle"): checkpoint dir holding fc + the
+    # 1-layer feature-level decoder (reference eagle.py), or an inline hf
+    # config dict like {"model": {<llama cfg>}} for synthetic weights.
+    eagle_model: str = ""
+    eagle_hf_config: dict | None = None
     # Head-based proposers (method="medusa" | "mlp_speculator"): path to a
     # safetensors dir holding the heads (HF medusa / IBM mlp_speculator
     # naming, spec_decode/heads.py); empty => synthetic random heads
@@ -34,14 +39,18 @@ class SpeculativeConfig:
 
     def verify(self) -> None:
         if self.method not in ("ngram", "draft", "medusa",
-                               "mlp_speculator"):
+                               "mlp_speculator", "eagle"):
             raise NotImplementedError(
                 "speculative method must be one of ngram, draft, medusa, "
-                "mlp_speculator")
+                "mlp_speculator, eagle")
         if self.method == "draft" and not self.draft_model \
                 and self.draft_hf_config is None:
             raise ValueError("method='draft' needs draft_model or "
                              "draft_hf_config")
+        if self.method == "eagle" and not self.eagle_model \
+                and self.eagle_hf_config is None:
+            raise ValueError("method='eagle' needs eagle_model or "
+                             "eagle_hf_config")
         if self.num_speculative_tokens < 1:
             raise ValueError("num_speculative_tokens must be >= 1")
         if self.ngram_prompt_lookup_min < 1 or \

@@ -180,16 +180,29 @@ class MambaModel:
         dt = proj[:, :a.dt_rank]
         B = proj[:, a.dt_rank:a.dt_rank + a.d_state]
         C = proj[:, a.dt_rank + a.d_state:]
-        if a.mixer_rms_eps is not None:
-            dt = _wrms(dt, a.mixer_rms_eps)
-            B = _wrms(B, a.mixer_rms_eps)
-            C = _wrms(C, a.mixer_rms_eps)
+        dt, B, C = self._dtbc_norm(lp, dt, B, C)
         dt = jax.nn.softplus(dt @ lp["dt_w"].astype(jnp.float32)
                              + lp["dt_b"].astype(jnp.float32))  # [T, I]
         A = -jnp.exp(lp["A_log"].astype(jnp.float32))           # [I, S]
         dA = jnp.exp(dt[:, :, None] * A[None])                  # [T, I, S]
         dBx = (dt * xf)[:, :, None] * B[:, None, :]             # [T, I, S]
         return dA, dBx, C, xf
+
+    def _dtbc_norm(self, lp, dt, B, C):
+        """dt/B/C normalization variants: FalconMamba's weightless RMS
+        (mixer_rms_eps) or Jamba's weighted dt/b/c RMSNorms (HF
+        modeling_jamba JambaMambaMixer.dt_layernorm etc.)."""
+        a = self.arch
+        if "dt_norm" in lp:
+            dt = _rms(dt, lp["dt_norm"].astype(jnp.float32),
+                      a.rms_norm_eps)
+            B = _rms(B, lp["b_norm"].astype(jnp.float32), a.rms_norm_eps)
+            C = _rms(C, lp["c_norm"].astype(jnp.float32), a.rms_norm_eps)
+        elif a.mixer_rms_eps is not None:
+            dt = _wrms(dt, a.mixer_rms_eps)
+            B = _wrms(B, a.mixer_rms_eps)
+            C = _wrms(C, a.mixer_rms_eps)
+        return dt, B, C
 
     def _conv_tap(self, lp, window):
         """window [T, k, I] of the last k pre-conv inputs -> conv out
@@ -256,10 +269,7 @@ class MambaModel:
         dt = projx[:, :a.dt_rank]
         B = projx[:, a.dt_rank:a.dt_rank + a.d_state]
         C = projx[:, a.dt_rank + a.d_state:]
-        if a.mixer_rms_eps is not None:
-            dt = _wrms(dt, a.mixer_rms_eps)
-            B = _wrms(B, a.mixer_rms_eps)
-            C = _wrms(C, a.mixer_rms_eps)
+        dt, B, C = self._dtbc_norm(lp, dt, B, C)
         dt = jax.nn.softplus(dt @ lp["dt_w"].astype(jnp.float32)
                              + lp["dt_b"].astype(jnp.float32))   # [B, I]
         A = -jnp.exp(lp["A_log"].astype(jnp.float32))            # [I, S]

@@ -128,7 +128,8 @@ def supported_architectures() -> list[str]:
     _ensure_builtin()
     return sorted(set(_REGISTRY) | set(_BERT_ARCHS) | set(_POOLING_HEADS)
                   | {"LlavaForConditionalGeneration",
-                     "MambaForCausalLM", "FalconMambaForCausalLM"})
+                     "MambaForCausalLM", "FalconMambaForCausalLM",
+                     "JambaForCausalLM"})
 
 
 # Decoder trunks served as pooling-task models (reference qwen2_cls.py /
@@ -163,6 +164,10 @@ def build_model(hf_config: dict, dtype=jnp.bfloat16):
         if name in ("MambaForCausalLM", "FalconMambaForCausalLM"):
             from .mamba import MambaArch, MambaModel
             return MambaModel(MambaArch.from_hf_config(hf_config),
+                              dtype=dtype)
+        if name == "JambaForCausalLM":
+            from .jamba import JambaArch, JambaModel
+            return JambaModel(JambaArch.from_hf_config(hf_config),
                               dtype=dtype)
         if name in _BERT_ARCHS:
             from .bert import BertArch, BertModel

@@ -86,7 +86,14 @@ class CacheEngine:
             self.model = model
             self.num_pages = cache_config.num_device_blocks \
                 or config.scheduler.max_num_seqs
-            self.page_bytes = model.state_bytes_per_seq(jnp.float32)
+            self.max_model_len = config.scheduler.max_model_len
+            try:
+                # Hybrid state models (Jamba) size per-slot KV rows by the
+                # serving length.
+                self.page_bytes = model.state_bytes_per_seq(
+                    jnp.float32, max_len=self.max_model_len)
+            except TypeError:
+                self.page_bytes = model.state_bytes_per_seq(jnp.float32)
             return
         scale_bytes = (4 * self.block_size * self.num_kv_heads
                        if self.quantized_kv else 0)
@@ -139,6 +146,11 @@ class CacheEngine:
         re-chosen for TPU tiling).
         """
         if self.is_state_model:
+            if hasattr(self.model, "make_state_pools"):
+                # Hybrid state models (Jamba) own their pool layout.
+                pools = self.model.make_state_pools(self.num_pages + 1,
+                                                    self.max_model_len)
+                return pools, jnp.zeros((self.num_pages + 1,), jnp.float32)
             a = self.model.arch
             conv = jnp.zeros((self.num_layers, self.num_pages + 1,
                               a.d_inner, a.d_conv - 1), jnp.float32)

@@ -460,13 +460,19 @@ class LLMEngine:
             raise ValueError("image inputs with chunked prefill / prefix "
                              "caching are not supported yet")
         pixel_values = np.asarray(multi_modal_data["image"], np.float32)
-        va = self.model.vision.arch
-        if pixel_values.shape != (3, va.image_size, va.image_size):
-            raise ValueError(
-                f"expected pixel_values [3, {va.image_size}, "
-                f"{va.image_size}], got {pixel_values.shape}")
+        if hasattr(self.model, "validate_image"):
+            # Variable-resolution families (Fuyu): the model checks shape
+            # and derives the placeholder span from the image itself.
+            pixel_values = self.model.validate_image(pixel_values)
+            n = self.model.num_image_tokens_for(pixel_values)
+        else:
+            va = self.model.vision.arch
+            if pixel_values.shape != (3, va.image_size, va.image_size):
+                raise ValueError(
+                    f"expected pixel_values [3, {va.image_size}, "
+                    f"{va.image_size}], got {pixel_values.shape}")
+            n = self.model.num_image_tokens
         img_tok = self.model.image_token_id
-        n = self.model.num_image_tokens
         spans = [i for i, t in enumerate(prompt_token_ids) if t == img_tok]
         if len(spans) == 1:
             start = spans[0]

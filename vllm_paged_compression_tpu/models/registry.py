@@ -128,6 +128,8 @@ def supported_architectures() -> list[str]:
     _ensure_builtin()
     return sorted(set(_REGISTRY) | set(_BERT_ARCHS) | set(_POOLING_HEADS)
                   | {"LlavaForConditionalGeneration",
+                     "PaliGemmaForConditionalGeneration",
+                     "FuyuForCausalLM",
                      "MambaForCausalLM", "FalconMambaForCausalLM",
                      "JambaForCausalLM"})
 
@@ -161,6 +163,12 @@ def build_model(hf_config: dict, dtype=jnp.bfloat16):
         if name == "LlavaForConditionalGeneration":
             from .llava import LlavaModel
             return LlavaModel.from_hf_config(hf_config, dtype=dtype)
+        if name == "PaliGemmaForConditionalGeneration":
+            from .paligemma import PaliGemmaModel
+            return PaliGemmaModel.from_hf_config(hf_config, dtype=dtype)
+        if name == "FuyuForCausalLM":
+            from .fuyu import FuyuModel
+            return FuyuModel.from_hf_config(hf_config, dtype=dtype)
         if name in ("MambaForCausalLM", "FalconMambaForCausalLM"):
             from .mamba import MambaArch, MambaModel
             return MambaModel(MambaArch.from_hf_config(hf_config),

@@ -30,10 +30,24 @@ class VisionArch:
     # Llava: features from hidden layer -2, CLS token dropped.
     feature_layer: int = -2
     projector_hidden: int = 4096          # language hidden size
+    # Encoder style (reference clip.py vs siglip.py):
+    # "clip": CLS token + pre-LayerNorm, exact GELU, no patch bias.
+    # "siglip": no CLS, patch bias, final post-LayerNorm, tanh GELU,
+    #           features from the LAST layer (post-norm).
+    style: str = "clip"
+    ln_eps: float = 1e-5
+    act: str = "quick_gelu"   # CLIP default; siglip: gelu_pytorch_tanh
+    # Projector: "mlp2" (llava linear_1/gelu/linear_2), "linear"
+    # (paligemma multi_modal_projector.linear), "none" (raw features).
+    projector: str = "mlp2"
+    proj_scale: float = 1.0               # paligemma: text_hidden**-0.5
 
     @classmethod
     def from_hf_config(cls, vision_cfg: dict, text_hidden: int
                        ) -> "VisionArch":
+        style = ("siglip"
+                 if vision_cfg.get("model_type") == "siglip_vision_model"
+                 else "clip")
         return cls(
             hidden_size=vision_cfg.get("hidden_size", 1024),
             intermediate_size=vision_cfg.get("intermediate_size", 4096),
@@ -42,6 +56,12 @@ class VisionArch:
             image_size=vision_cfg.get("image_size", 336),
             patch_size=vision_cfg.get("patch_size", 14),
             projector_hidden=text_hidden,
+            style=style,
+            ln_eps=vision_cfg.get("layer_norm_eps",
+                                  1e-6 if style == "siglip" else 1e-5),
+            act=vision_cfg.get("hidden_act",
+                               "gelu_pytorch_tanh" if style == "siglip"
+                               else "quick_gelu"),
         )
 
     @property
@@ -54,6 +74,14 @@ def layer_norm(x, w, b, eps=1e-5):
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.var(xf, axis=-1, keepdims=True)
     return ((xf - mu) * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w + b
+
+
+_VIT_ACTS = {
+    "quick_gelu": lambda x: x * jax.nn.sigmoid(1.702 * x),
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+    "gelu_new": lambda x: jax.nn.gelu(x, approximate=True),
+    "gelu_pytorch_tanh": lambda x: jax.nn.gelu(x, approximate=True),
+}
 
 
 class VisionTower:
@@ -88,17 +116,32 @@ class VisionTower:
             "fc1_w": w(L, d, i), "fc1_b": zeros(L, i),
             "fc2_w": w(L, i, d), "fc2_b": zeros(L, d),
         }
-        return {
-            "patch_w": w(patch_in, d),           # conv as matmul
-            "cls": w(1, d),
-            "pos": w(a.num_patches + 1, d),
-            "pre_ln_w": ones(d), "pre_ln_b": zeros(d),
-            "layers": layers,
-            "proj1_w": w(d, a.projector_hidden),
-            "proj1_b": zeros(a.projector_hidden),
-            "proj2_w": w(a.projector_hidden, a.projector_hidden),
-            "proj2_b": zeros(a.projector_hidden),
-        }
+        params = {"patch_w": w(patch_in, d), "layers": layers}
+        if a.style == "siglip":
+            params.update({
+                "patch_b": zeros(d),
+                "pos": w(a.num_patches, d),
+                "post_ln_w": ones(d), "post_ln_b": zeros(d),
+            })
+        else:
+            params.update({
+                "cls": w(1, d),
+                "pos": w(a.num_patches + 1, d),
+                "pre_ln_w": ones(d), "pre_ln_b": zeros(d),
+            })
+        if a.projector == "mlp2":
+            params.update({
+                "proj1_w": w(d, a.projector_hidden),
+                "proj1_b": zeros(a.projector_hidden),
+                "proj2_w": w(a.projector_hidden, a.projector_hidden),
+                "proj2_b": zeros(a.projector_hidden),
+            })
+        elif a.projector == "linear":
+            params.update({
+                "proj1_w": w(d, a.projector_hidden),
+                "proj1_b": zeros(a.projector_hidden),
+            })
+        return params
 
     def load_hf_state_dict(self, tensors: dict, prefix: str = "") -> dict:
         """Map HF llava weights (vision_tower.vision_model.* +
@@ -139,16 +182,34 @@ class VisionTower:
         patch_w = conv.reshape(a.hidden_size, -1).T
         params = {
             "patch_w": patch_w,
-            "cls": t(vp + "embeddings.class_embedding").reshape(1, -1),
-            "pos": t(vp + "embeddings.position_embedding.weight"),
-            "pre_ln_w": t(vp + "pre_layrnorm.weight"),
-            "pre_ln_b": t(vp + "pre_layrnorm.bias"),
             "layers": {k: np.stack(v) for k, v in layers.items()},
-            "proj1_w": t("multi_modal_projector.linear_1.weight").T,
-            "proj1_b": t("multi_modal_projector.linear_1.bias"),
-            "proj2_w": t("multi_modal_projector.linear_2.weight").T,
-            "proj2_b": t("multi_modal_projector.linear_2.bias"),
         }
+        if a.style == "siglip":
+            params.update({
+                "patch_b": t(vp + "embeddings.patch_embedding.bias"),
+                "pos": t(vp + "embeddings.position_embedding.weight"),
+                "post_ln_w": t(vp + "post_layernorm.weight"),
+                "post_ln_b": t(vp + "post_layernorm.bias"),
+            })
+        else:
+            params.update({
+                "cls": t(vp + "embeddings.class_embedding").reshape(1, -1),
+                "pos": t(vp + "embeddings.position_embedding.weight"),
+                "pre_ln_w": t(vp + "pre_layrnorm.weight"),
+                "pre_ln_b": t(vp + "pre_layrnorm.bias"),
+            })
+        if a.projector == "mlp2":
+            params.update({
+                "proj1_w": t("multi_modal_projector.linear_1.weight").T,
+                "proj1_b": t("multi_modal_projector.linear_1.bias"),
+                "proj2_w": t("multi_modal_projector.linear_2.weight").T,
+                "proj2_b": t("multi_modal_projector.linear_2.bias"),
+            })
+        elif a.projector == "linear":
+            params.update({
+                "proj1_w": t("multi_modal_projector.linear.weight").T,
+                "proj1_b": t("multi_modal_projector.linear.bias"),
+            })
         return jax.tree.map(lambda x: jnp.asarray(x, self.dtype), params)
 
     def encode(self, params: dict, pixel_values: jnp.ndarray) -> jnp.ndarray:
@@ -164,19 +225,27 @@ class VisionTower:
         x = x.reshape(3, g, ps, g, ps)
         x = jnp.transpose(x, (1, 3, 0, 2, 4)).reshape(g * g, 3 * ps * ps)
         h = x @ params["patch_w"]
-        h = jnp.concatenate([params["cls"], h], axis=0)
-        h = h + params["pos"]
-        h = layer_norm(h, params["pre_ln_w"], params["pre_ln_b"])
+        if a.style == "siglip":
+            h = (h + params["patch_b"]) + params["pos"]
+        else:
+            h = jnp.concatenate([params["cls"], h], axis=0)
+            h = h + params["pos"]
+            h = layer_norm(h, params["pre_ln_w"], params["pre_ln_b"],
+                           a.ln_eps)
 
         nh = a.num_heads
         d = a.hidden_size
         hd = d // nh
         scale = hd ** -0.5
-        n_run = a.num_layers + a.feature_layer + 1  # -2 => skip last layer
+        act = _VIT_ACTS[a.act]
+        if a.style == "siglip":
+            n_run = a.num_layers        # features = post-norm last layer
+        else:
+            n_run = a.num_layers + a.feature_layer + 1  # -2: skip last
 
         def layer_fn(h, lp):
             res = h
-            x = layer_norm(h, lp["ln1_w"], lp["ln1_b"])
+            x = layer_norm(h, lp["ln1_w"], lp["ln1_b"], a.ln_eps)
             qkv = x @ lp["wqkv"] + lp["bqkv"]
             q, k, v = jnp.split(qkv, 3, axis=-1)
             t = q.shape[0]
@@ -190,15 +259,26 @@ class VisionTower:
             o = o.transpose(1, 0, 2).reshape(t, d)
             h = res + (o @ lp["wo"] + lp["bo"])
             res = h
-            x = layer_norm(h, lp["ln2_w"], lp["ln2_b"])
-            x = jax.nn.gelu(x @ lp["fc1_w"] + lp["fc1_b"],
-                            approximate=False)
+            x = layer_norm(h, lp["ln2_w"], lp["ln2_b"], a.ln_eps)
+            x = act(x @ lp["fc1_w"] + lp["fc1_b"])
             h = res + (x @ lp["fc2_w"] + lp["fc2_b"])
             return h, None
 
         sliced = jax.tree.map(lambda x: x[:n_run], params["layers"])
         h, _ = jax.lax.scan(layer_fn, h, sliced)
-        feats = h[1:]                                       # drop CLS
-        y = jax.nn.gelu(feats @ params["proj1_w"] + params["proj1_b"],
-                        approximate=False)
-        return y @ params["proj2_w"] + params["proj2_b"]
+        if a.style == "siglip":
+            feats = layer_norm(h, params["post_ln_w"], params["post_ln_b"],
+                               a.ln_eps)
+        else:
+            feats = h[1:]                                   # drop CLS
+        if a.projector == "mlp2":
+            y = jax.nn.gelu(feats @ params["proj1_w"] + params["proj1_b"],
+                            approximate=False)
+            y = y @ params["proj2_w"] + params["proj2_b"]
+        elif a.projector == "linear":
+            y = feats @ params["proj1_w"] + params["proj1_b"]
+        else:
+            y = feats
+        if a.proj_scale != 1.0:
+            y = y * a.proj_scale
+        return y

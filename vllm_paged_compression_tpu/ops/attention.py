@@ -97,12 +97,18 @@ def _softcap(scores: jnp.ndarray, cap):
 def prefill_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                       scale: float, q_len: jnp.ndarray | int,
                       softcap: float | None = None,
-                      alibi_slopes: jnp.ndarray | None = None
+                      alibi_slopes: jnp.ndarray | None = None,
+                      bidirectional: bool = False
                       ) -> jnp.ndarray:
     """Causal self-attention for one (padded) prompt.
 
     q: [T, H, d], k/v: [T, Hkv, d]; positions beyond ``q_len`` are padding.
     Returns [T, H, d] (garbage rows at padding positions).
+
+    ``bidirectional``: prefix-LM prompts (PaliGemma: image + text prompt
+    tokens attend to each other with NO causal mask, HF
+    modeling_paligemma causal-mask construction; generated tokens are
+    causal as usual because decode attends the whole past anyway).
     """
     t = q.shape[0]
     qg, group = _group_query(q, k.shape[1])
@@ -113,7 +119,8 @@ def prefill_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         scores = scores + _alibi_bias(alibi_slopes, k.shape[1],
                                       jnp.arange(t))
     pos = jnp.arange(t)
-    causal = pos[:, None] >= pos[None, :]
+    causal = (jnp.ones((t, t), bool) if bidirectional
+              else pos[:, None] >= pos[None, :])
     valid = pos[None, :] < q_len
     probs = _masked_softmax(scores, (causal & valid)[None, None])
     out = jnp.einsum("kgts,skd->tkgd", probs, v.astype(jnp.float32))

@@ -877,10 +877,23 @@ class ModelRunner:
 
     def _prefill_plain(self, params, caches, page_scores, batch,
                        greedy_only=False, logprobs_l=0):
+        # Prefix-LM prompts (PaliGemma): image batches attend
+        # bidirectionally within the prompt (jnp oracle; K/V writes are
+        # mask-independent so decode is unchanged).
+        bidir = ("pixel_values" in batch
+                 and getattr(self.model, "mm_bidirectional_prompt", False))
+
         def attn_fn(q, k, v, layer_cache):
             kc, vc = layer_cache
             kc, vc = write_kv_pages(kc, vc, k, v, batch["write_pages"])
-            out = self._prefill_attn(q, k, v, self.scale, batch["q_len"])
+            if bidir:
+                out = prefill_attention(q, k, v, self.scale,
+                                        batch["q_len"],
+                                        softcap=self.attn_softcap,
+                                        bidirectional=True)
+            else:
+                out = self._prefill_attn(q, k, v, self.scale,
+                                         batch["q_len"])
             return out, (kc, vc)
 
         return self._finish_prefill(params, caches, page_scores, batch,

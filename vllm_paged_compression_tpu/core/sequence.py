@@ -65,6 +65,7 @@ class Sequence:
         # Multimodal: pixel tensor [3, H, W] and the contiguous
         # placeholder span start in the (expanded) prompt.
         self.pixel_values = None
+        self.mm_feats = None
         self.mm_start = -1
         # Prompt adapter: device slot + virtual-prefix length.
         self.pa_slot = 0

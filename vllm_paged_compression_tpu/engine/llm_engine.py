@@ -367,9 +367,10 @@ class LLMEngine:
                 raise ValueError("no tokenizer available; pass token ids")
             prompt_token_ids = self.tokenizer.encode(prompt).ids
         pixel_values = None
+        mm_feats = None
         mm_start = -1
         if multi_modal_data:
-            pixel_values, prompt_token_ids, mm_start = \
+            pixel_values, mm_feats, prompt_token_ids, mm_start = \
                 self._prepare_image(multi_modal_data, prompt_token_ids)
         pa_slot, pa_len = 0, 0
         if prompt_adapter_request is not None:
@@ -414,6 +415,7 @@ class LLMEngine:
                 gd, self.guided_vocab(), self.eos_token_id,
                 self.model.arch.vocab_size))
         seq.pixel_values = pixel_values
+        seq.mm_feats = mm_feats
         seq.mm_start = mm_start
         seq.pa_slot = pa_slot
         seq.pa_len = pa_len
@@ -460,7 +462,18 @@ class LLMEngine:
             raise ValueError("image inputs with chunked prefill / prefix "
                              "caching are not supported yet")
         pixel_values = np.asarray(multi_modal_data["image"], np.float32)
-        if hasattr(self.model, "validate_image"):
+        mm_feats = None
+        if hasattr(self.model, "assemble_image_features"):
+            # Anyres families (Llava-Next): crop features + unpadded
+            # spatial layout are assembled HOST-side at admission (the
+            # result length is data-dependent); the prefill jit splices a
+            # precomputed feature block.
+            mm_feats = np.asarray(self.model.assemble_image_features(
+                self.params, pixel_values,
+                multi_modal_data.get("image_size")))
+            pixel_values = None
+            n = mm_feats.shape[0]
+        elif hasattr(self.model, "validate_image"):
             # Variable-resolution families (Fuyu): the model checks shape
             # and derives the placeholder span from the image itself.
             pixel_values = self.model.validate_image(pixel_values)
@@ -485,7 +498,7 @@ class LLMEngine:
             raise ValueError(
                 "prompt must contain the image token exactly once (or one "
                 "contiguous pre-expanded span)")
-        return pixel_values, prompt_token_ids, start
+        return pixel_values, mm_feats, prompt_token_ids, start
 
     # ------------------------------------------------------------------
     # LoRA adapters (reference vllm/entrypoints add_lora RPC + worker

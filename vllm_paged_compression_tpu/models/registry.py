@@ -128,6 +128,7 @@ def supported_architectures() -> list[str]:
     _ensure_builtin()
     return sorted(set(_REGISTRY) | set(_BERT_ARCHS) | set(_POOLING_HEADS)
                   | {"LlavaForConditionalGeneration",
+                     "LlavaNextForConditionalGeneration",
                      "PaliGemmaForConditionalGeneration",
                      "FuyuForCausalLM",
                      "MambaForCausalLM", "FalconMambaForCausalLM",
@@ -169,6 +170,9 @@ def build_model(hf_config: dict, dtype=jnp.bfloat16):
         if name == "FuyuForCausalLM":
             from .fuyu import FuyuModel
             return FuyuModel.from_hf_config(hf_config, dtype=dtype)
+        if name == "LlavaNextForConditionalGeneration":
+            from .llava_next import LlavaNextModel
+            return LlavaNextModel.from_hf_config(hf_config, dtype=dtype)
         if name in ("MambaForCausalLM", "FalconMambaForCausalLM"):
             from .mamba import MambaArch, MambaModel
             return MambaModel(MambaArch.from_hf_config(hf_config),

@@ -880,7 +880,7 @@ class ModelRunner:
         # Prefix-LM prompts (PaliGemma): image batches attend
         # bidirectionally within the prompt (jnp oracle; K/V writes are
         # mask-independent so decode is unchanged).
-        bidir = ("pixel_values" in batch
+        bidir = (("pixel_values" in batch or "mm_feats" in batch)
                  and getattr(self.model, "mm_bidirectional_prompt", False))
 
         def attn_fn(q, k, v, layer_cache):
@@ -1130,7 +1130,8 @@ class ModelRunner:
           vllm/model_executor/models/llava.py)
         - a soft-prompt virtual prefix over the leading placeholder rows
           (prompt adapters, reference vllm/prompt_adapter/)."""
-        if "pixel_values" not in batch and "pa_slot" not in batch:
+        if "pixel_values" not in batch and "mm_feats" not in batch \
+                and "pa_slot" not in batch:
             return None
         emb = self.model.embed(params, batch["tokens"])
         es = getattr(self.model.arch, "embed_scale", None)
@@ -1140,6 +1141,12 @@ class ModelRunner:
             feats = self.model.encode_image(params, batch["pixel_values"])
             emb = jax.lax.dynamic_update_slice(
                 emb, feats.astype(emb.dtype),
+                (batch["img_start"], jnp.int32(0)))
+        if "mm_feats" in batch:
+            # Host-assembled features (Llava-Next anyres etc.: variable
+            # unpadded layouts are assembled outside the jit).
+            emb = jax.lax.dynamic_update_slice(
+                emb, batch["mm_feats"].astype(emb.dtype),
                 (batch["img_start"], jnp.int32(0)))
         if "pa_slot" in batch:
             table = params["prompt_adapters"]           # [S, T, D]
@@ -1410,7 +1417,10 @@ class ModelRunner:
         batch.update(self._seq_sampling_arrays([seq], 1))
         if self.lora_enabled:
             batch["lora_idx"] = np.int32(seq.lora_slot)
-        if getattr(seq, "pixel_values", None) is not None:
+        if getattr(seq, "mm_feats", None) is not None:
+            batch["mm_feats"] = seq.mm_feats
+            batch["img_start"] = np.int32(seq.mm_start)
+        elif getattr(seq, "pixel_values", None) is not None:
             batch["pixel_values"] = seq.pixel_values
             batch["img_start"] = np.int32(seq.mm_start)
         if getattr(seq, "pa_len", 0) > 0:

@@ -461,7 +461,14 @@ class LLMEngine:
                 or self.config.cache.enable_prefix_caching:
             raise ValueError("image inputs with chunked prefill / prefix "
                              "caching are not supported yet")
-        pixel_values = np.asarray(multi_modal_data["image"], np.float32)
+        raw = multi_modal_data.get("image")
+        if raw is None:
+            # Audio models (Qwen2-Audio): mel spectrogram rides the same
+            # splice path (reference vllm/multimodal/ audio plugin).
+            raw = multi_modal_data.get("audio")
+        if raw is None:
+            raise ValueError("multi_modal_data needs 'image' or 'audio'")
+        pixel_values = np.asarray(raw, np.float32)
         mm_feats = None
         if hasattr(self.model, "assemble_image_features"):
             # Anyres families (Llava-Next): crop features + unpadded

@@ -243,9 +243,16 @@ class OPTModel:
             "final_ln_b": leaf(t("ln_f.bias")),
         }
 
+    def embed(self, params, token_ids):
+        """Token embedding WITHOUT positions (positions are added inside
+        forward_hidden so spliced multimodal rows get them too, matching
+        HF OPT's inputs_embeds path)."""
+        return params["embed"][token_ids]
+
     def forward_hidden(self, params, token_ids, positions,
                        attn_fn: Callable, attn_state=None,
-                       lora=None, lora_idx=None, state_mode: str = "scan"):
+                       lora=None, lora_idx=None, state_mode: str = "scan",
+                       input_embeds=None):
         """Same scan-over-layers contract as LlamaModel.forward_hidden
         (including the "carry" state mode for in-place KV pools)."""
         if lora is not None:
@@ -254,8 +261,9 @@ class OPTModel:
         t = token_ids.shape[0]
         # OPT's learned positional table is offset by 2 (HF
         # OPTLearnedPositionalEmbedding).
-        h = (params["embed"][token_ids]
-             + params["embed_pos"][positions + a.pos_offset])
+        tok = (input_embeds if input_embeds is not None
+               else params["embed"][token_ids])
+        h = tok + params["embed_pos"][positions + a.pos_offset]
         act = jax.nn.relu if a.hidden_act == "relu" else (
             lambda x: jax.nn.gelu(x, approximate=True))
 

@@ -130,6 +130,8 @@ def supported_architectures() -> list[str]:
                   | {"LlavaForConditionalGeneration",
                      "LlavaNextForConditionalGeneration",
                      "PaliGemmaForConditionalGeneration",
+                     "Blip2ForConditionalGeneration",
+                     "Qwen2AudioForConditionalGeneration",
                      "FuyuForCausalLM",
                      "MambaForCausalLM", "FalconMambaForCausalLM",
                      "JambaForCausalLM"})
@@ -173,6 +175,12 @@ def build_model(hf_config: dict, dtype=jnp.bfloat16):
         if name == "LlavaNextForConditionalGeneration":
             from .llava_next import LlavaNextModel
             return LlavaNextModel.from_hf_config(hf_config, dtype=dtype)
+        if name == "Blip2ForConditionalGeneration":
+            from .blip2 import Blip2Model
+            return Blip2Model.from_hf_config(hf_config, dtype=dtype)
+        if name == "Qwen2AudioForConditionalGeneration":
+            from .qwen2_audio import Qwen2AudioModel
+            return Qwen2AudioModel.from_hf_config(hf_config, dtype=dtype)
         if name in ("MambaForCausalLM", "FalconMambaForCausalLM"):
             from .mamba import MambaArch, MambaModel
             return MambaModel(MambaArch.from_hf_config(hf_config),

@@ -132,6 +132,7 @@ def supported_architectures() -> list[str]:
                      "PaliGemmaForConditionalGeneration",
                      "Blip2ForConditionalGeneration",
                      "Qwen2AudioForConditionalGeneration",
+                     "Idefics3ForConditionalGeneration",
                      "FuyuForCausalLM",
                      "MambaForCausalLM", "FalconMambaForCausalLM",
                      "JambaForCausalLM"})
@@ -181,6 +182,9 @@ def build_model(hf_config: dict, dtype=jnp.bfloat16):
         if name == "Qwen2AudioForConditionalGeneration":
             from .qwen2_audio import Qwen2AudioModel
             return Qwen2AudioModel.from_hf_config(hf_config, dtype=dtype)
+        if name == "Idefics3ForConditionalGeneration":
+            from .idefics3 import Idefics3Model
+            return Idefics3Model.from_hf_config(hf_config, dtype=dtype)
         if name in ("MambaForCausalLM", "FalconMambaForCausalLM"):
             from .mamba import MambaArch, MambaModel
             return MambaModel(MambaArch.from_hf_config(hf_config),

@@ -143,15 +143,19 @@ class VisionTower:
             })
         return params
 
-    def load_hf_state_dict(self, tensors: dict, prefix: str = "") -> dict:
+    def load_hf_state_dict(self, tensors: dict, prefix: str = "",
+                           vision_prefix: str =
+                           "vision_tower.vision_model.") -> dict:
         """Map HF llava weights (vision_tower.vision_model.* +
-        multi_modal_projector.*) into our fused layout."""
+        multi_modal_projector.*) into our fused layout; other families
+        pass their own ``vision_prefix`` (Idefics3: model.vision_model.).
+        """
         a = self.arch
 
         def t(name):
             return np.asarray(tensors[prefix + name])
 
-        vp = "vision_tower.vision_model."
+        vp = vision_prefix
         L = a.num_layers
         layers = {k: [] for k in ("ln1_w", "ln1_b", "wqkv", "bqkv", "wo",
                                   "bo", "ln2_w", "ln2_b", "fc1_w", "fc1_b",

@@ -129,3 +129,28 @@ class TestEngine:
             sampling_params=SamplingParams(temperature=0.0, max_tokens=8,
                                            ignore_eos=True))
         assert all(len(o.outputs[0].token_ids) == 8 for o in outs)
+
+
+class TestClassification:
+    def test_jamba_seq_classification_matches_hf(self):
+        """JambaForSequenceClassification (reference jamba.py:600): LAST
+        pooling + score head, served through engine.classify()."""
+        cfg = transformers.JambaConfig(**{**CFG, "num_labels": 3,
+                                          "pad_token_id": 0})
+        torch.manual_seed(74)
+        hf = transformers.JambaForSequenceClassification(cfg).eval()
+        with torch.no_grad():
+            want = hf(torch.tensor([IDS])).logits[0].float().numpy()
+
+        d = cfg.to_dict()
+        d["architectures"] = ["JambaForSequenceClassification"]
+        model = build_model(d, dtype=jnp.float32)
+        assert model.arch.head_type == "cls" and model.arch.num_labels == 3
+        sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+        llm = LLM(hf_config=d, dtype="float32", max_model_len=64,
+                  num_device_blocks=8, seed=0,
+                  params=model.load_hf_state_dict(sd))
+        (got,) = llm.engine.classify([IDS])
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+        with pytest.raises(ValueError):
+            llm.engine.add_request(prompt_token_ids=IDS)

@@ -845,6 +845,8 @@ class LLMEngine:
         from ..ops.attention import prefill_attention
         from ..utils import next_bucket
         model, params = self.model, self.params
+        if getattr(model, "architecture", "") == "mamba":
+            return self._classify_state_model(prompt_token_ids)
         head_type = model.arch.head_type
         scale = getattr(model.arch, "attn_scale",
                         model.arch.head_dim ** -0.5)
@@ -873,6 +875,39 @@ class LLMEngine:
             toks[:len(ids)] = ids
             res = np.asarray(cache[key](params, toks, np.int32(len(ids))))
             out.append(res if head_type == "cls" else res[:len(ids)])
+        return out
+
+    def _classify_state_model(self, prompt_token_ids: list[list[int]]):
+        """Classification on a state-model trunk (Jamba, reference
+        jamba.py:600): one prefill per sequence writing into the TRASH
+        state slot, head on the last hidden (LAST pooling)."""
+        import jax
+        import numpy as np
+
+        from ..utils import next_bucket
+        model = self.model
+        trash = self.cache_engine.num_pages     # pools hold num_pages + 1
+        cache = getattr(self, "_encoder_jits", None)
+        if cache is None:
+            cache = self._encoder_jits = {}
+
+        def make():
+            def fn(params, pools, tokens, length):
+                last, _ = model.forward_prefill(
+                    params, tokens, length, jnp.int32(trash), pools)
+                return model.head_forward(params, last[0])
+            return jax.jit(fn)
+
+        out = []
+        for ids in prompt_token_ids:
+            l_pad = next_bucket(len(ids), self.runner.prefill_buckets)
+            key = ("state_head", l_pad)
+            if key not in cache:
+                cache[key] = make()
+            toks = np.zeros(l_pad, np.int32)
+            toks[:len(ids)] = ids
+            out.append(np.asarray(cache[key](self.params, self.kv_caches,
+                                             toks, np.int32(len(ids)))))
         return out
 
     def encode(self, prompt_token_ids: list[list[int]],

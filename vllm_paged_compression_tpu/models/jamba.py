@@ -189,9 +189,17 @@ class JambaModel:
         params = {"embed": w((a.vocab_size, a.hidden_size)),
                   "layer_list": layer_list,
                   "final_norm": ones((a.hidden_size,))}
+        if a.head_type == "cls":
+            params["score"] = w((a.hidden_size, a.num_labels))
         if not a.tie_word_embeddings:
             params["lm_head"] = w((a.hidden_size, a.vocab_size))
         return params
+
+    def head_forward(self, params: dict, hidden: jnp.ndarray) -> jnp.ndarray:
+        """Classification head (reference jamba.py:600
+        JambaForSequenceClassification: score linear, LAST pooling)."""
+        return (hidden.astype(jnp.float32)
+                @ params["score"].astype(jnp.float32))
 
     def load_hf_state_dict(self, tensors: dict, as_numpy: bool = False
                            ) -> dict:
@@ -254,8 +262,14 @@ class JambaModel:
         params = {"embed": leaf(t("model.embed_tokens.weight")),
                   "layer_list": layer_list,
                   "final_norm": leaf(t("model.final_layernorm.weight"))}
+        if a.head_type == "cls":
+            params["score"] = leaf(t("score.weight").T)
         if not a.tie_word_embeddings:
-            params["lm_head"] = leaf(t("lm_head.weight").T)
+            if "lm_head.weight" in tensors:
+                params["lm_head"] = leaf(t("lm_head.weight").T)
+            else:
+                # Pooling-task checkpoints ship no lm_head.
+                params["lm_head"] = leaf(t("model.embed_tokens.weight").T)
         return params
 
     # ---- state pools -----------------------------------------------------

@@ -128,6 +128,7 @@ def supported_architectures() -> list[str]:
     _ensure_builtin()
     return sorted(set(_REGISTRY) | set(_BERT_ARCHS) | set(_POOLING_HEADS)
                   | {"LlavaForConditionalGeneration",
+                     "MantisForConditionalGeneration",
                      "LlavaNextForConditionalGeneration",
                      "PaliGemmaForConditionalGeneration",
                      "Blip2ForConditionalGeneration",
@@ -135,7 +136,7 @@ def supported_architectures() -> list[str]:
                      "Idefics3ForConditionalGeneration",
                      "FuyuForCausalLM",
                      "MambaForCausalLM", "FalconMambaForCausalLM",
-                     "JambaForCausalLM"})
+                     "JambaForCausalLM", "JambaForSequenceClassification"})
 
 
 # Decoder trunks served as pooling-task models (reference qwen2_cls.py /
@@ -164,7 +165,10 @@ def build_model(hf_config: dict, dtype=jnp.bfloat16):
     _ensure_builtin()
     archs = hf_config.get("architectures") or []
     for name in archs:
-        if name == "LlavaForConditionalGeneration":
+        if name in ("LlavaForConditionalGeneration",
+                    "MantisForConditionalGeneration"):
+            # Mantis shares the llava architecture (reference registry.py
+            # maps it onto the llava impl).
             from .llava import LlavaModel
             return LlavaModel.from_hf_config(hf_config, dtype=dtype)
         if name == "PaliGemmaForConditionalGeneration":
@@ -189,10 +193,14 @@ def build_model(hf_config: dict, dtype=jnp.bfloat16):
             from .mamba import MambaArch, MambaModel
             return MambaModel(MambaArch.from_hf_config(hf_config),
                               dtype=dtype)
-        if name == "JambaForCausalLM":
+        if name in ("JambaForCausalLM", "JambaForSequenceClassification"):
             from .jamba import JambaArch, JambaModel
-            return JambaModel(JambaArch.from_hf_config(hf_config),
-                              dtype=dtype)
+            arch = JambaArch.from_hf_config(hf_config)
+            if name.endswith("SequenceClassification"):
+                arch.head_type = "cls"
+                arch.num_labels = (len(hf_config.get("id2label") or [])
+                                   or hf_config.get("num_labels") or 1)
+            return JambaModel(arch, dtype=dtype)
         if name in _BERT_ARCHS:
             from .bert import BertArch, BertModel
             roberta, classifier = _BERT_ARCHS[name]

@@ -397,7 +397,11 @@ class Scheduler:
                     st["pages"].pop(victim if victim > 0 else 1)
                     st["kv"] -= bs
                 zero = self._zero_slot(st["pages"], logical_post)
-                plan.positions.append(logical_post - 1)
+                # M-RoPE (Qwen2-VL): decode rope positions shift by the
+                # per-sequence delta (image spans compress the position
+                # space); zero for every other family.
+                plan.positions.append(logical_post - 1
+                                      + getattr(seq, "mrope_delta", 0))
                 plan.slots.append(slot)
                 plan.evict.append(evict_fires)
                 plan.victims.append(victim)
@@ -526,7 +530,9 @@ class Scheduler:
             else:
                 history = seq.prompt_token_ids + seq.output_token_ids
                 props = propose_ngram(history, k, ngram_max, ngram_min)
-            positions = [seq.get_len() - 1 + j for j in range(k + 1)]
+            positions = [seq.get_len() - 1 + j
+                         + getattr(seq, "mrope_delta", 0)
+                         for j in range(k + 1)]
             plans.append(SpecStepPlan(seq=seq, proposals=props,
                                       slots=slots, positions=positions,
                                       base_kv=kv))

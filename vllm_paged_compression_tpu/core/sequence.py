@@ -67,6 +67,8 @@ class Sequence:
         self.pixel_values = None
         self.mm_feats = None
         self.mm_start = -1
+        self.mrope_positions = None   # [3, L] prompt streams (Qwen2-VL)
+        self.mrope_delta = 0          # decode position shift (M-RoPE)
         # Prompt adapter: device slot + virtual-prefix length.
         self.pa_slot = 0
         self.pa_len = 0

@@ -369,8 +369,9 @@ class LLMEngine:
         pixel_values = None
         mm_feats = None
         mm_start = -1
+        mrope = None
         if multi_modal_data:
-            pixel_values, mm_feats, prompt_token_ids, mm_start = \
+            pixel_values, mm_feats, prompt_token_ids, mm_start, mrope = \
                 self._prepare_image(multi_modal_data, prompt_token_ids)
         pa_slot, pa_len = 0, 0
         if prompt_adapter_request is not None:
@@ -417,6 +418,8 @@ class LLMEngine:
         seq.pixel_values = pixel_values
         seq.mm_feats = mm_feats
         seq.mm_start = mm_start
+        if mrope is not None:
+            seq.mrope_positions, seq.mrope_delta = mrope
         seq.pa_slot = pa_slot
         seq.pa_len = pa_len
         if lora_request is not None:
@@ -454,7 +457,8 @@ class LLMEngine:
         ``num_image_tokens`` copies, HF-processor style) or already
         expanded.  Returns (pixel_values, expanded_prompt, span_start)."""
         import numpy as np
-        if not hasattr(self.model, "encode_image"):
+        if not hasattr(self.model, "encode_image") \
+                and not hasattr(self.model, "assemble_image_features"):
             raise ValueError("model has no vision tower; cannot accept "
                              "multi_modal_data")
         if self.config.scheduler.enable_chunked_prefill \
@@ -476,8 +480,7 @@ class LLMEngine:
             # result length is data-dependent); the prefill jit splices a
             # precomputed feature block.
             mm_feats = np.asarray(self.model.assemble_image_features(
-                self.params, pixel_values,
-                multi_modal_data.get("image_size")))
+                self.params, pixel_values, multi_modal_data))
             pixel_values = None
             n = mm_feats.shape[0]
         elif hasattr(self.model, "validate_image"):
@@ -505,7 +508,13 @@ class LLMEngine:
             raise ValueError(
                 "prompt must contain the image token exactly once (or one "
                 "contiguous pre-expanded span)")
-        return pixel_values, mm_feats, prompt_token_ids, start
+        mrope = None
+        if hasattr(self.model, "compute_mrope"):
+            # Qwen2-VL M-RoPE: [3, L] prompt position streams + the decode
+            # position delta (vllm mrope_position_delta).
+            mrope = self.model.compute_mrope(
+                prompt_token_ids, [multi_modal_data.get("image_grid_thw")])
+        return pixel_values, mm_feats, prompt_token_ids, start, mrope
 
     # ------------------------------------------------------------------
     # LoRA adapters (reference vllm/entrypoints add_lora RPC + worker

@@ -122,6 +122,9 @@ class LlamaArch:
     #                                   H*d projection (vs per-head)
     # --- position schemes beyond rope (Bloom/MPT/JAIS/GPT-BigCode) ---
     use_rope: bool = True             # False: no rotary embedding
+    mrope_section: Optional[list] = None  # Qwen2-VL M-RoPE: per-stream
+    #                                   frequency-dim widths (t/h/w);
+    #                                   positions may arrive as [3, T]
     alibi: bool = False               # additive per-head linear key bias
     alibi_variant: str = "bloom"      # | "mpt" (ceil-pow2, bias_max-scaled)
     alibi_bias_max: float = 8.0       # MPT attn_config.alibi_bias_max
@@ -2557,9 +2560,18 @@ class LlamaModel:
         are local to that slice."""
         a = self.arch
         if a.use_rope:
-            cos, sin = rope_cos_sin(positions, a.rot_dim, a.rope_theta,
-                                    scaling=a.rope_scaling,
-                                    interleaved=a.rope_interleaved)
+            if a.mrope_section is not None and positions.ndim == 2:
+                # Qwen2-VL multimodal prompts carry [3, T] t/h/w streams;
+                # 1D positions (text-only / decode with the per-seq delta)
+                # fall through to standard rope, which M-RoPE equals when
+                # the three streams coincide.
+                from ..ops.rope import mrope_cos_sin
+                cos, sin = mrope_cos_sin(positions, a.rot_dim,
+                                         a.rope_theta, a.mrope_section)
+            else:
+                cos, sin = rope_cos_sin(positions, a.rot_dim, a.rope_theta,
+                                        scaling=a.rope_scaling,
+                                        interleaved=a.rope_interleaved)
         else:
             cos = sin = None           # ALiBi / learned-position models
         q_sz = a.num_heads * a.head_dim

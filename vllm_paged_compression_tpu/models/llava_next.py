@@ -90,6 +90,8 @@ class LlavaNextModel(LlavaModel):
         """crops [num_crops, 3, S, S] + original (h, w) ->
         [n_tokens, text_hidden] packed features (HF pack_image_features:
         base crop + unpadded spatial grid with a newline column)."""
+        if isinstance(image_size, dict):
+            image_size = image_size.get("image_size")
         if image_size is None:
             raise ValueError("llava-next needs multi_modal_data["
                              "'image_size'] = (orig_h, orig_w)")

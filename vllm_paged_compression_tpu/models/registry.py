@@ -134,6 +134,7 @@ def supported_architectures() -> list[str]:
                      "Blip2ForConditionalGeneration",
                      "Qwen2AudioForConditionalGeneration",
                      "Idefics3ForConditionalGeneration",
+                     "Qwen2VLForConditionalGeneration",
                      "FuyuForCausalLM",
                      "MambaForCausalLM", "FalconMambaForCausalLM",
                      "JambaForCausalLM", "JambaForSequenceClassification"})
@@ -189,6 +190,9 @@ def build_model(hf_config: dict, dtype=jnp.bfloat16):
         if name == "Idefics3ForConditionalGeneration":
             from .idefics3 import Idefics3Model
             return Idefics3Model.from_hf_config(hf_config, dtype=dtype)
+        if name == "Qwen2VLForConditionalGeneration":
+            from .qwen2_vl import Qwen2VLModel
+            return Qwen2VLModel.from_hf_config(hf_config, dtype=dtype)
         if name in ("MambaForCausalLM", "FalconMambaForCausalLM"):
             from .mamba import MambaArch, MambaModel
             return MambaModel(MambaArch.from_hf_config(hf_config),

@@ -47,6 +47,27 @@ def rope_cos_sin(positions: jnp.ndarray, head_dim: int, theta: float,
     return cos.astype(dtype), sin.astype(dtype)
 
 
+def mrope_cos_sin(positions3: jnp.ndarray, head_dim: int, theta: float,
+                  sections: list[int], dtype=jnp.float32):
+    """Multimodal rotary tables (Qwen2-VL M-RoPE, HF
+    apply_multimodal_rotary_pos_emb): three position streams [3, T]
+    (temporal/height/width) each own a slice of the frequency dims —
+    ``sections`` sums to head_dim // 2.  With all three streams equal this
+    reduces exactly to standard rope, which is why decode steps can use
+    the 1D path with a per-sequence position delta (vllm
+    mrope_position_delta)."""
+    inv_freq = 1.0 / (theta ** (
+        jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    freqs = positions3.astype(jnp.float32)[..., None] * inv_freq  # [3,T,d/2]
+    parts, off = [], 0
+    for i, s in enumerate(sections):
+        parts.append(freqs[i, :, off:off + s])
+        off += s
+    comb = jnp.concatenate(parts, axis=-1)                        # [T, d/2]
+    emb = jnp.concatenate([comb, comb], axis=-1)
+    return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
+
+
 def _llama3_scale_inv_freq(inv_freq, scaling):
     """Llama-3.1 NTK-by-parts frequency scaling (transformers
     modeling_rope_utils._compute_llama3_parameters)."""

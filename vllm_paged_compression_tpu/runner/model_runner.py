@@ -1423,6 +1423,15 @@ class ModelRunner:
         elif getattr(seq, "pixel_values", None) is not None:
             batch["pixel_values"] = seq.pixel_values
             batch["img_start"] = np.int32(seq.mm_start)
+        if getattr(seq, "mrope_positions", None) is not None:
+            # Qwen2-VL: [3, T] t/h/w position streams for the prompt;
+            # padded columns continue past the max (masked rows anyway).
+            p3 = np.zeros((3, l_pad), np.int32)
+            p3[:, :q_len] = seq.mrope_positions[:, :q_len]
+            if l_pad > q_len:
+                p3[:, q_len:] = (seq.mrope_positions.max() + 1
+                                 + np.arange(l_pad - q_len))
+            batch["positions"] = p3
         if getattr(seq, "pa_len", 0) > 0:
             batch["pa_slot"] = np.int32(seq.pa_slot)
             batch["pa_len"] = np.int32(seq.pa_len)

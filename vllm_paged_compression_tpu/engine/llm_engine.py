@@ -465,13 +465,18 @@ class LLMEngine:
                 or self.config.cache.enable_prefix_caching:
             raise ValueError("image inputs with chunked prefill / prefix "
                              "caching are not supported yet")
+        is_video = False
         raw = multi_modal_data.get("image")
         if raw is None:
             # Audio models (Qwen2-Audio): mel spectrogram rides the same
             # splice path (reference vllm/multimodal/ audio plugin).
             raw = multi_modal_data.get("audio")
+        if raw is None and "video" in multi_modal_data:
+            raw = multi_modal_data["video"]
+            is_video = True
         if raw is None:
-            raise ValueError("multi_modal_data needs 'image' or 'audio'")
+            raise ValueError("multi_modal_data needs 'image', 'audio' or "
+                             "'video'")
         pixel_values = np.asarray(raw, np.float32)
         mm_feats = None
         if hasattr(self.model, "assemble_image_features"):
@@ -495,7 +500,8 @@ class LLMEngine:
                     f"expected pixel_values [3, {va.image_size}, "
                     f"{va.image_size}], got {pixel_values.shape}")
             n = self.model.num_image_tokens
-        img_tok = self.model.image_token_id
+        img_tok = (self.model.video_token_id if is_video
+                   else self.model.image_token_id)
         spans = [i for i, t in enumerate(prompt_token_ids) if t == img_tok]
         if len(spans) == 1:
             start = spans[0]

@@ -112,15 +112,17 @@ class LlavaNextModel(LlavaModel):
         side = va.image_size // va.patch_size
         d = feats.shape[-1]
         base = feats[0]
+        nl = np.asarray(params["image_newline"], np.float32)
         if nc == 1:
-            return base
+            # Single-crop images still get one trailing newline row (HF
+            # pack_image_features else-branch).
+            return np.concatenate([base, nl[None]], axis=0)
         nph, npw = (s // va.image_size for s in select_best_resolution(
             tuple(image_size), self.grid_pinpoints))
         spatial = feats[1:].reshape(nph, npw, side, side, d)
         spatial = spatial.transpose(4, 0, 2, 1, 3).reshape(
             d, nph * side, npw * side)
         spatial = _unpad(spatial, tuple(image_size))
-        nl = np.asarray(params["image_newline"], np.float32)
         nl_col = np.broadcast_to(nl[:, None, None],
                                  (d, spatial.shape[1], 1))
         spatial = np.concatenate([spatial, nl_col], axis=-1)

@@ -130,6 +130,8 @@ def supported_architectures() -> list[str]:
                   | {"LlavaForConditionalGeneration",
                      "MantisForConditionalGeneration",
                      "LlavaNextForConditionalGeneration",
+                     "LlavaNextVideoForConditionalGeneration",
+                     "LlavaOnevisionForConditionalGeneration",
                      "PaliGemmaForConditionalGeneration",
                      "Blip2ForConditionalGeneration",
                      "Qwen2AudioForConditionalGeneration",
@@ -193,6 +195,14 @@ def build_model(hf_config: dict, dtype=jnp.bfloat16):
         if name == "Qwen2VLForConditionalGeneration":
             from .qwen2_vl import Qwen2VLModel
             return Qwen2VLModel.from_hf_config(hf_config, dtype=dtype)
+        if name == "LlavaNextVideoForConditionalGeneration":
+            from .llava_next_video import LlavaNextVideoModel
+            return LlavaNextVideoModel.from_hf_config(hf_config,
+                                                      dtype=dtype)
+        if name == "LlavaOnevisionForConditionalGeneration":
+            from .llava_onevision import LlavaOnevisionModel
+            return LlavaOnevisionModel.from_hf_config(hf_config,
+                                                      dtype=dtype)
         if name in ("MambaForCausalLM", "FalconMambaForCausalLM"):
             from .mamba import MambaArch, MambaModel
             return MambaModel(MambaArch.from_hf_config(hf_config),

@@ -41,6 +41,9 @@ class VisionArch:
     # (paligemma multi_modal_projector.linear), "none" (raw features).
     projector: str = "mlp2"
     proj_scale: float = 1.0               # paligemma: text_hidden**-0.5
+    post_ln_feature: bool = True          # siglip: features post-norm;
+    #                                       llava-onevision selects the
+    #                                       raw last layer ("full" at -1)
 
     @classmethod
     def from_hf_config(cls, vision_cfg: dict, text_hidden: int
@@ -216,10 +219,13 @@ class VisionTower:
             })
         return jax.tree.map(lambda x: jnp.asarray(x, self.dtype), params)
 
-    def encode(self, params: dict, pixel_values: jnp.ndarray) -> jnp.ndarray:
+    def encode(self, params: dict, pixel_values: jnp.ndarray,
+               project: bool = True) -> jnp.ndarray:
         """pixel_values [3, H, W] -> projected patch features
         [num_patches, projector_hidden] (CLS dropped, layer -2 features —
-        the HF llava default vision_feature_layer/-strategy)."""
+        the HF llava default vision_feature_layer/-strategy).
+        ``project=False`` returns raw tower features (video paths pool
+        spatially BEFORE the projector)."""
         a = self.arch
         ps = a.patch_size
         g = a.image_size // ps
@@ -271,10 +277,18 @@ class VisionTower:
         sliced = jax.tree.map(lambda x: x[:n_run], params["layers"])
         h, _ = jax.lax.scan(layer_fn, h, sliced)
         if a.style == "siglip":
-            feats = layer_norm(h, params["post_ln_w"], params["post_ln_b"],
-                               a.ln_eps)
+            feats = (layer_norm(h, params["post_ln_w"],
+                                params["post_ln_b"], a.ln_eps)
+                     if a.post_ln_feature else h)
         else:
             feats = h[1:]                                   # drop CLS
+        if not project:
+            return feats        # pre-projector (video pooling paths)
+        return self.project(params, feats)
+
+    def project(self, params: dict, feats: jnp.ndarray) -> jnp.ndarray:
+        """Apply the multimodal projector to raw tower features."""
+        a = self.arch
         if a.projector == "mlp2":
             y = jax.nn.gelu(feats @ params["proj1_w"] + params["proj1_b"],
                             approximate=False)

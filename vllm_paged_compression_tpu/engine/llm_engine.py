@@ -457,8 +457,9 @@ class LLMEngine:
         ``num_image_tokens`` copies, HF-processor style) or already
         expanded.  Returns (pixel_values, expanded_prompt, span_start)."""
         import numpy as np
-        if not hasattr(self.model, "encode_image") \
-                and not hasattr(self.model, "assemble_image_features"):
+        if not any(hasattr(self.model, h) for h in
+                   ("encode_image", "assemble_image_features",
+                    "encode_image_tokens")):
             raise ValueError("model has no vision tower; cannot accept "
                              "multi_modal_data")
         if self.config.scheduler.enable_chunked_prefill \
@@ -479,6 +480,20 @@ class LLMEngine:
                              "'video'")
         pixel_values = np.asarray(raw, np.float32)
         mm_feats = None
+        if hasattr(self.model, "encode_image_tokens"):
+            # Chameleon: images become DISCRETE vocabulary tokens (VQGAN
+            # codes); substitute the placeholder and serve a plain text
+            # request (reference ChameleonModel.get_image_tokens).
+            ids = self.model.encode_image_tokens(self.params, pixel_values)
+            tok = self.model.image_token_id
+            spans = [i for i, t in enumerate(prompt_token_ids) if t == tok]
+            if len(spans) != 1:
+                raise ValueError("prompt must contain the image token "
+                                 "exactly once")
+            s = spans[0]
+            prompt_token_ids = (list(prompt_token_ids[:s]) + ids
+                                + list(prompt_token_ids[s + 1:]))
+            return None, None, prompt_token_ids, -1, None
         if hasattr(self.model, "assemble_image_features"):
             # Anyres families (Llava-Next): crop features + unpadded
             # spatial layout are assembled HOST-side at admission (the

@@ -132,6 +132,7 @@ def supported_architectures() -> list[str]:
                      "LlavaNextForConditionalGeneration",
                      "LlavaNextVideoForConditionalGeneration",
                      "LlavaOnevisionForConditionalGeneration",
+                     "ChameleonForConditionalGeneration",
                      "PaliGemmaForConditionalGeneration",
                      "Blip2ForConditionalGeneration",
                      "Qwen2AudioForConditionalGeneration",
@@ -203,6 +204,9 @@ def build_model(hf_config: dict, dtype=jnp.bfloat16):
             from .llava_onevision import LlavaOnevisionModel
             return LlavaOnevisionModel.from_hf_config(hf_config,
                                                       dtype=dtype)
+        if name == "ChameleonForConditionalGeneration":
+            from .chameleon import ChameleonModel
+            return ChameleonModel.from_hf_config(hf_config, dtype=dtype)
         if name in ("MambaForCausalLM", "FalconMambaForCausalLM"):
             from .mamba import MambaArch, MambaModel
             return MambaModel(MambaArch.from_hf_config(hf_config),

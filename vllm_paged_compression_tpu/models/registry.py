@@ -133,6 +133,7 @@ def supported_architectures() -> list[str]:
                      "LlavaNextVideoForConditionalGeneration",
                      "LlavaOnevisionForConditionalGeneration",
                      "ChameleonForConditionalGeneration",
+                     "PixtralForConditionalGeneration",
                      "PaliGemmaForConditionalGeneration",
                      "Blip2ForConditionalGeneration",
                      "Qwen2AudioForConditionalGeneration",
@@ -170,9 +171,17 @@ def build_model(hf_config: dict, dtype=jnp.bfloat16):
     archs = hf_config.get("architectures") or []
     for name in archs:
         if name in ("LlavaForConditionalGeneration",
-                    "MantisForConditionalGeneration"):
+                    "MantisForConditionalGeneration",
+                    "PixtralForConditionalGeneration"):
             # Mantis shares the llava architecture (reference registry.py
-            # maps it onto the llava impl).
+            # maps it onto the llava impl); HF-format Pixtral is a llava
+            # checkpoint with a pixtral vision tower.
+            vc = hf_config.get("vision_config") or {}
+            if (name == "PixtralForConditionalGeneration"
+                    or vc.get("model_type") == "pixtral"):
+                from .pixtral import PixtralLlavaModel
+                return PixtralLlavaModel.from_hf_config(hf_config,
+                                                        dtype=dtype)
             from .llava import LlavaModel
             return LlavaModel.from_hf_config(hf_config, dtype=dtype)
         if name == "PaliGemmaForConditionalGeneration":

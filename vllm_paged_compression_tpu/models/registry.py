@@ -137,6 +137,7 @@ def supported_architectures() -> list[str]:
                      "PaliGemmaForConditionalGeneration",
                      "Blip2ForConditionalGeneration",
                      "Qwen2AudioForConditionalGeneration",
+                     "UltravoxModel",
                      "Idefics3ForConditionalGeneration",
                      "Qwen2VLForConditionalGeneration",
                      "FuyuForCausalLM",
@@ -216,6 +217,9 @@ def build_model(hf_config: dict, dtype=jnp.bfloat16):
         if name == "ChameleonForConditionalGeneration":
             from .chameleon import ChameleonModel
             return ChameleonModel.from_hf_config(hf_config, dtype=dtype)
+        if name == "UltravoxModel":
+            from .ultravox import UltravoxModel
+            return UltravoxModel.from_hf_config(hf_config, dtype=dtype)
         if name in ("MambaForCausalLM", "FalconMambaForCausalLM"):
             from .mamba import MambaArch, MambaModel
             return MambaModel(MambaArch.from_hf_config(hf_config),

@@ -134,6 +134,7 @@ def supported_architectures() -> list[str]:
                      "LlavaOnevisionForConditionalGeneration",
                      "ChameleonForConditionalGeneration",
                      "PixtralForConditionalGeneration",
+                     "Phi3VForCausalLM",
                      "PaliGemmaForConditionalGeneration",
                      "Blip2ForConditionalGeneration",
                      "Qwen2AudioForConditionalGeneration",
@@ -220,6 +221,9 @@ def build_model(hf_config: dict, dtype=jnp.bfloat16):
         if name == "UltravoxModel":
             from .ultravox import UltravoxModel
             return UltravoxModel.from_hf_config(hf_config, dtype=dtype)
+        if name == "Phi3VForCausalLM":
+            from .phi3v import Phi3VModel
+            return Phi3VModel.from_hf_config(hf_config, dtype=dtype)
         if name in ("MambaForCausalLM", "FalconMambaForCausalLM"):
             from .mamba import MambaArch, MambaModel
             return MambaModel(MambaArch.from_hf_config(hf_config),

@@ -143,7 +143,8 @@ def supported_architectures() -> list[str]:
                      "Qwen2VLForConditionalGeneration",
                      "FuyuForCausalLM",
                      "MambaForCausalLM", "FalconMambaForCausalLM",
-                     "JambaForCausalLM", "JambaForSequenceClassification"})
+                     "JambaForCausalLM", "JambaForSequenceClassification",
+                     "BartForConditionalGeneration", "BartModel"})
 
 
 # Decoder trunks served as pooling-task models (reference qwen2_cls.py /
@@ -228,6 +229,10 @@ def build_model(hf_config: dict, dtype=jnp.bfloat16):
             from .mamba import MambaArch, MambaModel
             return MambaModel(MambaArch.from_hf_config(hf_config),
                               dtype=dtype)
+        if name in ("BartForConditionalGeneration", "BartModel"):
+            from .bart import BartArch, BartModel
+            return BartModel(BartArch.from_hf_config(hf_config),
+                             dtype=dtype)
         if name in ("JambaForCausalLM", "JambaForSequenceClassification"):
             from .jamba import JambaArch, JambaModel
             arch = JambaArch.from_hf_config(hf_config)

@@ -212,6 +212,20 @@ class LLMEngine:
                 cc.num_device_blocks = sc2.max_num_seqs + 4
             logger.info("Mamba state pools: %d slots", cc.num_device_blocks)
 
+        if getattr(self.model.arch, "bs_block", 0):
+            # Blocksparse attention (Phi-3-small): the structured mask is
+            # position-exact, so page-moving features are rejected.
+            cc, sc2 = config.cache, config.scheduler
+            for bad, name in (
+                    (cc.paged_evict and cc.paged_evict.enabled or None,
+                     "paged eviction"),
+                    (cc.enable_prefix_caching or None, "prefix caching"),
+                    (sc2.enable_chunked_prefill or None, "chunked prefill"),
+                    (config.speculative, "speculative decoding")):
+                if bad is not None:
+                    raise ValueError(f"{name} is not supported with "
+                                     "blocksparse-attention models")
+
         kv_dtype = _KV_DTYPES.get(config.cache.cache_dtype) or dtype
         import jax
         weight_bytes = sum(x.nbytes for x in jax.tree.leaves(self.params))

@@ -125,6 +125,18 @@ class LlamaArch:
     mrope_section: Optional[list] = None  # Qwen2-VL M-RoPE: per-stream
     #                                   frequency-dim widths (t/h/w);
     #                                   positions may arrive as [3, T]
+    # --- Phi-3-small (phi3_small.py) ---
+    gegelu_limit: Optional[float] = None  # gegelu clamp (activation
+    #                                   splits the fused up_proj into
+    #                                   (gelu, linear+1) halves)
+    attn_scale_override: Optional[float] = None  # mup attention scale
+    suppress_tokens: Optional[tuple] = None  # dummy_token_indices: vocab
+    #                                   ids forced to -inf at the logits
+    bs_block: int = 0                 # blocksparse attention block (0=off)
+    bs_local_blocks: int = 16
+    bs_vert_stride: int = 8
+    bs_homo: bool = False
+    bs_dense_every_n: Optional[int] = None  # layer (i+1) % n == 0 -> dense
     alibi: bool = False               # additive per-head linear key bias
     alibi_variant: str = "bloom"      # | "mpt" (ceil-pow2, bias_max-scaled)
     alibi_bias_max: float = 8.0       # MPT attn_config.alibi_bias_max
@@ -179,6 +191,8 @@ class LlamaArch:
 
     @property
     def attn_scale(self) -> float:
+        if self.attn_scale_override is not None:
+            return self.attn_scale_override
         base = (self.query_pre_attn_scalar
                 if self.query_pre_attn_scalar is not None else self.head_dim)
         return base ** -0.5
@@ -462,6 +476,81 @@ class OlmoeArch(LlamaArch):
         a.moe_norm_topk = cfg.get("norm_topk_prob", False)
         a.moe_hf_style = "qwen"
         return a
+
+
+@dataclass
+class Phi3SmallArch(LlamaArch):
+    """Phi-3-small (reference vllm/model_executor/models/phi3_small.py):
+    biased LayerNorms, head-major fused QKV with bias, gegelu MLP with a
+    clamp, μP scaling (embedding multiplier, attention norm factor, logit
+    width division), tiktoken dummy-token suppression, and BLOCKSPARSE
+    attention (local blocks + per-head vertical strides, dense every n-th
+    layer) — the mask is applied exactly in the jnp attention oracles."""
+
+    @classmethod
+    def from_hf_config(cls, cfg: dict) -> "Phi3SmallArch":
+        a = super().from_hf_config(cfg)
+        a.norm_type = "layernorm"
+        a.norm_bias = True
+        a.rms_norm_eps = cfg.get("layer_norm_epsilon", 1e-5)
+        a.qkv_bias = a.o_bias = a.mlp_bias = True
+        a.hidden_act = "gegelu"
+        a.gegelu_limit = cfg.get("gegelu_limit")
+        a.rope_theta = cfg.get("rope_embedding_base",
+                               cfg.get("rope_theta", 10000.0))
+        scale = cfg.get("rope_position_scale", 1.0)
+        if cfg.get("rope_scaling") is None and scale != 1.0:
+            a.rope_scaling = {"rope_type": "linear", "factor": scale}
+        a.tie_word_embeddings = True
+        if cfg.get("mup_use_scaling", True):
+            a.attn_scale_override = (cfg.get("mup_attn_multiplier", 1.0)
+                                     / a.head_dim)
+            a.logit_scale = 1.0 / cfg.get("mup_width_multiplier", 1.0)
+            if cfg.get("mup_embedding_multiplier"):
+                a.embed_scale = float(cfg["mup_embedding_multiplier"])
+        if cfg.get("dummy_token_indices"):
+            a.suppress_tokens = tuple(cfg["dummy_token_indices"])
+        a.bs_block = cfg.get("blocksparse_block_size", 64)
+        a.bs_local_blocks = cfg.get("blocksparse_num_local_blocks", 16)
+        a.bs_vert_stride = cfg.get("blocksparse_vert_stride", 8)
+        a.bs_homo = cfg.get("blocksparse_homo_head_pattern", False)
+        a.bs_dense_every_n = cfg.get("dense_attention_every_n_layers")
+        return a
+
+    def canonicalize_hf(self, tensors: dict) -> dict:
+        g = self.num_heads // self.num_kv_heads
+        hd = self.head_dim
+        out = {}
+        for k, v in tensors.items():
+            k = k.replace("model.final_layernorm.", "model.norm.")
+            k = k.replace(".self_attn.dense.", ".self_attn.o_proj.")
+            if ".self_attn.query_key_value." in k:
+                # Head-major fused qkv: per kv head [q_0..q_{g-1}, k, v]
+                # (phi3_small.py HeadMajorQKVParallelLinear layout).
+                v = np.asarray(v)
+                parts = v.reshape(self.num_kv_heads, g + 2, hd,
+                                  *v.shape[1:])
+                names = {"q": parts[:, :g].reshape(
+                    self.num_kv_heads * g * hd, *v.shape[1:]),
+                    "k": parts[:, g].reshape(self.num_kv_heads * hd,
+                                             *v.shape[1:]),
+                    "v": parts[:, g + 1].reshape(self.num_kv_heads * hd,
+                                                 *v.shape[1:])}
+                for nm, val in names.items():
+                    out[k.replace(".self_attn.query_key_value.",
+                                  f".self_attn.{nm}_proj.")] = val
+                continue
+            if ".mlp.up_proj." in k:
+                # gegelu halves interleave along the output axis
+                # (a_gelu = even, a_linear = odd); de-interleave into the
+                # canonical gate|up layout.
+                v = np.asarray(v)
+                out[k.replace(".mlp.up_proj.", ".mlp.gate_proj.")] = \
+                    v[0::2]
+                out[k] = v[1::2]
+                continue
+            out[k] = v
+        return out
 
 
 @dataclass
@@ -2578,7 +2667,7 @@ class LlamaModel:
         kv_sz = a.num_kv_heads * a.head_dim
         t = h.shape[0]
         num_layers = jax.tree.leaves(params["layers"])[0].shape[0]
-        act = _ACTS[a.hidden_act]
+        act = _ACTS.get(a.hidden_act)    # None for "gegelu" (special-cased)
         norm = functools.partial(rms_norm, eps=a.rms_norm_eps,
                                  unit_offset=a.norm_unit_offset)
 
@@ -2829,7 +2918,17 @@ class LlamaModel:
                 if a.mlp_gated:
                     gate = gate_up[:, :a.intermediate_size]
                     up = gate_up[:, a.intermediate_size:]
-                    gated = act(gate) * up
+                    if a.hidden_act == "gegelu":
+                        # Phi-3-small gegelu (phi3_small.py:63-75): the
+                        # fused up_proj interleaves (gelu, linear) halves
+                        # (de-interleaved at load); quick-gelu of the
+                        # clamped gate times (clamped linear + 1).
+                        lim = a.gegelu_limit
+                        g = gate if lim is None else jnp.minimum(gate, lim)
+                        u = up if lim is None else jnp.clip(up, -lim, lim)
+                        gated = (g * jax.nn.sigmoid(1.702 * g)) * (u + 1.0)
+                    else:
+                        gated = act(gate) * up
                 else:
                     gated = act(gate_up)
                 mlp_res = with_lora(matmul(gated, lp["w_down"]),
@@ -2987,6 +3086,11 @@ class LlamaModel:
         cap = self.arch.final_logit_softcap
         if cap is not None:
             y = (cap * jnp.tanh(y.astype(jnp.float32) / cap)).astype(y.dtype)
+        if self.arch.suppress_tokens:
+            # Phi-3-small dummy_token_indices: unused tiktoken slots are
+            # forced to -inf (phi3_small.py:436-440).
+            y = y.at[..., jnp.asarray(self.arch.suppress_tokens)].set(
+                jnp.finfo(jnp.float32).min)
         return y
 
     def head_forward(self, params: dict, hidden: jnp.ndarray) -> jnp.ndarray:

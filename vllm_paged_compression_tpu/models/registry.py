@@ -20,7 +20,7 @@ def register_model(hf_arch: str):
 def _ensure_builtin():
     if _REGISTRY:
         return
-    from .llama import (ArcticArch,
+    from .llama import (ArcticArch, Phi3SmallArch,
                         BaichuanArch, BloomArch, ChatGLMArch, CohereArch,
                         DbrxArch, DeciLMArch,
                         DeepseekV1Arch,
@@ -105,6 +105,7 @@ def _ensure_builtin():
         "PhiMoEForCausalLM": (LlamaModel, PhiMoEArch),
         "DeciLMForCausalLM": (LlamaModel, DeciLMArch),
         "ArcticForCausalLM": (LlamaModel, ArcticArch),
+        "Phi3SmallForCausalLM": (LlamaModel, Phi3SmallArch),
         # Bare-trunk / embedding variants (reference registry.py
         # _EMBEDDING_MODELS maps "*Model" names to the decoder impls; the
         # engine serves them through encode()).  GritLM is a Mistral

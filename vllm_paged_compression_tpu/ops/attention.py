@@ -94,11 +94,33 @@ def _softcap(scores: jnp.ndarray, cap):
     return cap * jnp.tanh(scores / cap)
 
 
+def blocksparse_allowed(q_pos: jnp.ndarray, k_pos: jnp.ndarray,
+                        num_heads: int, block: int, local: int,
+                        vert: int, homo: bool) -> jnp.ndarray:
+    """Phi-3-small blocksparse pattern (reference
+    vllm/attention/ops/blocksparse_attention/utils.py get_sparse_attn_mask):
+    key block allowed iff within ``local`` blocks of the query block or on
+    a vertical stride column; non-homo heads slide the stride by
+    ``max(1, vert // num_heads)`` per head.  Returns bool
+    [H or 1, Tq, Tk] (causality applied by the caller)."""
+    qb = q_pos // block
+    kb = k_pos // block
+    local_ok = (qb[..., :, None] - kb[..., None, :]) < local
+    if homo:
+        vert_ok = (kb + 1) % vert == 0
+        return (local_ok | vert_ok[..., None, :])[None]
+    step = max(1, vert // num_heads)
+    offs = jnp.arange(num_heads) * step                  # [H]
+    vert_ok = (kb[None, :] + offs[:, None] + 1) % vert == 0   # [H, Tk]
+    return local_ok[None] | vert_ok[:, None, :]
+
+
 def prefill_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                       scale: float, q_len: jnp.ndarray | int,
                       softcap: float | None = None,
                       alibi_slopes: jnp.ndarray | None = None,
-                      bidirectional: bool = False
+                      bidirectional: bool = False,
+                      extra_mask: jnp.ndarray | None = None
                       ) -> jnp.ndarray:
     """Causal self-attention for one (padded) prompt.
 
@@ -122,7 +144,13 @@ def prefill_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     causal = (jnp.ones((t, t), bool) if bidirectional
               else pos[:, None] >= pos[None, :])
     valid = pos[None, :] < q_len
-    probs = _masked_softmax(scores, (causal & valid)[None, None])
+    mask = (causal & valid)[None, None]
+    if extra_mask is not None:
+        # Per-head structured mask (blocksparse): [H or 1, Tq, Tk] ->
+        # [kH, g, Tq, Tk].
+        em = jnp.broadcast_to(extra_mask, (q.shape[1], t, t))
+        mask = mask & em.reshape(k.shape[1], group, t, t)
+    probs = _masked_softmax(scores, mask)
     out = jnp.einsum("kgts,skd->tkgd", probs, v.astype(jnp.float32))
     return out.reshape(t, -1, q.shape[-1]).astype(q.dtype)
 
@@ -164,7 +192,8 @@ def paged_decode_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
                            v_cache: jnp.ndarray, block_tables: jnp.ndarray,
                            kv_lens: jnp.ndarray, scale: float,
                            softcap: float | None = None,
-                           alibi_slopes: jnp.ndarray | None = None
+                           alibi_slopes: jnp.ndarray | None = None,
+                           extra_mask: jnp.ndarray | None = None
                            ) -> jnp.ndarray:
     """Single-token decode attention through block tables.
 
@@ -209,7 +238,13 @@ def paged_decode_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
             alibi_slopes, num_kv,
             jnp.arange(max_pages * page_size))[:, :, 0, :][None]
     valid = jnp.arange(max_pages * page_size)[None, :] < kv_lens[:, None]
-    probs = _masked_softmax(scores, valid[:, None, None, :])
+    mask = valid[:, None, None, :]
+    if extra_mask is not None:
+        # Per-head structured mask (blocksparse): [B, H, S] ->
+        # [B, kH, g, S].
+        s = max_pages * page_size
+        mask = mask & extra_mask.reshape(b, num_kv, h // num_kv, s)
+    probs = _masked_softmax(scores, mask)
     out = jnp.einsum("bkgs,bskd->bkgd", probs, v.astype(jnp.float32))
     return out.reshape(b, h, d).astype(q.dtype)
 

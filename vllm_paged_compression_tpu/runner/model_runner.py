@@ -178,6 +178,24 @@ class ModelRunner:
             if self.attn_backend == "pallas":
                 logger.info("ALiBi model: using the jnp attention backend")
                 self.attn_backend = "jnp"
+        # Blocksparse attention (Phi-3-small): exact per-head local+vert
+        # masks served by the jnp oracles; per-layer dense switch rides
+        # the carry-mode layer index.
+        self.blocksparse = None
+        if getattr(model.arch, "bs_block", 0):
+            a2 = model.arch
+            self.blocksparse = dict(
+                block=a2.bs_block, local=a2.bs_local_blocks,
+                vert=a2.bs_vert_stride, homo=a2.bs_homo,
+                heads=a2.num_heads)
+            n = a2.bs_dense_every_n
+            self._bs_sparse_layers = jnp.asarray(
+                [not (n and (i + 1) % n == 0)
+                 for i in range(a2.num_layers)])
+            if self.attn_backend == "pallas":
+                logger.info("Blocksparse model: using the jnp attention "
+                            "backend")
+                self.attn_backend = "jnp"
         logger.info("Attention backend: %s", self.attn_backend)
         # 64-dim-head models use the fused kernel's flat-page variant; the
         # decode/spec programs carry the pools as [L, NP, ps, Hkv*d] so
@@ -420,10 +438,29 @@ class ModelRunner:
         kc, vc = write_kv_slots(kc, vc, k, v, slots)
         if zero_slots is not None:
             kc, vc = zero_kv_slots(kc, vc, zero_slots)
-        out = self._paged_decode(q, kc, vc, tables, kv_lens, self.scale)
+        extra = {}
+        if self.blocksparse is not None:
+            extra["extra_mask"] = self._decode_bs_mask(tables, kv_lens,
+                                                       layer)
+        out = self._paged_decode(q, kc, vc, tables, kv_lens, self.scale,
+                                 **extra)
         kc_all = jax.tree.map(lambda a, s: a.at[layer].set(s), kc_all, kc)
         vc_all = jax.tree.map(lambda a, s: a.at[layer].set(s), vc_all, vc)
         return out, kc_all, vc_all
+
+    def _decode_bs_mask(self, tables, kv_lens, layer):
+        """Blocksparse decode mask [B, H, S]: the query sits at position
+        kv_len - 1; dense layers pass all-True (phi3_small.py:196-204)."""
+        from ..ops.attention import blocksparse_allowed
+        cfg = self.blocksparse
+        s = tables.shape[1] * self.block_size
+        k_pos = jnp.arange(s)
+        allowed = jax.vmap(lambda ql: blocksparse_allowed(
+            ql[None], k_pos, cfg["heads"], cfg["block"], cfg["local"],
+            cfg["vert"], cfg["homo"])[:, 0])(kv_lens - 1)   # [B, H?, S]
+        allowed = jnp.broadcast_to(allowed,
+                                   (kv_lens.shape[0], cfg["heads"], s))
+        return jnp.where(self._bs_sparse_layers[layer], allowed, True)
 
     def _decode_jit(self, greedy: bool, logprobs_l: int):
         import functools
@@ -883,6 +920,41 @@ class ModelRunner:
         bidir = (("pixel_values" in batch or "mm_feats" in batch)
                  and getattr(self.model, "mm_bidirectional_prompt", False))
 
+        if self.blocksparse is not None:
+            # Blocksparse prefill runs in CARRY mode so the per-layer
+            # dense/sparse switch can read the layer index.
+            from ..ops.attention import blocksparse_allowed
+            cfg = self.blocksparse
+            t = batch["tokens"].shape[0]
+            pos = jnp.arange(t)
+            allowed = jnp.broadcast_to(
+                blocksparse_allowed(pos, pos, cfg["heads"], cfg["block"],
+                                    cfg["local"], cfg["vert"],
+                                    cfg["homo"]),
+                (cfg["heads"], t, t))
+
+            def bs_attn_fn(q, k, v, state, layer):
+                kc_all, vc_all = state
+                kc = jax.tree.map(lambda x: x[layer], kc_all)
+                vc = jax.tree.map(lambda x: x[layer], vc_all)
+                kc, vc = write_kv_pages(kc, vc, k, v,
+                                        batch["write_pages"])
+                kc_all = jax.tree.map(
+                    lambda a_, s_: a_.at[layer].set(s_), kc_all, kc)
+                vc_all = jax.tree.map(
+                    lambda a_, s_: a_.at[layer].set(s_), vc_all, vc)
+                m = jnp.where(self._bs_sparse_layers[layer], allowed,
+                              True)
+                out = prefill_attention(q, k, v, self.scale,
+                                        batch["q_len"],
+                                        softcap=self.attn_softcap,
+                                        extra_mask=m)
+                return out, (kc_all, vc_all)
+
+            return self._finish_prefill(params, caches, page_scores,
+                                        batch, bs_attn_fn, greedy_only,
+                                        logprobs_l, state_mode="carry")
+
         def attn_fn(q, k, v, layer_cache):
             kc, vc = layer_cache
             kc, vc = write_kv_pages(kc, vc, k, v, batch["write_pages"])
@@ -1181,7 +1253,8 @@ class ModelRunner:
         return (jax.tree.map(put, k, kh), jax.tree.map(put, v, vh))
 
     def _finish_prefill(self, params, caches, page_scores, batch,
-                        attn_fn, greedy_only=False, logprobs_l=0):
+                        attn_fn, greedy_only=False, logprobs_l=0,
+                        state_mode="scan"):
         lk = (self._lora_kwargs(params, batch["lora_idx"])
               if self.lora_enabled else {})
         ie = self._build_input_embeds(params, batch)
@@ -1189,7 +1262,7 @@ class ModelRunner:
             lk["input_embeds"] = ie
         hidden, new_caches = self.model.forward_hidden(
             params, batch["tokens"], batch["positions"], attn_fn, caches,
-            **lk)
+            state_mode=state_mode, **lk)
         if self.track_page_scores:
             page_scores = self._update_page_scores(
                 page_scores, new_caches[1], batch["fill_pages"])

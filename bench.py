@@ -98,7 +98,11 @@ def main() -> None:
     t_prefill = time.perf_counter() - t_start
 
     # Warmup decode (compile + cache warm), then timed steady-state.
+    # Clamp the warmup so short runs (small VPC_BENCH_OUTPUT_LEN smoke
+    # configs) always leave tokens for the timed section.
+    warmup = min(warmup, max(output_len // 4, 1))
     seq = eng.scheduler.running[0]
+    t_warm0 = time.perf_counter()
     while seq.num_output_tokens < warmup and eng.has_unfinished_requests():
         eng.step()
     n0 = seq.num_output_tokens
@@ -109,7 +113,13 @@ def main() -> None:
         marks.append((seq.num_output_tokens, time.perf_counter()))
     dt = time.perf_counter() - t0
     n_timed = seq.num_output_tokens - n0
-    tok_s = n_timed / dt
+    if n_timed == 0:
+        # Whole decode fit into the warmup window: fall back to the
+        # full post-prefill rate (still excludes prefill compile).
+        n_timed = seq.num_output_tokens - 1
+        dt = time.perf_counter() - t_warm0
+        marks = []
+    tok_s = n_timed / max(dt, 1e-9)
     # The chip tunnel suffers transient multi-second stalls unrelated to
     # the program (measured spread 49-97 tok/s on identical runs).  Report
     # the median over ~8 contiguous segments — each itself a sustained

@@ -141,6 +141,22 @@ def test_cohere_logits_match_hf():
     _check_parity(hf, d)
 
 
+def test_cohere2_logits_match_hf():
+    # Command-R7B: 8 layers -> pattern [S,S,S,F]x2; the full-attention
+    # layers skip rope entirely (reference commandr.py:223).  Sequence
+    # shorter than the window, so sliding == full attention.
+    cfg = transformers.Cohere2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=8, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rope_theta=10000.0,
+        logit_scale=0.0625, layer_norm_eps=1e-5, sliding_window=4096,
+        sliding_window_pattern=4)
+    torch.manual_seed(18)
+    hf = transformers.Cohere2ForCausalLM(cfg).eval()
+    d = cfg.to_dict(); d["architectures"] = ["Cohere2ForCausalLM"]
+    _check_parity(hf, d)
+
+
 # ---- remote-code families: checkpoint-layout conversion vs Llama --------
 
 

@@ -69,6 +69,9 @@ class LlamaArch:
     norm_unit_offset: bool = False    # gemma RMSNorm scales by (1 + w)
     embed_scale: Optional[float] = None   # gemma: sqrt(hidden_size)
     sandwich_norms: bool = False      # gemma2: post-attn/post-ffw out norms
+    sliding_window: Optional[int] = None  # informational: window size of
+    #                                   the sliding layers (attention is
+    #                                   exact for contexts <= window)
     attn_logit_softcap: Optional[float] = None   # gemma2
     final_logit_softcap: Optional[float] = None  # gemma2
     query_pre_attn_scalar: Optional[float] = None  # gemma2 attn scale base
@@ -122,6 +125,10 @@ class LlamaArch:
     #                                   H*d projection (vs per-head)
     # --- position schemes beyond rope (Bloom/MPT/JAIS/GPT-BigCode) ---
     use_rope: bool = True             # False: no rotary embedding
+    no_rope_pattern: int = 0          # p > 0: layers with (i+1) % p == 0
+    #                                   skip rope (Cohere2 global layers,
+    #                                   commandr.py:223 `v1 or
+    #                                   sliding_window`)
     mrope_section: Optional[list] = None  # Qwen2-VL M-RoPE: per-stream
     #                                   frequency-dim widths (t/h/w);
     #                                   positions may arrive as [3, T]
@@ -1434,6 +1441,36 @@ class CohereArch(LlamaArch):
 
 
 @dataclass
+class Cohere2Arch(CohereArch):
+    """Command-R7B / Cohere2 (reference
+    vllm/model_executor/models/commandr.py:175-185, 223): Cohere trunk
+    where 3 of every `sliding_window_pattern` layers use sliding-window
+    attention WITH rope and every p-th layer is global attention WITHOUT
+    rope.  Sliding-window masking follows the Gemma2 stance (exact for
+    contexts <= the window; the window rides the same paged cache)."""
+
+    @classmethod
+    def from_hf_config(cls, cfg: dict) -> "Cohere2Arch":
+        a = super().from_hf_config(cfg)
+        # Newer HF configs carry an explicit layer_types list; older ones
+        # (and the reference) use sliding_window_pattern.  The Cohere2
+        # schedule is always periodic: full attention every p-th layer.
+        lt = cfg.get("layer_types")
+        if lt and "full_attention" in lt:
+            p = lt.index("full_attention") + 1
+            if any((t == "full_attention") != ((i + 1) % p == 0)
+                   for i, t in enumerate(lt)):
+                raise NotImplementedError(
+                    f"non-periodic Cohere2 layer_types: {lt}")
+        else:
+            p = (cfg.get("sliding_window_pattern")
+                 or cfg.get("_sliding_window_pattern") or 4)
+        a.no_rope_pattern = p
+        a.sliding_window = cfg.get("sliding_window")
+        return a
+
+
+@dataclass
 class BaichuanArch(LlamaArch):
     """Baichuan/Baichuan2-7B (reference
     vllm/model_executor/models/baichuan.py): Llama with a fused W_pack QKV
@@ -2680,7 +2717,7 @@ class LlamaModel:
             lora_layers = None
             lora_on = False
 
-        def layer_body(h, lp, ll, state, layer_idx=None):
+        def layer_body(h, lp, ll, state, layer_idx=None, rope_li=None):
 
             def with_lora(y, name, x):
                 if not lora_on or f"A_{name}" not in ll:
@@ -2766,8 +2803,17 @@ class LlamaModel:
                         q = rms_norm(q, lp["q_norm"], a.rms_norm_eps)
                         k = rms_norm(k, lp["k_norm"], a.rms_norm_eps)
                 if a.use_rope:
-                    q, k = apply_rope(q, k, cos, sin, rot_dim=a.rot_dim,
-                                      interleaved=a.rope_interleaved)
+                    q_r, k_r = apply_rope(q, k, cos, sin, rot_dim=a.rot_dim,
+                                          interleaved=a.rope_interleaved)
+                    if a.no_rope_pattern:
+                        # Cohere2: every p-th layer is global attention
+                        # WITHOUT positional encoding (commandr.py:223).
+                        li = rope_li if rope_li is not None else layer_idx
+                        on = ((li + 1) % a.no_rope_pattern) != 0
+                        q = jnp.where(on, q_r, q)
+                        k = jnp.where(on, k_r, k)
+                    else:
+                        q, k = q_r, k_r
             if layer_idx is None:
                 attn_out, new_state = attn_fn(q, k, v, state)
             else:
@@ -2982,21 +3028,27 @@ class LlamaModel:
             h, new_state = carry
         else:
             def layer_fn(h, xs):
-                lp, ll, state = xs
-                return layer_body(h, lp, ll, state)
+                lp, ll, state, li = xs
+                return layer_body(h, lp, ll, state, rope_li=li)
 
             if len(stacks) == 1:
                 h, new_state = jax.lax.scan(
                     layer_fn, h,
-                    (params["layers"], lora_layers, attn_state))
+                    (params["layers"], lora_layers, attn_state,
+                     jnp.arange(num_layers, dtype=jnp.int32)))
             else:
                 nd = jax.tree.leaves(stacks[0])[0].shape[0]
+                nm = jax.tree.leaves(stacks[1])[0].shape[0]
                 s_dense = jax.tree.map(lambda x: x[:nd], attn_state)
                 s_moe = jax.tree.map(lambda x: x[nd:], attn_state)
-                h, ns_d = jax.lax.scan(layer_fn, h,
-                                       (stacks[0], None, s_dense))
-                h, ns_m = jax.lax.scan(layer_fn, h,
-                                       (stacks[1], None, s_moe))
+                h, ns_d = jax.lax.scan(
+                    layer_fn, h,
+                    (stacks[0], None, s_dense,
+                     jnp.arange(nd, dtype=jnp.int32)))
+                h, ns_m = jax.lax.scan(
+                    layer_fn, h,
+                    (stacks[1], None, s_moe,
+                     jnp.arange(nd, nd + nm, dtype=jnp.int32)))
                 new_state = jax.tree.map(
                     lambda a_, b_: jnp.concatenate([a_, b_], axis=0),
                     ns_d, ns_m)
@@ -3039,20 +3091,22 @@ class LlamaModel:
         s_m = jax.tree.map(lambda x: x[1:2 * np_:2], attn_state)
 
         def pair_fn(hh, xs):
-            lpd, lpm, sd, sm = xs
-            hh, nsd = layer_body(hh, lpd, None, sd)
-            hh, nsm = layer_body(hh, lpm, None, sm)
+            lpd, lpm, sd, sm, i = xs
+            hh, nsd = layer_body(hh, lpd, None, sd, rope_li=2 * i)
+            hh, nsm = layer_body(hh, lpm, None, sm, rope_li=2 * i + 1)
             return hh, (nsd, nsm)
 
-        h, (ns_d, ns_m) = jax.lax.scan(pair_fn, h,
-                                       (dl_pairs, ml, s_d, s_m))
+        h, (ns_d, ns_m) = jax.lax.scan(
+            pair_fn, h,
+            (dl_pairs, ml, s_d, s_m, jnp.arange(np_, dtype=jnp.int32)))
         new_state = jax.tree.map(
             lambda d_, m_: jnp.stack([d_, m_], 1).reshape(
                 (2 * np_,) + d_.shape[1:]), ns_d, ns_m)
         if tail:
             h, ns_t = layer_body(
                 h, jax.tree.map(lambda x: x[np_], dl), None,
-                jax.tree.map(lambda x: x[2 * np_], attn_state))
+                jax.tree.map(lambda x: x[2 * np_], attn_state),
+                rope_li=2 * np_)
             new_state = jax.tree.map(
                 lambda ab, t_: jnp.concatenate([ab, t_[None]], 0),
                 new_state, ns_t)

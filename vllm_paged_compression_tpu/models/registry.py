@@ -21,7 +21,8 @@ def _ensure_builtin():
     if _REGISTRY:
         return
     from .llama import (ArcticArch, Phi3SmallArch,
-                        BaichuanArch, BloomArch, ChatGLMArch, CohereArch,
+                        BaichuanArch, BloomArch, ChatGLMArch, Cohere2Arch,
+                        CohereArch,
                         DbrxArch, DeciLMArch,
                         DeepseekV1Arch,
                         DeepseekV2Arch, DeepseekV3Arch,
@@ -57,6 +58,7 @@ def _ensure_builtin():
         "FalconForCausalLM": (LlamaModel, FalconArch),
         "RWForCausalLM": (LlamaModel, FalconArch),
         "CohereForCausalLM": (LlamaModel, CohereArch),
+        "Cohere2ForCausalLM": (LlamaModel, Cohere2Arch),
         "BaichuanForCausalLM": (LlamaModel, BaichuanArch),
         "BaiChuanForCausalLM": (LlamaModel, BaichuanArch),
         "InternLM2ForCausalLM": (LlamaModel, InternLM2Arch),

@@ -143,6 +143,7 @@ def supported_architectures() -> list[str]:
                      "Qwen2AudioForConditionalGeneration",
                      "UltravoxModel",
                      "Idefics3ForConditionalGeneration",
+                     "InternVLChatModel", "H2OVLChatModel", "NVLM_D",
                      "Qwen2VLForConditionalGeneration",
                      "FuyuForCausalLM",
                      "MambaForCausalLM", "FalconMambaForCausalLM",
@@ -228,6 +229,14 @@ def build_model(hf_config: dict, dtype=jnp.bfloat16):
         if name == "Phi3VForCausalLM":
             from .phi3v import Phi3VModel
             return Phi3VModel.from_hf_config(hf_config, dtype=dtype)
+        if name in ("InternVLChatModel", "H2OVLChatModel", "NVLM_D"):
+            # One implementation covers all three (internvl.py); H2OVL
+            # differs only in host-side MSAC tiling, NVLM-D in the mlp1
+            # shape (selected by style).
+            from .internvl import InternVLModel
+            return InternVLModel.from_hf_config(
+                hf_config, dtype=dtype,
+                style="nvlm" if name == "NVLM_D" else "internvl")
         if name in ("MambaForCausalLM", "FalconMambaForCausalLM"):
             from .mamba import MambaArch, MambaModel
             return MambaModel(MambaArch.from_hf_config(hf_config),

@@ -144,6 +144,7 @@ def supported_architectures() -> list[str]:
                      "UltravoxModel",
                      "Idefics3ForConditionalGeneration",
                      "InternVLChatModel", "H2OVLChatModel", "NVLM_D",
+                     "MiniCPMV",
                      "Qwen2VLForConditionalGeneration",
                      "FuyuForCausalLM",
                      "MambaForCausalLM", "FalconMambaForCausalLM",
@@ -229,6 +230,9 @@ def build_model(hf_config: dict, dtype=jnp.bfloat16):
         if name == "Phi3VForCausalLM":
             from .phi3v import Phi3VModel
             return Phi3VModel.from_hf_config(hf_config, dtype=dtype)
+        if name == "MiniCPMV":
+            from .minicpmv import MiniCPMVModel
+            return MiniCPMVModel.from_hf_config(hf_config, dtype=dtype)
         if name in ("InternVLChatModel", "H2OVLChatModel", "NVLM_D"):
             # One implementation covers all three (internvl.py); H2OVL
             # differs only in host-side MSAC tiling, NVLM-D in the mlp1

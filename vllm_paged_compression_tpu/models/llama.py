@@ -2411,6 +2411,14 @@ class LlamaModel:
                         gate_up.append(np.transpose(il, (0, 2, 1)))
                         ol = t(p + "block_sparse_moe.output_linear.weight")
                         down.append(np.transpose(ol, (0, 2, 1)))
+                    elif a.moe_hf_style == "aria":
+                        # Aria (reference aria.py:283-338, :251-280):
+                        # router_weight [E, D]; experts ship PRE-PACKED —
+                        # fc1 [E, D, 2I] (gate | up halves: FusedMoE
+                        # applies silu to the first half), fc2 [E, I, D].
+                        router.append(t(p + "mlp.router_weight").T)
+                        gate_up.append(t(p + "mlp.experts.fc1.weight"))
+                        down.append(t(p + "mlp.experts.fc2.weight"))
                     else:
                         # Mixtral: block_sparse_moe.{gate,
                         # experts.N.w1/w2/w3} (w1 = gate, w3 = up,

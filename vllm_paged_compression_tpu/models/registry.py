@@ -145,6 +145,7 @@ def supported_architectures() -> list[str]:
                      "Idefics3ForConditionalGeneration",
                      "InternVLChatModel", "H2OVLChatModel", "NVLM_D",
                      "MiniCPMV", "MolmoForCausalLM",
+                     "AriaForConditionalGeneration",
                      "Qwen2VLForConditionalGeneration",
                      "FuyuForCausalLM",
                      "MambaForCausalLM", "FalconMambaForCausalLM",
@@ -230,6 +231,9 @@ def build_model(hf_config: dict, dtype=jnp.bfloat16):
         if name == "Phi3VForCausalLM":
             from .phi3v import Phi3VModel
             return Phi3VModel.from_hf_config(hf_config, dtype=dtype)
+        if name == "AriaForConditionalGeneration":
+            from .aria import AriaModel
+            return AriaModel.from_hf_config(hf_config, dtype=dtype)
         if name == "MolmoForCausalLM":
             from .molmo import MolmoModel
             return MolmoModel.from_hf_config(hf_config, dtype=dtype)

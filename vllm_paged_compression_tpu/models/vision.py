@@ -195,9 +195,15 @@ class VisionTower:
             params.update({
                 "patch_b": t(vp + "embeddings.patch_embedding.bias"),
                 "pos": t(vp + "embeddings.position_embedding.weight"),
-                "post_ln_w": t(vp + "post_layernorm.weight"),
-                "post_ln_b": t(vp + "post_layernorm.bias"),
             })
+            if vision_prefix + "post_layernorm.weight" in tensors:
+                params["post_ln_w"] = t(vp + "post_layernorm.weight")
+                params["post_ln_b"] = t(vp + "post_layernorm.bias")
+            else:
+                # Aria replaces the post-layernorm with identity
+                # (aria.py:56-70); keep inert params for a stable pytree.
+                params["post_ln_w"] = np.ones(a.hidden_size, np.float32)
+                params["post_ln_b"] = np.zeros(a.hidden_size, np.float32)
         else:
             params.update({
                 "cls": t(vp + "embeddings.class_embedding").reshape(1, -1),

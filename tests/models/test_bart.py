@@ -102,3 +102,28 @@ def test_bart_batched_serving(hf_model):
                 max_new_tokens=6, do_sample=False,
                 eos_token_id=None)[0].tolist()[1:7]
         assert list(o.outputs[0].token_ids) == want
+
+
+def test_florence2_language_model_greedy(hf_model):
+    """Florence2 = BART under a language_model. prefix with an untied
+    lm_head (reference florence2.py); wrap the HF BART checkpoint into
+    that naming and check greedy tokens are unchanged."""
+    sd = {"language_model." + k: v for k, v in _sd(hf_model).items()}
+    cfg = {"architectures": ["Florence2ForConditionalGeneration"],
+           "text_config": dict(CFG_KW), "eos_token_id": None}
+    llm = LLM(hf_config=cfg, dtype="float32", max_model_len=64,
+              num_device_blocks=8, seed=0, max_num_seqs=4)
+    llm.engine.params = llm.engine.model.load_hf_state_dict(sd)
+    assert "lm_head" in llm.engine.params
+    n = 10
+    outs = llm.generate(prompt_token_ids=[SRC],
+                        sampling_params=SamplingParams(
+                            temperature=0.0, max_tokens=n,
+                            ignore_eos=True))
+    ours = list(outs[0].outputs[0].token_ids)
+    with torch.no_grad():
+        out = hf_model.generate(
+            input_ids=torch.tensor([SRC]),
+            attention_mask=torch.ones(1, len(SRC), dtype=torch.long),
+            max_new_tokens=n, do_sample=False, eos_token_id=None)
+    assert ours == out[0].tolist()[1:1 + n]

@@ -146,6 +146,14 @@ class BartModel:
     def load_hf_state_dict(self, tensors: dict, as_numpy: bool = False
                            ) -> dict:
         a = self.arch
+        if any(k.startswith("language_model.") for k in tensors):
+            # Florence2 (reference florence2.py:194-264): the BART
+            # language model lives under "language_model." with its own
+            # lm_head; vision-tower weights are skipped (the reference
+            # does the same, :257-264).
+            tensors = {k[len("language_model."):]: v
+                       for k, v in tensors.items()
+                       if k.startswith("language_model.")}
 
         def t(name):
             return np.asarray(tensors[name])
@@ -205,6 +213,10 @@ class BartModel:
                             if "final_logits_bias" in tensors
                             else np.zeros(a.vocab_size, np.float32)),
         }
+        if "lm_head.weight" in tensors:
+            # Florence2 ships an untied lm_head (florence2.py:104-112;
+            # the logits path uses the raw weight).
+            params["lm_head"] = t("lm_head.weight").T
         if not as_numpy:
             params = jax.tree.map(
                 lambda x: jnp.asarray(x, self.dtype), params)
@@ -371,6 +383,8 @@ class BartModel:
         return h, (ck, cv, sk, sv, srcl, pos)
 
     def logits(self, params, hidden):
+        if "lm_head" in params:
+            return hidden @ params["lm_head"] + params["logits_bias"]
         return hidden @ params["shared"].T + params["logits_bias"]
 
     # ---- sizing ----------------------------------------------------------

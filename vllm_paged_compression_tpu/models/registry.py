@@ -150,7 +150,8 @@ def supported_architectures() -> list[str]:
                      "FuyuForCausalLM",
                      "MambaForCausalLM", "FalconMambaForCausalLM",
                      "JambaForCausalLM", "JambaForSequenceClassification",
-                     "BartForConditionalGeneration", "BartModel"})
+                     "BartForConditionalGeneration", "BartModel",
+                     "Florence2ForConditionalGeneration"})
 
 
 # Decoder trunks served as pooling-task models (reference qwen2_cls.py /
@@ -256,6 +257,13 @@ def build_model(hf_config: dict, dtype=jnp.bfloat16):
             from .bart import BartArch, BartModel
             return BartModel(BartArch.from_hf_config(hf_config),
                              dtype=dtype)
+        if name == "Florence2ForConditionalGeneration":
+            # Language-model-only, like the reference (florence2.py:200
+            # "TODO: Add vision backbone" — vision weights skipped).
+            from .bart import BartArch, BartModel
+            return BartModel(
+                BartArch.from_hf_config(hf_config.get("text_config")
+                                        or hf_config), dtype=dtype)
         if name in ("JambaForCausalLM", "JambaForSequenceClassification"):
             from .jamba import JambaArch, JambaModel
             arch = JambaArch.from_hf_config(hf_config)

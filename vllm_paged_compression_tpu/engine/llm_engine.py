@@ -473,7 +473,7 @@ class LLMEngine:
         import numpy as np
         if not any(hasattr(self.model, h) for h in
                    ("encode_image", "assemble_image_features",
-                    "encode_image_tokens")):
+                    "encode_image_tokens", "encode_cross_states")):
             raise ValueError("model has no vision tower; cannot accept "
                              "multi_modal_data")
         if self.config.scheduler.enable_chunked_prefill \
@@ -508,7 +508,17 @@ class LLMEngine:
             prompt_token_ids = (list(prompt_token_ids[:s]) + ids
                                 + list(prompt_token_ids[s + 1:]))
             return None, None, prompt_token_ids, -1, None
-        if hasattr(self.model, "assemble_image_features"):
+        if hasattr(self.model, "encode_cross_states"):
+            # Encoder-decoder multimodal (Mllama): the vision tower runs
+            # host-side at admission and its states feed CROSS attention;
+            # the decoder prompt keeps its single image token (no span
+            # expansion — reference mllama.py runs vision as the encoder
+            # phase of an enc-dec request).
+            mm_feats = np.asarray(self.model.encode_cross_states(
+                self.params, pixel_values, multi_modal_data))
+            pixel_values = None
+            n = 1
+        elif hasattr(self.model, "assemble_image_features"):
             # Anyres families (Llava-Next): crop features + unpadded
             # spatial layout are assembled HOST-side at admission (the
             # result length is data-dependent); the prefill jit splices a

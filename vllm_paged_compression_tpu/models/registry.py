@@ -146,12 +146,14 @@ def supported_architectures() -> list[str]:
                      "InternVLChatModel", "H2OVLChatModel", "NVLM_D",
                      "MiniCPMV", "MolmoForCausalLM",
                      "AriaForConditionalGeneration",
+                     "MllamaForConditionalGeneration",
                      "Qwen2VLForConditionalGeneration",
                      "FuyuForCausalLM",
                      "MambaForCausalLM", "FalconMambaForCausalLM",
                      "JambaForCausalLM", "JambaForSequenceClassification",
                      "BartForConditionalGeneration", "BartModel",
-                     "Florence2ForConditionalGeneration"})
+                     "Florence2ForConditionalGeneration"}
+                  | set(_SPECULATIVE_ARCHS))
 
 
 # Decoder trunks served as pooling-task models (reference qwen2_cls.py /
@@ -174,12 +176,28 @@ _BERT_ARCHS = {
 }
 
 
+# Draft-model architectures (reference registry.py
+# _SPECULATIVE_DECODING_MODELS): not servable standalone — they load
+# through the speculative-decoding config (spec_decode/).
+_SPECULATIVE_ARCHS = {
+    "EAGLEModel": "eagle",
+    "MedusaModel": "medusa",
+    "MLPSpeculatorPreTrainedModel": "mlp_speculator",
+}
+
+
 def build_model(hf_config: dict, dtype=jnp.bfloat16):
     """Instantiate a model from an HF config dict (its ``architectures``
     field picks the class)."""
     _ensure_builtin()
     archs = hf_config.get("architectures") or []
     for name in archs:
+        if name in _SPECULATIVE_ARCHS:
+            raise ValueError(
+                f"{name} is a draft-model architecture; serve it via "
+                f"speculative decoding (speculative_method="
+                f"'{_SPECULATIVE_ARCHS[name]}' + speculative_model "
+                f"pointing at the checkpoint), not as a target model")
         if name in ("LlavaForConditionalGeneration",
                     "MantisForConditionalGeneration",
                     "PixtralForConditionalGeneration"):
@@ -232,6 +250,9 @@ def build_model(hf_config: dict, dtype=jnp.bfloat16):
         if name == "Phi3VForCausalLM":
             from .phi3v import Phi3VModel
             return Phi3VModel.from_hf_config(hf_config, dtype=dtype)
+        if name == "MllamaForConditionalGeneration":
+            from .mllama import MllamaModel
+            return MllamaModel.from_hf_config(hf_config, dtype=dtype)
         if name == "AriaForConditionalGeneration":
             from .aria import AriaModel
             return AriaModel.from_hf_config(hf_config, dtype=dtype)

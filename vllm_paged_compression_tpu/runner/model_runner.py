@@ -708,8 +708,15 @@ class ModelRunner:
 
     def _prefill_mamba(self, params, caches, page_scores, batch,
                        greedy_only=False, logprobs_l=0):
+        kw = {}
+        if "cross_states" in batch:
+            # Encoder-decoder multimodal (Mllama): host-encoded vision
+            # states feed the cross-attention layers.
+            kw = {"cross_states": batch["cross_states"],
+                  "img_start": batch["img_start"]}
         last, caches = self.model.forward_prefill(
-            params, batch["tokens"], batch["q_len"], batch["slot"], caches)
+            params, batch["tokens"], batch["q_len"], batch["slot"],
+            caches, **kw)
         logits = self.model.logits(params, last)
         if "bias_ids" in batch:
             logits = logits.astype(jnp.float32).at[
@@ -739,6 +746,10 @@ class ModelRunner:
         tokens[:q_len] = prompt
         batch = {"tokens": tokens, "q_len": np.int32(q_len),
                  "slot": np.int32(seq.block_table.pages[0])}
+        if getattr(seq, "mm_feats", None) is not None \
+                and hasattr(self.model, "encode_cross_states"):
+            batch["cross_states"] = seq.mm_feats
+            batch["img_start"] = np.int32(seq.mm_start)
         batch.update(self._seq_sampling_arrays([seq], 1))
         if self._lane_needs_mask(seq):
             words = self._lane_mask_words(seq, 0)

@@ -137,3 +137,38 @@ def test_gptq_checkpoint_loads_into_llama():
 def test_unsupported_bits_rejected():
     with pytest.raises(NotImplementedError):
         dequantize_checkpoint({}, {"quant_method": "gptq", "bits": 8})
+
+
+def test_compressed_tensors_int8_dequant():
+    """compressed-tensors int8 weight scheme (reference
+    layers/quantization/compressed_tensors/): .weight int8 +
+    .weight_scale per-channel or per-tensor; calibration scales dropped."""
+    rng = np.random.default_rng(7)
+    w8 = rng.integers(-128, 127, (8, 4)).astype(np.int8)
+    sc = rng.standard_normal(8).astype(np.float32) * 0.01
+    t = {"model.layers.0.self_attn.q_proj.weight": w8,
+         "model.layers.0.self_attn.q_proj.weight_scale": sc,
+         "model.layers.0.self_attn.q_proj.input_scale":
+         np.float32(0.1),
+         "model.layers.0.self_attn.attn.k_scale": np.float32(1.0),
+         "model.layers.1.mlp.up_proj.weight": w8,
+         "model.layers.1.mlp.up_proj.weight_scale": np.float32(0.5),
+         "model.norm.weight": np.ones(8, np.float32)}
+    out = dequantize_checkpoint(
+        t, {"quant_method": "compressed-tensors",
+            "format": "int-quantized"})
+    np.testing.assert_allclose(
+        out["model.layers.0.self_attn.q_proj.weight"],
+        w8.astype(np.float32) * sc[:, None])
+    np.testing.assert_allclose(
+        out["model.layers.1.mlp.up_proj.weight"],
+        w8.astype(np.float32) * 0.5)
+    assert "model.layers.0.self_attn.q_proj.input_scale" not in out
+    assert "model.layers.0.self_attn.attn.k_scale" not in out
+    assert "model.norm.weight" in out
+
+
+def test_compressed_tensors_packed_rejected():
+    with pytest.raises(NotImplementedError):
+        dequantize_checkpoint({}, {"quant_method": "compressed-tensors",
+                                   "format": "pack-quantized"})

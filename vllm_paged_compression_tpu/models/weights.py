@@ -123,23 +123,40 @@ def dequantize_checkpoint(tensors: dict, quant_config: dict) -> dict:
             else:
                 out[name] = v
         return out
-    if method == "fp8":
+    if method in ("fp8", "compressed-tensors", "compressed_tensors"):
+        # fp8 (vllm layers/quantization/fp8.py) and compressed-tensors
+        # int8/fp8 weight schemes (layers/quantization/
+        # compressed_tensors/): weights ship as .weight (int8 or
+        # float8) + .weight_scale (per-tensor scalar or per-output-
+        # channel); symmetric, so dequant is a multiply.  Activation /
+        # kv-cache scales (.input_scale, .k_scale, .v_scale) are
+        # calibration hints — dropped (we re-derive scales online).
+        fmt = (quant_config.get("format") or "").lower()
+        if "pack" in fmt:
+            raise NotImplementedError(
+                "compressed-tensors pack-quantized (int4) checkpoints")
         out = {}
+        drop = (".weight_scale", ".input_scale", ".weight_zero_point",
+                ".input_zero_point", ".k_scale", ".v_scale",
+                ".output_scale")
         for name, v in tensors.items():
-            if name.endswith(".weight_scale"):
+            if name.endswith(drop):
                 continue
             scale = tensors.get(name + "_scale")
             if name.endswith(".weight") and scale is not None:
                 w = np.asarray(v).astype(np.float32)
                 s = np.asarray(scale, np.float32)
-                if s.ndim == 1:           # per-output-channel
+                if s.ndim == 0:
+                    pass                   # per-tensor
+                elif s.ndim == 1:          # per-output-channel
                     s = s[:, None]
                 out[name] = w * s
             else:
                 out[name] = v
         return out
     raise NotImplementedError(f"quantization_config method {method!r} "
-                              "(supported: awq, gptq, fp8)")
+                              "(supported: awq, gptq, fp8, "
+                              "compressed-tensors)")
 
 
 def torch_state_dict_to_numpy(state_dict) -> dict[str, np.ndarray]:

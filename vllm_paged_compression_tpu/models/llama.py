@@ -69,9 +69,14 @@ class LlamaArch:
     norm_unit_offset: bool = False    # gemma RMSNorm scales by (1 + w)
     embed_scale: Optional[float] = None   # gemma: sqrt(hidden_size)
     sandwich_norms: bool = False      # gemma2: post-attn/post-ffw out norms
-    sliding_window: Optional[int] = None  # informational: window size of
-    #                                   the sliding layers (attention is
-    #                                   exact for contexts <= window)
+    sliding_window: Optional[int] = None  # window of the sliding layers;
+    #                                   masked exactly by the runner when
+    #                                   window < max_model_len (jnp
+    #                                   backend; rejected with eviction,
+    #                                   matching torch_cuda_sdpa.py:567)
+    sliding_window_pattern: int = 0   # 0: ALL layers sliding (Mistral);
+    #                                   p > 0: every p-th layer is global
+    #                                   (Gemma2 p=2, Cohere2 p=4)
     attn_logit_softcap: Optional[float] = None   # gemma2
     final_logit_softcap: Optional[float] = None  # gemma2
     query_pre_attn_scalar: Optional[float] = None  # gemma2 attn scale base
@@ -180,7 +185,14 @@ class LlamaArch:
     @classmethod
     def from_hf_config(cls, cfg: dict) -> "LlamaArch":
         num_heads = cfg["num_attention_heads"]
+        # Mistral/Phi-3/StarCoder2-style sliding window; Qwen2 carries the
+        # key but gates it with use_sliding_window (default off, matching
+        # HF Qwen2Attention).
+        sw = cfg.get("sliding_window")
+        if cfg.get("use_sliding_window") is False:
+            sw = None
         return cls(
+            sliding_window=sw,
             vocab_size=cfg["vocab_size"],
             hidden_size=cfg["hidden_size"],
             intermediate_size=cfg["intermediate_size"],
@@ -252,14 +264,17 @@ class GemmaArch(LlamaArch):
 @dataclass
 class Gemma2Arch(GemmaArch):
     """Gemma2 (reference vllm/model_executor/models/gemma2.py): Gemma plus
-    sandwich norms, attn/final logit soft-capping, and a query scale from
-    query_pre_attn_scalar.  (Alternating sliding-window attention is not
-    modeled; exact for contexts <= the 4096 window.)"""
+    sandwich norms, attn/final logit soft-capping, a query scale from
+    query_pre_attn_scalar, and sliding-window attention on every EVEN
+    layer (HF Gemma2Attention: sliding iff layer_idx % 2 == 0 — i.e.
+    every 2nd layer starting at 0 is sliding, odd layers global)."""
 
     @classmethod
     def from_hf_config(cls, cfg: dict) -> "Gemma2Arch":
         a = super().from_hf_config(cfg)
         a.sandwich_norms = True
+        a.sliding_window = cfg.get("sliding_window", 4096)
+        a.sliding_window_pattern = 2
         a.attn_logit_softcap = cfg.get("attn_logit_softcapping", 50.0)
         a.final_logit_softcap = cfg.get("final_logit_softcapping", 30.0)
         a.query_pre_attn_scalar = cfg.get("query_pre_attn_scalar")
@@ -1467,6 +1482,7 @@ class Cohere2Arch(CohereArch):
                  or cfg.get("_sliding_window_pattern") or 4)
         a.no_rope_pattern = p
         a.sliding_window = cfg.get("sliding_window")
+        a.sliding_window_pattern = p
         return a
 
 

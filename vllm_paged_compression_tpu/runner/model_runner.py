@@ -196,6 +196,42 @@ class ModelRunner:
                 logger.info("Blocksparse model: using the jnp attention "
                             "backend")
                 self.attn_backend = "jnp"
+        # Sliding-window attention (Mistral / Gemma2 / Cohere2 /
+        # Phi-3-mini / StarCoder2): exact window masking via the jnp
+        # oracles whenever the window actually bites (< max_model_len).
+        # The reference rejects sliding windows with paged eviction
+        # (torch_cuda_sdpa.py:567) — so do we; without eviction, physical
+        # slot index == logical position, so masks derive from kv lens.
+        self.sliding = None
+        sw = getattr(model.arch, "sliding_window", None)
+        if (sw and not self.is_mamba and self.blocksparse is None
+                and sw < sched.max_model_len):
+            a2 = model.arch
+            if self.evict is not None:
+                raise ValueError(
+                    f"sliding-window attention (window {sw} < "
+                    f"max_model_len {sched.max_model_len}) cannot be "
+                    "combined with paged eviction (the reference asserts "
+                    "the same); disable eviction or cap max_model_len")
+            for bad, what in (
+                    (sched.enable_chunked_prefill, "chunked prefill"),
+                    (config.cache.enable_prefix_caching,
+                     "prefix caching"),
+                    (config.speculative is not None,
+                     "speculative decoding"),
+                    (self.pp > 1, "pipeline parallelism")):
+                if bad:
+                    raise ValueError("sliding-window attention with "
+                                     f"{what} is not supported yet")
+            self.sliding = int(sw)
+            p = getattr(a2, "sliding_window_pattern", 0)
+            self._sw_layers = jnp.asarray(
+                [p == 0 or (i + 1) % p != 0
+                 for i in range(a2.num_layers)])
+            if self.attn_backend == "pallas":
+                logger.info("Sliding-window model: using the jnp "
+                            "attention backend")
+                self.attn_backend = "jnp"
         logger.info("Attention backend: %s", self.attn_backend)
         # 64-dim-head models use the fused kernel's flat-page variant; the
         # decode/spec programs carry the pools as [L, NP, ps, Hkv*d] so
@@ -442,6 +478,9 @@ class ModelRunner:
         if self.blocksparse is not None:
             extra["extra_mask"] = self._decode_bs_mask(tables, kv_lens,
                                                        layer)
+        elif self.sliding is not None:
+            extra["extra_mask"] = self._decode_sw_mask(tables, kv_lens,
+                                                       layer)
         out = self._paged_decode(q, kc, vc, tables, kv_lens, self.scale,
                                  **extra)
         kc_all = jax.tree.map(lambda a, s: a.at[layer].set(s), kc_all, kc)
@@ -461,6 +500,19 @@ class ModelRunner:
         allowed = jnp.broadcast_to(allowed,
                                    (kv_lens.shape[0], cfg["heads"], s))
         return jnp.where(self._bs_sparse_layers[layer], allowed, True)
+
+    def _decode_sw_mask(self, tables, kv_lens, layer):
+        """Sliding-window decode mask [B, H, S]: the query sits at logical
+        position kv_len - 1 and attends keys j with (kv_len - 1) - j <
+        window; without eviction, physical slot index == logical
+        position.  Global layers pass all-True."""
+        b = kv_lens.shape[0]
+        s = tables.shape[1] * self.block_size
+        allowed = (jnp.arange(s)[None]
+                   >= (kv_lens[:, None] - self.sliding))       # [B, S]
+        allowed = jnp.broadcast_to(
+            allowed[:, None], (b, self.model.arch.num_heads, s))
+        return jnp.where(self._sw_layers[layer], allowed, True)
 
     def _decode_jit(self, greedy: bool, logprobs_l: int):
         import functools
@@ -964,6 +1016,36 @@ class ModelRunner:
 
             return self._finish_prefill(params, caches, page_scores,
                                         batch, bs_attn_fn, greedy_only,
+                                        logprobs_l, state_mode="carry")
+
+        if self.sliding is not None:
+            # Sliding-window prefill runs in CARRY mode so the per-layer
+            # sliding/global switch can read the layer index (same shape
+            # as the blocksparse path above).
+            t = batch["tokens"].shape[0]
+            pos = jnp.arange(t)
+            allowed = (pos[:, None] - pos[None, :]
+                       < self.sliding)[None]               # [1, Tq, Tk]
+
+            def sw_attn_fn(q, k, v, state, layer):
+                kc_all, vc_all = state
+                kc = jax.tree.map(lambda x: x[layer], kc_all)
+                vc = jax.tree.map(lambda x: x[layer], vc_all)
+                kc, vc = write_kv_pages(kc, vc, k, v,
+                                        batch["write_pages"])
+                kc_all = jax.tree.map(
+                    lambda a_, s_: a_.at[layer].set(s_), kc_all, kc)
+                vc_all = jax.tree.map(
+                    lambda a_, s_: a_.at[layer].set(s_), vc_all, vc)
+                m = jnp.where(self._sw_layers[layer], allowed, True)
+                out = prefill_attention(q, k, v, self.scale,
+                                        batch["q_len"],
+                                        softcap=self.attn_softcap,
+                                        extra_mask=m)
+                return out, (kc_all, vc_all)
+
+            return self._finish_prefill(params, caches, page_scores,
+                                        batch, sw_attn_fn, greedy_only,
                                         logprobs_l, state_mode="carry")
 
         def attn_fn(q, k, v, layer_cache):

@@ -116,3 +116,39 @@ def test_window_wider_than_context_is_inert():
                         sampling_params=SamplingParams(
                             temperature=0.0, max_tokens=8))
     assert len(outs[0].outputs[0].token_ids) == 8
+
+
+@pytest.mark.parametrize("family", ["mistral", "gemma2"])
+def test_sliding_window_pallas_backend_matches_hf(family, monkeypatch):
+    """The Pallas path (fused decode kernel with per-row window starts +
+    flash prefill with a traced window; interpret mode on CPU) must stay
+    token-exact vs HF.  Mistral (hkv*d = 128) exercises the fused flat
+    variant; Gemma2 (d=16) exercises the masked jnp fallback riding the
+    pallas backend plus softcap-in-window flash prefill."""
+    monkeypatch.setenv("VPC_ATTENTION_BACKEND", "pallas")
+    if family == "mistral":
+        cfg = transformers.MistralConfig(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=3, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=128,
+            rope_theta=10000.0, rms_norm_eps=1e-5, sliding_window=5,
+            tie_word_embeddings=False)
+        cfg._attn_implementation = "eager"
+        torch.manual_seed(150)
+        hf = transformers.MistralForCausalLM(cfg).eval()
+        d = cfg.to_dict(); d["architectures"] = ["MistralForCausalLM"]
+    else:
+        cfg = transformers.Gemma2Config(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=4, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=16,
+            max_position_embeddings=128, rope_theta=10000.0,
+            rms_norm_eps=1e-5, attn_logit_softcapping=50.0,
+            final_logit_softcapping=30.0, query_pre_attn_scalar=16,
+            sliding_window=5)
+        cfg._attn_implementation = "eager"
+        torch.manual_seed(151)
+        hf = transformers.Gemma2ForCausalLM(cfg).eval()
+        d = cfg.to_dict(); d["architectures"] = ["Gemma2ForCausalLM"]
+    d["eos_token_id"] = None
+    assert _greedy_ours(d, hf, PROMPT, N) == _greedy_hf(hf, PROMPT, N)

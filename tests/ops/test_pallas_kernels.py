@@ -226,3 +226,66 @@ def test_fused_decode_rejects_untileable_dims():
     with pytest.raises(ValueError, match="multiple of 128"):
         fused_paged_decode_attention(q, kn, vn, kc, vc, 1, tables,
                                      kv_lens, slots, scale=0.1)
+
+
+# ---- sliding-window paths -------------------------------------------------
+
+def test_flash_prefill_sliding_window_matches_oracle():
+    """window=w must equal the oracle with an explicit band mask (query i
+    attends keys (i-w, i])."""
+    rng = np.random.default_rng(7)
+    t, h, hkv, d, w = 200, 4, 2, 64, 37
+    q = jnp.asarray(rng.standard_normal((t, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((t, hkv, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((t, hkv, d)).astype(np.float32))
+    q_len = t - 3
+    scale = d ** -0.5
+    pos = np.arange(t)
+    band = jnp.asarray((pos[:, None] - pos[None, :] < w))[None]
+    ref = prefill_attention(q, k, v, scale, q_len, extra_mask=band)
+    out = flash_prefill_attention(q, k, v, scale, q_len, q_len,
+                                  window=jnp.int32(w))
+    np.testing.assert_allclose(np.asarray(out)[:q_len],
+                               np.asarray(ref)[:q_len],
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_prefill_window_zero_is_full_causal():
+    rng = np.random.default_rng(8)
+    t, h, hkv, d = 96, 4, 2, 64
+    q = jnp.asarray(rng.standard_normal((t, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((t, hkv, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((t, hkv, d)).astype(np.float32))
+    scale = d ** -0.5
+    ref = flash_prefill_attention(q, k, v, scale, t, t)
+    out = flash_prefill_attention(q, k, v, scale, t, t,
+                                  window=jnp.int32(0))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6)
+
+
+@pytest.mark.parametrize("d,hkv", [(128, 4), (64, 2)])
+def test_fused_decode_window_starts_match_reference(d, hkv):
+    """Per-row window starts (sliding-window decode) on both layout
+    variants: positions below the start must not contribute, and the
+    kernel must match the masked jnp reference exactly."""
+    rng = np.random.default_rng(9)
+    (fused, ref_fn, q, kn, vn, kc, vc, tables, kv_lens,
+     slots) = _fused_setup(rng, hkv=hkv, d=d)
+    # kv_lens are [7, 32, 77]; window 20 -> starts [0, 12, 57] which
+    # exercises a start inside chunk 0 and one past a whole chunk.
+    starts = jnp.maximum(kv_lens - 20, 0)
+    o1, kc1, vc1 = fused(q, kn, vn, kc, vc, 1, tables, kv_lens, slots,
+                         None, starts, scale=d ** -0.5)
+    o2, kc2, vc2 = ref_fn(q, kn, vn, kc, vc, 1, tables, kv_lens, slots,
+                          None, starts, scale=d ** -0.5)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(kc1), np.asarray(kc2))
+    # Zero starts reproduce the unwindowed result.
+    o3, _, _ = fused(q, kn, vn, kc, vc, 1, tables, kv_lens, slots,
+                     scale=d ** -0.5)
+    o4, _, _ = ref_fn(q, kn, vn, kc, vc, 1, tables, kv_lens, slots,
+                      scale=d ** -0.5)
+    np.testing.assert_allclose(np.asarray(o3), np.asarray(o4),
+                               rtol=2e-5, atol=2e-5)

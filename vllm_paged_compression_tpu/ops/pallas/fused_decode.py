@@ -44,7 +44,8 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _fused_kernel(layer_ref, tables_ref, lens_ref, slots_ref, zslots_ref,
+def _fused_kernel(layer_ref, tables_ref, lens_ref, starts_ref, slots_ref,
+                  zslots_ref,
                   q_ref, knew_ref, vnew_ref, kc_in, vc_in,
                   o_ref, kc_ref, vc_ref,
                   kbuf, vbuf, zbuf, csem, wsem,
@@ -93,6 +94,12 @@ def _fused_kernel(layer_ref, tables_ref, lens_ref, slots_ref, zslots_ref,
 
     # ---- chunked paged attention over this row's block table ----
     kv_len = lens_ref[b]
+    # Sliding-window rows start at their first in-window position (page
+    # index == logical position holds: eviction is rejected with sliding
+    # windows, matching torch_cuda_sdpa.py:567); chunks fully below the
+    # window are never even DMA'd.
+    start = starts_ref[b]
+    c0 = start // chunk_tokens
     n_ch = (kv_len + chunk_tokens - 1) // chunk_tokens
     m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
     l_ref[:] = jnp.zeros_like(l_ref)
@@ -108,7 +115,7 @@ def _fused_kernel(layer_ref, tables_ref, lens_ref, slots_ref, zslots_ref,
                 vc_ref.at[lay, pg], vbuf.at[tog, j], csem.at[tog, 1, j]))
         return out
 
-    for dma in chunk_copies(0, 0):
+    for dma in chunk_copies(c0, jax.lax.rem(c0, 2)):
         dma.start()
 
     # Input-dtype matmul operands (bf16 hits the MXU's full rate; fp32
@@ -137,7 +144,8 @@ def _fused_kernel(layer_ref, tables_ref, lens_ref, slots_ref, zslots_ref,
             preferred_element_type=jnp.float32)
         if softcap is not None:
             s = softcap * jnp.tanh(s / softcap)
-        tok_ok = (c * chunk_tokens + tok_in_chunk) < kv_len
+        pos = c * chunk_tokens + tok_in_chunk
+        tok_ok = (pos < kv_len) & (pos >= start)
         s = jnp.where(head_ok & tok_ok, s, _NEG_INF)
 
         m_prev = m_ref[:, :1]
@@ -155,14 +163,15 @@ def _fused_kernel(layer_ref, tables_ref, lens_ref, slots_ref, zslots_ref,
         l_ref[:, :] = jnp.broadcast_to(l_new, l_ref.shape)
         return 0
 
-    jax.lax.fori_loop(0, n_ch, body, 0)
+    jax.lax.fori_loop(c0, n_ch, body, 0)
 
     lsum = l_ref[:, :1]
     o_ref[0] = (acc_ref[:, :]
                 / jnp.where(lsum == 0.0, 1.0, lsum)).astype(o_ref.dtype)
 
 
-def _fused_kernel_flat(layer_ref, tables_ref, lens_ref, slots_ref,
+def _fused_kernel_flat(layer_ref, tables_ref, lens_ref, starts_ref,
+                       slots_ref,
                        zslots_ref, q_ref, knew_ref, vnew_ref, kc_in, vc_in,
                        o_ref, kc_ref, vc_ref,
                        kbuf, vbuf, pbuf, zrow, csem, wsem,
@@ -211,6 +220,8 @@ def _fused_kernel_flat(layer_ref, tables_ref, lens_ref, slots_ref,
     rmw(vc_ref, vnew_ref[0], slot)
 
     kv_len = lens_ref[b]
+    start = starts_ref[b]
+    c0 = start // chunk_tokens
     n_ch = (kv_len + chunk_tokens - 1) // chunk_tokens
     m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
     l_ref[:] = jnp.zeros_like(l_ref)
@@ -226,7 +237,7 @@ def _fused_kernel_flat(layer_ref, tables_ref, lens_ref, slots_ref,
                 vc_ref.at[lay, pg], vbuf.at[tog, j], csem.at[tog, 1, j]))
         return out
 
-    for dma in chunk_copies(0, 0):
+    for dma in chunk_copies(c0, jax.lax.rem(c0, 2)):
         dma.start()
 
     q = q_ref[0] * jnp.asarray(scale, q_ref.dtype)          # [H, F]
@@ -251,7 +262,8 @@ def _fused_kernel_flat(layer_ref, tables_ref, lens_ref, slots_ref,
             preferred_element_type=jnp.float32)
         if softcap is not None:
             s = softcap * jnp.tanh(s / softcap)
-        tok_ok = (c * chunk_tokens + tok_col) < kv_len
+        pos = c * chunk_tokens + tok_col
+        tok_ok = (pos < kv_len) & (pos >= start)
         s = jnp.where(tok_ok, s, _NEG_INF)
 
         m_prev = m_ref[:, :1]
@@ -269,7 +281,7 @@ def _fused_kernel_flat(layer_ref, tables_ref, lens_ref, slots_ref,
         l_ref[:, :] = jnp.broadcast_to(l_new, l_ref.shape)
         return 0
 
-    jax.lax.fori_loop(0, n_ch, body, 0)
+    jax.lax.fori_loop(c0, n_ch, body, 0)
 
     lsum = l_ref[:, :1]
     o_ref[0] = (acc_ref[:, :]
@@ -277,7 +289,8 @@ def _fused_kernel_flat(layer_ref, tables_ref, lens_ref, slots_ref,
 
 
 def _fused_flat(q, k_new, v_new, kc_all, vc_all, layer, tables, kv_lens,
-                slots, zero_slots, *, scale, softcap, pages_per_chunk):
+                slots, zero_slots, window_starts, *, scale, softcap,
+                pages_per_chunk):
     b, h_orig, d = q.shape
     num_layers, num_pages, page_size, num_kv, _ = kc_all.shape
     f = num_kv * d
@@ -307,13 +320,15 @@ def _fused_flat(q, k_new, v_new, kc_all, vc_all, layer, tables, kv_lens,
     zero_writes = zero_slots is not None
     if zero_slots is None:
         zero_slots = jnp.zeros_like(slots)
+    if window_starts is None:
+        window_starts = jnp.zeros_like(kv_lens)
     layer = jnp.asarray(layer, jnp.int32).reshape(1)
 
     def q_map(b_, *refs):
         return (b_, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, h, f), q_map),
@@ -352,7 +367,7 @@ def _fused_flat(q, k_new, v_new, kc_all, vc_all, layer, tables, kv_lens,
             jax.ShapeDtypeStruct(kc_flat.shape, kc_flat.dtype),
             jax.ShapeDtypeStruct(vc_flat.shape, vc_flat.dtype),
         ],
-        input_output_aliases={8: 1, 9: 2},
+        input_output_aliases={9: 1, 10: 2},
         interpret=jax.default_backend() == "cpu",
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
@@ -360,8 +375,8 @@ def _fused_flat(q, k_new, v_new, kc_all, vc_all, layer, tables, kv_lens,
             flops=2 * 2 * b * p * page_size * f * h,
             bytes_accessed=kv_bytes,
             transcendentals=b * p * page_size * h),
-    )(layer, tables, kv_lens, slots, zero_slots, q_flat, kn, vn,
-      kc_flat, vc_flat)
+    )(layer, tables, kv_lens, window_starts, slots, zero_slots, q_flat,
+      kn, vn, kc_flat, vc_flat)
     # Extract each head's own kv segment from the [H, F] accumulators.
     out4 = out[:, :h_orig].reshape(b, h_orig, num_kv, d)
     idx = (jnp.arange(h_orig) // group)[None, :, None, None]
@@ -373,6 +388,7 @@ def _fused_flat(q, k_new, v_new, kc_all, vc_all, layer, tables, kv_lens,
 
 def fused_paged_decode_attention(q, k_new, v_new, kc_all, vc_all, layer,
                                  tables, kv_lens, slots, zero_slots=None,
+                                 window_starts=None,
                                  *, scale: float,
                                  softcap: float | None = None,
                                  pages_per_chunk: int = 8):
@@ -389,6 +405,9 @@ def fused_paged_decode_attention(q, k_new, v_new, kc_all, vc_all, layer,
     slots:        [B] int32      flat destination slot of the new token
     zero_slots:   [B] int32 or None — extra slots to zero-overwrite
                   (host maps "none" lanes to the trash slot)
+    window_starts:[B] int32 or None — first attended position per row
+                  (sliding-window layers: max(kv_len - window, 0);
+                  pages wholly below the start are skipped, DMA included)
     Returns (out [B, H, d], kc_all, vc_all).
     """
     b, h_orig, d = q.shape
@@ -402,6 +421,7 @@ def fused_paged_decode_attention(q, k_new, v_new, kc_all, vc_all, layer,
                 f"head_dim to be a multiple of 128, got {num_kv}x{d}")
         return _fused_flat(q, k_new, v_new, kc_all, vc_all, layer,
                            tables, kv_lens, slots, zero_slots,
+                           window_starts,
                            scale=scale, softcap=softcap,
                            pages_per_chunk=pages_per_chunk)
     h = _round_up(h_orig, 8)
@@ -418,13 +438,15 @@ def fused_paged_decode_attention(q, k_new, v_new, kc_all, vc_all, layer,
     zero_writes = zero_slots is not None
     if zero_slots is None:
         zero_slots = jnp.zeros_like(slots)
+    if window_starts is None:
+        window_starts = jnp.zeros_like(kv_lens)
     layer = jnp.asarray(layer, jnp.int32).reshape(1)
 
     def q_map(b_, *refs):
         return (b_, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, h, d), q_map),            # q
@@ -463,9 +485,9 @@ def fused_paged_decode_attention(q, k_new, v_new, kc_all, vc_all, layer,
             jax.ShapeDtypeStruct(kc_all.shape, kc_all.dtype),
             jax.ShapeDtypeStruct(vc_all.shape, vc_all.dtype),
         ],
-        # flattened inputs: 5 scalar-prefetch + q(5) knew(6) vnew(7)
-        # kc(8) vc(9); outputs: out(0) kc(1) vc(2)
-        input_output_aliases={8: 1, 9: 2},
+        # flattened inputs: 6 scalar-prefetch + q(6) knew(7) vnew(8)
+        # kc(9) vc(10); outputs: out(0) kc(1) vc(2)
+        input_output_aliases={9: 1, 10: 2},
         interpret=jax.default_backend() == "cpu",
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
@@ -473,13 +495,14 @@ def fused_paged_decode_attention(q, k_new, v_new, kc_all, vc_all, layer,
             flops=2 * 2 * b * p * page_size * num_kv * d * h,
             bytes_accessed=kv_bytes,
             transcendentals=b * p * page_size * num_kv * h),
-    )(layer, tables, kv_lens, slots, zero_slots, q, k_new, v_new,
-      kc_all, vc_all)
+    )(layer, tables, kv_lens, window_starts, slots, zero_slots, q, k_new,
+      v_new, kc_all, vc_all)
     return out[:, :h_orig], kc_all, vc_all
 
 
 def fused_paged_decode_reference(q, k_new, v_new, kc_all, vc_all, layer,
                                  tables, kv_lens, slots, zero_slots=None,
+                                 window_starts=None,
                                  *, scale: float,
                                  softcap: float | None = None):
     """Pure-jnp oracle of the fused op (also the CPU execution path).
@@ -494,7 +517,17 @@ def fused_paged_decode_reference(q, k_new, v_new, kc_all, vc_all, layer,
     kc, vc = write_kv_slots(kc, vc, k_new, v_new, slots)
     if zero_slots is not None:
         kc, vc = zero_kv_slots(kc, vc, zero_slots)
-    out = paged_decode_attention(q, kc, vc, tables, kv_lens, scale, softcap)
+    extra = {}
+    if window_starts is not None:
+        b = kv_lens.shape[0]
+        page_size = jax.tree.leaves(kc)[0].shape[1]
+        s = tables.shape[1] * page_size
+        h = q.shape[1]
+        allowed = jnp.arange(s)[None] >= window_starts[:, None]  # [B, S]
+        extra["extra_mask"] = jnp.broadcast_to(allowed[:, None],
+                                               (b, h, s))
+    out = paged_decode_attention(q, kc, vc, tables, kv_lens, scale, softcap,
+                                 **extra)
     kc_all = jax.tree.map(lambda a, s: a.at[layer].set(s), kc_all, kc)
     vc_all = jax.tree.map(lambda a, s: a.at[layer].set(s), vc_all, vc)
     return out, kc_all, vc_all

@@ -49,6 +49,11 @@ def _prefill_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref,
     n_k = pl.num_programs(2)
     kept_len = lens_ref[1]
     ctx_len = lens_ref[2]
+    # lens[3] > 0 = sliding window: query row i attends key j iff
+    # i - j < window (plain causal mode only; never combined with pruned
+    # or context modes — the runner rejects those pairings).
+    win = lens_ref[3]
+    winf = jnp.where(win > 0, win, jnp.int32(2**30))
 
     @pl.when(ik == 0)
     def _():
@@ -58,12 +63,14 @@ def _prefill_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref,
 
     # A context block contributes while it holds real context rows; a chunk
     # block only if its first column is <= the last query row of this Q
-    # block (top-left-aligned causal).
+    # block (top-left-aligned causal) AND its last column is inside the
+    # first query row's window.
     is_ctx_block = ik * bk < ctx_cap
     contributes = jnp.where(
         is_ctx_block, ik * bk < ctx_len,
         (ik * bk - ctx_cap <= iq * bq + bq - 1)
-        & (ik * bk - ctx_cap < kept_len))
+        & (ik * bk - ctx_cap < kept_len)
+        & (ik * bk - ctx_cap + bk - 1 > iq * bq - winf))
 
     @pl.when(contributes)
     def _():
@@ -85,7 +92,7 @@ def _prefill_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref,
             mask = jnp.where(col < ctx_cap, col < ctx_len,
                              (local <= row) & (local < kept_len))
         else:
-            mask = (col <= row) & (col < kept_len)
+            mask = (col <= row) & (col < kept_len) & (col > row - winf)
         s = jnp.where(mask, s, _NEG_INF)
 
         m_prev = m_ref[:, :1]
@@ -116,12 +123,18 @@ def _round_up(x: int, m: int) -> int:
 @functools.partial(jax.jit, static_argnames=("scale", "softcap"))
 def flash_prefill_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                             scale: float, q_len, kept_len,
-                            softcap: float | None = None) -> jnp.ndarray:
+                            softcap: float | None = None,
+                            window=None) -> jnp.ndarray:
     """Flash version of ops.attention.pruned_prefill_attention (and, with
     kept_len == q_len, of prefill_attention).
 
     q: [T, H, d]; k/v: [S, Hkv, d]; returns [T, H, d] (garbage rows at
     positions >= q_len, like the oracles).
+
+    ``window``: optional traced int32 sliding window (row i attends cols
+    (i - window, i]); 0/None = full causal.  Only valid in plain mode
+    (kept_len == q_len) — the engine never combines sliding windows with
+    prompt pruning.
     """
     t, h, d = q.shape
     s, num_kv, _ = k.shape
@@ -144,7 +157,9 @@ def flash_prefill_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         vt = jnp.pad(vt, ((0, 0), (0, s_pad - s), (0, 0)))
     lens = jnp.stack([jnp.asarray(q_len, jnp.int32),
                       jnp.asarray(kept_len, jnp.int32),
-                      jnp.int32(0)])
+                      jnp.int32(0),
+                      (jnp.int32(0) if window is None
+                       else jnp.asarray(window, jnp.int32))])
 
     def q_map(ih, iq, ik, lens_):
         return (ih, iq, 0)
@@ -221,7 +236,8 @@ def flash_context_prefill_attention(q: jnp.ndarray, k_ctx: jnp.ndarray,
         [pad_to(v_ctx, ctx_pad), pad_to(v_chunk, s_pad - ctx_pad)]), 0, 1)
     lens = jnp.stack([jnp.asarray(q_len, jnp.int32),
                       jnp.asarray(q_len, jnp.int32),
-                      jnp.asarray(ctx_len, jnp.int32)])
+                      jnp.asarray(ctx_len, jnp.int32),
+                      jnp.int32(0)])
 
     def q_map(ih, iq, ik, lens_):
         return (ih, iq, 0)

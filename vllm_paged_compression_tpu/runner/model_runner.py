@@ -228,10 +228,9 @@ class ModelRunner:
             self._sw_layers = jnp.asarray(
                 [p == 0 or (i + 1) % p != 0
                  for i in range(a2.num_layers)])
-            if self.attn_backend == "pallas":
-                logger.info("Sliding-window model: using the jnp "
-                            "attention backend")
-                self.attn_backend = "jnp"
+            # (Pallas stays on: the fused decode kernel takes per-row
+            # window starts — skipping out-of-window pages' DMAs — and
+            # the flash prefill kernel takes a traced window.)
         logger.info("Attention backend: %s", self.attn_backend)
         # 64-dim-head models use the fused kernel's flat-page variant; the
         # decode/spec programs carry the pools as [L, NP, ps, Hkv*d] so
@@ -457,13 +456,21 @@ class ModelRunner:
         a = self.model.arch
         fused_ok = (a.head_dim % 128 == 0
                     or (a.num_kv_heads * a.head_dim) % 128 == 0)
+        sw_starts = None
+        if self.sliding is not None:
+            # First attended position per row for this layer: global
+            # layers start at 0; physical slot index == logical position
+            # (eviction is rejected with sliding windows).
+            sw_starts = jnp.where(
+                self._sw_layers[layer],
+                jnp.maximum(kv_lens - self.sliding, 0), 0)
         if self.attn_backend == "pallas" and fused_ok \
                 and not self.cache_engine.quantized_kv:
             flat_in = (not isinstance(kc_all, tuple)
                        and getattr(kc_all, "ndim", 5) == 4)
             out, kc5, vc5 = fused_paged_decode_attention(
                 q, k, v, self._kv_view5(kc_all), self._kv_view5(vc_all),
-                layer, tables, kv_lens, slots, zero_slots,
+                layer, tables, kv_lens, slots, zero_slots, sw_starts,
                 scale=self.scale, softcap=self.attn_softcap)
             if flat_in:
                 kc5 = kc5.reshape(*kc5.shape[:3], -1)
@@ -481,8 +488,16 @@ class ModelRunner:
         elif self.sliding is not None:
             extra["extra_mask"] = self._decode_sw_mask(tables, kv_lens,
                                                        layer)
-        out = self._paged_decode(q, kc, vc, tables, kv_lens, self.scale,
-                                 **extra)
+        if extra and self.attn_backend == "pallas":
+            # Masked fallback (sliding window + quantized KV / exotic head
+            # dims): the unfused Pallas kernel takes no mask — use the jnp
+            # oracle, which also dequantizes QuantKV pools.
+            from ..ops.attention import paged_decode_attention as _jnp_pd
+            out = _jnp_pd(q, kc, vc, tables, kv_lens, self.scale,
+                          self.attn_softcap, **extra)
+        else:
+            out = self._paged_decode(q, kc, vc, tables, kv_lens,
+                                     self.scale, **extra)
         kc_all = jax.tree.map(lambda a, s: a.at[layer].set(s), kc_all, kc)
         vc_all = jax.tree.map(lambda a, s: a.at[layer].set(s), vc_all, vc)
         return out, kc_all, vc_all
@@ -832,10 +847,15 @@ class ModelRunner:
 
     def _pp_shard_call(self, body, params, caches, page_scores, *rest,
                        extra_out_specs):
-        """Run ``body`` as a shard_map over the "pipe" axis.  Layer-stacked
-        leaves (params["layers"], the KV pools) shard on their leading
-        axis; everything else is replicated (the body keeps replicated
-        values bit-identical via masked psums)."""
+        """Run ``body`` as a shard_map over the "pipe" axis ONLY
+        (axis_names): layer-stacked leaves (params["layers"], the KV
+        pools) shard on their leading axis; everything else is replicated
+        w.r.t. "pipe" (the body keeps replicated values bit-identical via
+        masked psums).  "data"/"model" stay AUTO, so TP shardings flow
+        through the boundary and GSPMD inserts the TP collectives inside
+        each stage instead of all-gathering the weights (the reference
+        composes TP inside PP the same way — each PP stage process group
+        runs megatron TP, parallel_state.py:992)."""
         from jax.sharding import PartitionSpec as P
 
         from ..parallel.pipeline import param_specs, pipe_specs_for
@@ -845,7 +865,8 @@ class ModelRunner:
                     *[jax.tree.map(lambda _: P(), r) for r in rest])
         out_specs = (pipe_specs_for(caches, True), P(), *extra_out_specs)
         return jax.shard_map(body, mesh=self.mesh, in_specs=in_specs,
-                             out_specs=out_specs, check_vma=False)(
+                             out_specs=out_specs, check_vma=False,
+                             axis_names=frozenset({"pipe"}))(
             params, caches, page_scores, *rest)
 
     def _decode_window_pp(self, params, caches, page_scores, plan_pack,
@@ -1021,11 +1042,15 @@ class ModelRunner:
         if self.sliding is not None:
             # Sliding-window prefill runs in CARRY mode so the per-layer
             # sliding/global switch can read the layer index (same shape
-            # as the blocksparse path above).
-            t = batch["tokens"].shape[0]
-            pos = jnp.arange(t)
-            allowed = (pos[:, None] - pos[None, :]
-                       < self.sliding)[None]               # [1, Tq, Tk]
+            # as the blocksparse path above).  Pallas: the flash kernel
+            # takes the window as a traced scalar (0 = global layer);
+            # jnp: explicit [Tq, Tk] band mask.
+            use_flash = self.attn_backend == "pallas"
+            if not use_flash:
+                t = batch["tokens"].shape[0]
+                pos = jnp.arange(t)
+                allowed = (pos[:, None] - pos[None, :]
+                           < self.sliding)[None]           # [1, Tq, Tk]
 
             def sw_attn_fn(q, k, v, state, layer):
                 kc_all, vc_all = state
@@ -1037,11 +1062,19 @@ class ModelRunner:
                     lambda a_, s_: a_.at[layer].set(s_), kc_all, kc)
                 vc_all = jax.tree.map(
                     lambda a_, s_: a_.at[layer].set(s_), vc_all, vc)
-                m = jnp.where(self._sw_layers[layer], allowed, True)
-                out = prefill_attention(q, k, v, self.scale,
-                                        batch["q_len"],
-                                        softcap=self.attn_softcap,
-                                        extra_mask=m)
+                if use_flash:
+                    w = jnp.where(self._sw_layers[layer],
+                                  jnp.int32(self.sliding), jnp.int32(0))
+                    out = flash_prefill_attention(
+                        q, k, v, self.scale, batch["q_len"],
+                        batch["q_len"], softcap=self.attn_softcap,
+                        window=w)
+                else:
+                    m = jnp.where(self._sw_layers[layer], allowed, True)
+                    out = prefill_attention(q, k, v, self.scale,
+                                            batch["q_len"],
+                                            softcap=self.attn_softcap,
+                                            extra_mask=m)
                 return out, (kc_all, vc_all)
 
             return self._finish_prefill(params, caches, page_scores,

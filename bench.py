@@ -10,9 +10,13 @@ fork's TORCH_SDPA eviction-capable backend at full cache
 (reference benchmarks/llama3.1_8b_test_sdpa.txt; see BASELINE.md).
 
 Model selection via VPC_BENCH_MODEL: llama-3.2-1b | llama-3.2-3b |
-llama-3.1-8b (8B requires int8 weights on a 16 GiB chip — falls back to 3B
-until weight quantization lands).  Weights are random (throughput is
-weight-value-independent); tokens are synthetic.
+llama-3.1-8b (default; served with per-channel int8 weights on a 16 GiB
+chip — the reference's tpu_int8 scheme).  Weights are random (throughput
+is weight-value-independent); tokens are synthetic.
+
+Prefill is measured honestly: an untimed dummy request first compiles the
+prefill/decode programs, then the real request's first step() is timed as
+clean prefill (= p50 TTFT at batch 1).
 """
 
 from __future__ import annotations
@@ -53,7 +57,7 @@ ARCHS = {
 
 
 def main() -> None:
-    model_name = os.environ.get("VPC_BENCH_MODEL", "llama-3.2-3b")
+    model_name = os.environ.get("VPC_BENCH_MODEL", "llama-3.1-8b")
     arch_json = os.environ.get("VPC_BENCH_ARCH_JSON")
     if arch_json:
         ARCHS[model_name] = json.loads(arch_json)
@@ -88,13 +92,24 @@ def main() -> None:
     import numpy as np
     rng = np.random.default_rng(0)
     prompt = rng.integers(1, 32000, size=input_len).tolist()
+
+    # Untimed compile warmup: run a dummy request through prefill + a few
+    # decode windows so the timed prefill below measures the chip, not XLA.
+    warm_prompt = rng.integers(1, 32000, size=input_len).tolist()
+    eng.add_request(request_id="warmup", prompt_token_ids=warm_prompt,
+                    sampling_params=SamplingParams(
+                        temperature=0.0, max_tokens=2 * num_steps,
+                        ignore_eos=True))
+    while eng.has_unfinished_requests():
+        eng.step()
+
     eng.add_request(request_id="bench", prompt_token_ids=prompt,
                     sampling_params=SamplingParams(
                         temperature=0.0, max_tokens=output_len,
                         ignore_eos=True))
 
     t_start = time.perf_counter()
-    eng.step()  # prefill (+ first token)
+    eng.step()  # prefill (+ first token) — post-compile, clean timing
     t_prefill = time.perf_counter() - t_start
 
     # Warmup decode (compile + cache warm), then timed steady-state.
@@ -144,6 +159,8 @@ def main() -> None:
         "value": round(tok_s, 2),
         "unit": "tok/s",
         "vs_baseline": round(tok_s / BASELINE_TOK_S, 3),
+        "prefill_tok_s": round(input_len / t_prefill, 1),
+        "ttft_s": round(t_prefill, 4),
     }
     print(json.dumps(result))
     print(f"# prefill: {t_prefill:.2f}s for {input_len} tokens "

@@ -80,9 +80,14 @@ class Sequence:
         self.first_token_time: Optional[float] = None
         self.finish_time: Optional[float] = None
         self.num_preemptions = 0
-        # Incremental detokenization state (offset into decoded text).
+        # Incremental detokenization state (reference
+        # transformers_utils/detokenizer.py): output_text grows by the
+        # newly-decoded delta each step; the two offsets index into
+        # output_token_ids (prefix = start of the re-decode window,
+        # read = tokens already emitted as text).
         self.output_text = ""
         self._detok_prefix_len = 0
+        self._detok_read_len = 0
         # Preemption-by-swap state: host-side KV payload (set by the
         # engine's swap-out hook) and the physical KV length to restore.
         self.swap_payload = None

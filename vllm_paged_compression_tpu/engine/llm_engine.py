@@ -26,7 +26,7 @@ from ..runner.model_runner import ModelRunner
 from ..sampling_params import SamplingParams
 from ..utils import init_logger
 from .metrics import EngineMetrics
-from .tokenizer_util import maybe_load_tokenizer
+from .tokenizer_util import detokenize_incrementally, maybe_load_tokenizer
 
 logger = init_logger(__name__)
 
@@ -1203,8 +1203,12 @@ class LLMEngine:
                      emit: bool = True) -> bool:
         """Stop-check one appended token; returns True if the sequence
         finished (further window tokens are discarded)."""
-        status = self._check_stop(seq)
+        new_text = self._detokenize(seq)
+        status = self._check_stop(seq, new_text)
         if status is not None:
+            # Flush any held-back partial-UTF8 tail into the final text
+            # (no-op when a stop string already truncated the text).
+            self._detokenize(seq, flush=True)
             seq.finish_time = time.monotonic()
             self.scheduler.finish_seq(seq, status)
             self.tracer.record_request(seq, seq.finish_time)
@@ -1217,7 +1221,23 @@ class LLMEngine:
 
     # ------------------------------------------------------------------
 
-    def _check_stop(self, seq: Sequence) -> Optional[SequenceStatus]:
+    def _detokenize(self, seq: Sequence, flush: bool = False) -> str:
+        """Incrementally decode tokens appended since the last call and
+        grow seq.output_text by the delta (O(new tokens) per step;
+        reference transformers_utils/detokenizer.py)."""
+        if self.tokenizer is None:
+            return ""
+        delta, pre, read = detokenize_incrementally(
+            self.tokenizer, seq.output_token_ids,
+            seq._detok_prefix_len, seq._detok_read_len, finished=flush)
+        seq._detok_prefix_len = pre
+        seq._detok_read_len = read
+        if delta:
+            seq.output_text += delta
+        return delta
+
+    def _check_stop(self, seq: Sequence,
+                    new_text: str = "") -> Optional[SequenceStatus]:
         p = seq.params
         last = seq.output_token_ids[-1]
         if p.max_tokens is not None and \
@@ -1232,19 +1252,28 @@ class LLMEngine:
             return SequenceStatus.FINISHED_STOPPED
         if last in p.stop_token_ids:
             return SequenceStatus.FINISHED_STOPPED
-        if p.stop and self.tokenizer is not None:
-            text = self.tokenizer.decode(seq.output_token_ids)
+        if p.stop and self.tokenizer is not None and new_text:
+            # A stop string can straddle the old/new text boundary: scan
+            # only the tail that could contain it (O(1) per step).
+            text = seq.output_text
+            max_stop = max(len(s) for s in p.stop)
+            start = max(0, len(text) - len(new_text) - max_stop + 1)
             for s in p.stop:
-                if s in text:
-                    seq.output_text = text[:text.index(s)]
+                idx = text.find(s, start)
+                if idx != -1:
+                    seq.output_text = text[:idx]
+                    # Pin detok offsets so the finish-flush is a no-op
+                    # and cannot append past the truncation point.
+                    seq._detok_prefix_len = len(seq.output_token_ids)
+                    seq._detok_read_len = len(seq.output_token_ids)
                     return SequenceStatus.FINISHED_STOPPED
         return None
 
     def _make_output(self, seq: Sequence) -> RequestOutput:
         finished = seq.is_finished()
+        # output_text is maintained incrementally by _detokenize; no
+        # full re-decode here (was O(n^2) across a request's lifetime).
         text = seq.output_text
-        if not text and self.tokenizer is not None:
-            text = self.tokenizer.decode(seq.output_token_ids)
         reason = FINISH_REASON.get(seq.status) if finished else None
         return RequestOutput(
             request_id=seq.request_id,

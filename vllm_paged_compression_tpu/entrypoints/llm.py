@@ -15,6 +15,7 @@ class LLM:
     """Synchronous generate-everything front end over LLMEngine."""
 
     def __init__(self, model: str = "", hf_config: Optional[dict] = None,
+                 tokenizer: Optional[str] = None,
                  dtype: str = "bfloat16", block_size: int = 16,
                  max_model_len: int = 8192, max_num_seqs: int = 64,
                  num_device_blocks: Optional[int] = None,
@@ -75,6 +76,7 @@ class LLM:
             kv_transfer=kv_cfg,
             prompt_adapter=pa_cfg,
             model=ModelConfig(model=model, hf_config=hf_config, dtype=dtype,
+                              tokenizer=tokenizer,
                               max_model_len=max_model_len, seed=seed,
                               weight_dtype=quantization),
             cache=CacheConfig(block_size=block_size,

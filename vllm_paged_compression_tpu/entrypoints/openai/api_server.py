@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import asyncio
 import json
+import os
 import time
 import uuid
 from typing import Optional
@@ -23,6 +24,13 @@ from ...utils import init_logger
 logger = init_logger(__name__)
 
 MAX_BODY = 32 << 20
+MAX_HEADER_BYTES = 64 << 10
+MAX_HEADERS = 128
+# Idle/slow-client read timeout per read call and a server-wide
+# connection cap (reference serving hardening surface:
+# vllm/entrypoints/openai/api_server.py uvicorn timeouts + limits).
+READ_TIMEOUT = float(os.environ.get("VPC_HTTP_READ_TIMEOUT", "300"))
+MAX_CONNECTIONS = int(os.environ.get("VPC_HTTP_MAX_CONNECTIONS", "2048"))
 
 
 class HTTPError(Exception):
@@ -142,40 +150,115 @@ class OpenAIServer:
         self.model_name = model_name
         self.tool_call_parser = tool_call_parser
         self.start_time = time.time()
+        self.num_connections = 0
 
     # ---- HTTP plumbing --------------------------------------------------
 
+    async def _readline(self, reader) -> bytes:
+        return await asyncio.wait_for(reader.readline(), READ_TIMEOUT)
+
+    async def _read_headers(self, reader) -> Optional[dict]:
+        headers: dict[str, str] = {}
+        total = 0
+        while True:
+            h = await self._readline(reader)
+            if h in (b"\r\n", b"\n", b""):
+                return headers
+            total += len(h)
+            if total > MAX_HEADER_BYTES or len(headers) >= MAX_HEADERS:
+                return None
+            k, _, v = h.decode("latin-1").partition(":")
+            headers[k.strip().lower()] = v.strip()
+
+    async def _read_chunked_body(self, reader) -> Optional[bytes]:
+        """RFC 7230 chunked transfer-encoding request body; returns None
+        when the cumulative size exceeds MAX_BODY."""
+        parts: list[bytes] = []
+        total = 0
+        while True:
+            size_line = await self._readline(reader)
+            try:
+                size = int(size_line.split(b";")[0].strip() or b"0", 16)
+            except ValueError:
+                raise HTTPError(400, "malformed chunk size")
+            if size == 0:
+                # consume trailers up to the final blank line
+                while True:
+                    t = await self._readline(reader)
+                    if t in (b"\r\n", b"\n", b""):
+                        return b"".join(parts)
+            total += size
+            if total > MAX_BODY:
+                return None
+            parts.append(await asyncio.wait_for(
+                reader.readexactly(size), READ_TIMEOUT))
+            await self._readline(reader)  # trailing CRLF after chunk data
+
     async def handle_conn(self, reader: asyncio.StreamReader,
                           writer: asyncio.StreamWriter) -> None:
+        if self.num_connections >= MAX_CONNECTIONS:
+            try:
+                await self._send(writer, 503,
+                                 {"error": {"message": "too many open "
+                                            "connections"}})
+                writer.close()
+            except Exception:
+                pass
+            return
+        self.num_connections += 1
         try:
             while True:
-                line = await reader.readline()
+                line = await self._readline(reader)
                 if not line:
                     return
                 try:
                     method, path, _ = line.decode().split(" ", 2)
-                except ValueError:
+                except (ValueError, UnicodeDecodeError):
                     return
-                headers = {}
-                while True:
-                    h = await reader.readline()
-                    if h in (b"\r\n", b"\n", b""):
-                        break
-                    k, _, v = h.decode().partition(":")
-                    headers[k.strip().lower()] = v.strip()
+                headers = await self._read_headers(reader)
+                if headers is None:
+                    await self._send(writer, 431,
+                                     {"error": {"message":
+                                                "headers too large"}})
+                    return
                 body = b""
-                n = int(headers.get("content-length", 0))
-                if n > MAX_BODY:
-                    await self._send(writer, 413, {"error": "body too large"})
-                    return
-                if n:
-                    body = await reader.readexactly(n)
+                if "chunked" in headers.get("transfer-encoding",
+                                            "").lower():
+                    maybe = await self._read_chunked_body(reader)
+                    if maybe is None:
+                        await self._send(writer, 413,
+                                         {"error": {"message":
+                                                    "body too large"}})
+                        return
+                    body = maybe
+                else:
+                    try:
+                        n = int(headers.get("content-length", 0))
+                    except ValueError:
+                        raise HTTPError(400, "bad content-length")
+                    if n > MAX_BODY:
+                        await self._send(writer, 413,
+                                         {"error": {"message":
+                                                    "body too large"}})
+                        return
+                    if n:
+                        body = await asyncio.wait_for(
+                            reader.readexactly(n), READ_TIMEOUT)
                 keep = await self._route(writer, method, path, body)
-                if not keep:
+                if not keep or \
+                        headers.get("connection", "").lower() == "close":
                     return
-        except (ConnectionError, asyncio.IncompleteReadError):
+        except (ConnectionError, asyncio.IncompleteReadError,
+                asyncio.TimeoutError):
             pass
+        except HTTPError as e:
+            try:
+                await self._send(writer, e.status,
+                                 {"error": {"message": e.message}})
+            except Exception:
+                pass
         finally:
+            self.num_connections -= 1
             try:
                 writer.close()
             except Exception:

@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""FP8-KV + eviction sequence-length sweep (BASELINE config #3).
+
+For each input length, runs single-request decode with the KV cache in
+fp8 (or int8/bf16 via --kv-dtype) and paged eviction at a budget that is
+a fraction of the input (default 50%), reporting decode tok/s and the
+physical KV-cache HBM bytes per cached token.
+
+The reference could not combine fp8 KV with eviction (its eviction
+backend rejects fp8 KV, vllm/attention/backends/torch_cuda_sdpa.py:769-772;
+fp8 KV scales live in vllm/model_executor/layers/quantization/
+kv_cache.py:63-73) — this sweep is the on-chip evidence that the TPU
+build's combination works and holds throughput.
+
+Output: one JSON line per point:
+  {"input_len", "budget", "kv_dtype", "tok_s", "kv_bytes_per_token",
+   "ttft_s"}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")  # repo-root execution
+
+import numpy as np  # noqa: E402
+
+
+def run_point(model_cfg, input_len, output_len, budget, kv_dtype, quant,
+              num_steps):
+    from vllm_paged_compression_tpu.entrypoints.llm import LLM
+    from vllm_paged_compression_tpu.sampling_params import SamplingParams
+    llm = LLM(hf_config=model_cfg, dtype="bfloat16", block_size=16,
+              max_model_len=input_len + output_len + 64,
+              enable_paged_eviction=True, evict_method="global",
+              cache_budget=budget, evict_selection="l2",
+              kv_cache_dtype=kv_dtype, max_num_seqs=8,
+              num_scheduler_steps=num_steps, quantization=quant, seed=0)
+    eng = llm.engine
+    ce = eng.cache_engine
+    rng = np.random.default_rng(0)
+
+    # Untimed warmup request: compile prefill + decode programs.
+    eng.add_request(request_id="w",
+                    prompt_token_ids=rng.integers(
+                        1, 32000, size=input_len).tolist(),
+                    sampling_params=SamplingParams(
+                        temperature=0.0, max_tokens=2 * num_steps,
+                        ignore_eos=True))
+    while eng.has_unfinished_requests():
+        eng.step()
+
+    eng.add_request(request_id="b",
+                    prompt_token_ids=rng.integers(
+                        1, 32000, size=input_len).tolist(),
+                    sampling_params=SamplingParams(
+                        temperature=0.0, max_tokens=output_len,
+                        ignore_eos=True))
+    t0 = time.perf_counter()
+    eng.step()
+    ttft = time.perf_counter() - t0
+    seq = eng.scheduler.running[0]
+    warm = max(min(32, output_len // 4), 1)
+    while seq.num_output_tokens < warm and eng.has_unfinished_requests():
+        eng.step()
+    n0, t1 = seq.num_output_tokens, time.perf_counter()
+    while eng.has_unfinished_requests():
+        eng.step()
+    dt = time.perf_counter() - t1
+    n = seq.num_output_tokens - n0
+    kv_len = budget  # steady state: eviction pins physical KV at budget
+    bytes_per_tok = ce.page_bytes / ce.block_size
+    return {
+        "input_len": input_len, "budget": budget, "kv_dtype": kv_dtype,
+        "tok_s": round(n / max(dt, 1e-9), 2),
+        "kv_bytes_per_token": round(bytes_per_tok, 1),
+        "kv_tokens_held": kv_len,
+        "ttft_s": round(ttft, 3),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--bench-model", default="llama-3.2-3b")
+    ap.add_argument("--input-lens", nargs="+", type=int,
+                    default=[1024, 2048, 4096, 8192, 16384, 32768])
+    ap.add_argument("--output-len", type=int, default=256)
+    ap.add_argument("--budget-frac", type=float, default=0.5)
+    ap.add_argument("--kv-dtype", default="fp8",
+                    choices=["auto", "fp8", "int8"])
+    ap.add_argument("--quantization", default=None)
+    ap.add_argument("--num-scheduler-steps", type=int, default=64)
+    ap.add_argument("--json-out", default=None)
+    args = ap.parse_args()
+
+    import bench
+    cfg = bench.ARCHS[args.bench_model]
+    results = []
+    for il in args.input_lens:
+        budget = max(int(il * args.budget_frac) // 16 * 16, 128)
+        r = run_point(cfg, il, args.output_len, budget, args.kv_dtype,
+                      args.quantization, args.num_scheduler_steps)
+        print(json.dumps(r), flush=True)
+        results.append(r)
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump({"model": args.bench_model,
+                       "kv_dtype": args.kv_dtype,
+                       "budget_frac": args.budget_frac,
+                       "points": results}, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -61,7 +61,58 @@ class TestPipelineParity:
         pptp = _generate(pp=2, tp=2)
         assert base == pptp
 
+    def test_pp2_chunked_prefill_matches_single(self):
+        kw = dict(enable_chunked_prefill=True, max_num_batched_tokens=8)
+        base = _generate(pp=1, **kw)
+        pp2 = _generate(pp=2, **kw)
+        assert base == pp2
+
+    def test_pp2_prefix_caching_matches_single(self):
+        # Two requests sharing a long prefix: the second gets a cache hit
+        # and runs the context-suffix program under PP.
+        shared = list(range(1, 17))
+        prompts = [shared + [40, 41, 42], shared + [50, 51]]
+
+        def gen(pp):
+            llm = LLM(hf_config=TINY_CFG, dtype="float32", block_size=4,
+                      max_model_len=256, num_device_blocks=128, seed=0,
+                      max_num_seqs=8, num_scheduler_steps=4,
+                      enable_prefix_caching=True,
+                      pipeline_parallel_size=pp)
+            outs = llm.generate(
+                prompt_token_ids=prompts,
+                sampling_params=SamplingParams(temperature=0.0,
+                                               max_tokens=9))
+            return [list(o.outputs[0].token_ids) for o in outs]
+
+        assert gen(1) == gen(2)
+
+    def test_pp2_ngram_spec_matches_single(self):
+        # Repetitive prompt so ngram proposals fire; greedy verification
+        # under PP must be token-identical to the non-PP engine.
+        prompts = [[1, 2, 3, 4, 1, 2, 3, 4, 1, 2, 3, 4, 1, 2]]
+
+        def gen(pp, spec):
+            kw = {}
+            if spec:
+                kw["speculative_config"] = {
+                    "method": "ngram", "num_speculative_tokens": 3,
+                    "ngram_prompt_lookup_max": 3,
+                    "ngram_prompt_lookup_min": 1}
+            llm = LLM(hf_config=TINY_CFG, dtype="float32", block_size=4,
+                      max_model_len=256, num_device_blocks=128, seed=0,
+                      max_num_seqs=8, num_scheduler_steps=4,
+                      pipeline_parallel_size=pp, **kw)
+            outs = llm.generate(
+                prompt_token_ids=prompts,
+                sampling_params=SamplingParams(temperature=0.0,
+                                               max_tokens=12))
+            return [list(o.outputs[0].token_ids) for o in outs]
+
+        base = gen(1, spec=False)
+        assert gen(2, spec=True) == base
+        assert gen(1, spec=True) == base
+
     def test_pp_rejects_unsupported(self):
-        with pytest.raises(ValueError, match="chunked prefill"):
-            _generate(pp=2, enable_chunked_prefill=True,
-                      max_num_batched_tokens=32)
+        with pytest.raises(ValueError, match="LoRA"):
+            _generate(pp=2, enable_lora=True)

@@ -73,7 +73,7 @@ class LLMEngine:
         if isinstance(self.eos_token_id, list):
             self.eos_token_id = self.eos_token_id[0]
 
-        as_numpy = mc.weight_dtype == "int8" and params is None
+        as_numpy = mc.weight_dtype in ("int8", "int4") and params is None
         if params is not None:
             self.params = params
         elif mc.model:
@@ -96,6 +96,10 @@ class LLMEngine:
                 # Synthetic int8: skip the fp32-generate + quantize pass.
                 self.params = self.model.init_params_int8(mc.seed)
                 self._pre_quantized = True
+            elif (mc.weight_dtype == "int4"
+                    and hasattr(self.model, "init_params_int4")):
+                self.params = self.model.init_params_int4(mc.seed)
+                self._pre_quantized = True
             else:
                 self.params = self.model.init_params(mc.seed,
                                                      as_numpy=as_numpy)
@@ -110,8 +114,8 @@ class LLMEngine:
                               (config.speculative, "speculative decoding"),
                               (config.kv_transfer, "KV transfer"),
                               (config.prompt_adapter, "prompt adapters"),
-                              (mc.weight_dtype == "int8" or None,
-                               "int8 weights")):
+                              (mc.weight_dtype in ("int8", "int4") or None,
+                               "quantized weights")):
                 if bad is not None:
                     raise ValueError(f"{name} is not supported for "
                                      "encoder-only models")
@@ -128,15 +132,17 @@ class LLMEngine:
             self._encoder_jits = {}
             return
 
-        if (mc.weight_dtype == "int8"
+        if (mc.weight_dtype in ("int8", "int4")
                 and not getattr(self, "_pre_quantized", False)):
             from ..ops.quant import quantize_params_tree
-            logger.info("Quantizing weights to int8 (per-channel symmetric)")
-            # Host-side quantization: only int8 + scales touch HBM.
+            bits = 4 if mc.weight_dtype == "int4" else 8
+            logger.info("Quantizing weights to int%d (int8: per-channel "
+                        "symmetric; int4: group-128 asymmetric)", bits)
+            # Host-side quantization: only the packed ints + scales hit HBM.
             self.params = quantize_params_tree(
                 self.params,
                 ("wqkv", "wo", "w_gate_up", "w_down", "lm_head", "embed"),
-                model_dtype=dtype)
+                model_dtype=dtype, bits=bits)
 
         self.prompt_adapter_manager = None
         if config.prompt_adapter is not None:
@@ -252,14 +258,15 @@ class LLMEngine:
                     raise ValueError("pipeline parallelism with MLA / "
                                      "dense-prefix (DeepSeek) stacks is "
                                      "not supported yet")
-                if config.lora is not None or config.speculative is not None:
+                if config.lora is not None:
                     raise ValueError("pipeline parallelism is incompatible "
-                                     "with LoRA / speculative decoding")
-                if config.scheduler.enable_chunked_prefill \
-                        or config.cache.enable_prefix_caching:
-                    raise ValueError("pipeline parallelism is incompatible "
-                                     "with chunked prefill / prefix "
-                                     "caching (round-2 work)")
+                                     "with LoRA")
+                if config.speculative is not None \
+                        and config.speculative.method != "ngram":
+                    raise ValueError(
+                        "pipeline parallelism supports host-side (ngram) "
+                        "speculative proposers only; model-based proposers "
+                        "(draft/medusa/mlp/eagle) are follow-up work")
             self.mesh = build_mesh(pc.tensor_parallel_size,
                                    pc.data_parallel_size, pp)
             self.params = shard_params(self.params, self.mesh,
@@ -764,6 +771,10 @@ class LLMEngine:
                             a += 1
                         accepted.append(props[:a] + [m[a]])
                 else:
+                    if self.runner.pp > 1:
+                        raise NotImplementedError(
+                            "sampled speculative verification under "
+                            "pipeline parallelism (greedy requests only)")
                     self.kv_caches, self.page_scores, toks, n_acc = \
                         self.runner.run_spec_verify_sampled(
                             self.params, self.kv_caches, self.page_scores,

@@ -2352,6 +2352,53 @@ class LlamaModel:
             params["lm_head"] = qw(a.hidden_size, a.vocab_size)
         return params
 
+    def init_params_int4(self, seed: int = 0) -> dict:
+        """Random weights directly in packed int4 (synthetic benchmarking;
+        layout per ops.pallas.int4_matmul.QuantizedWeight4).  The embed
+        table stays per-row int8 (consumed by gather, not matmul)."""
+        from ..ops.pallas.int4_matmul import GROUP, QuantizedWeight4
+        from ..ops.quant import QuantizedWeight
+        a = self.arch
+        key_box = [jax.random.PRNGKey(seed)]
+
+        def _randi8(shape):
+            key_box[0], sub = jax.random.split(key_box[0])
+            return jax.random.randint(sub, shape, -128, 128, jnp.int8)
+
+        def qw4(*shape):
+            k_in, n_out = shape[-2], shape[-1]
+            packed = shape[:-2] + (k_in // 2, n_out)
+            gshape = shape[:-2] + (k_in // GROUP, n_out)
+            return QuantizedWeight4(
+                qp=_randi8(packed),
+                s=jnp.full(gshape, 0.02 / 15, jnp.float32),
+                z=jnp.full(gshape, 8.0, jnp.float32))
+
+        qkv_out = (a.num_heads + 2 * a.num_kv_heads) * a.head_dim
+        layers = {
+            "wqkv": qw4(a.num_layers, a.hidden_size, qkv_out),
+            "wo": qw4(a.num_layers, a.num_heads * a.head_dim,
+                      a.hidden_size),
+            "w_gate_up": qw4(a.num_layers, a.hidden_size,
+                             2 * a.intermediate_size),
+            "w_down": qw4(a.num_layers, a.intermediate_size,
+                          a.hidden_size),
+            "input_norm": jnp.ones((a.num_layers, a.hidden_size),
+                                   self.dtype),
+            "post_norm": jnp.ones((a.num_layers, a.hidden_size),
+                                  self.dtype),
+        }
+        params = {
+            "embed": QuantizedWeight(
+                q=_randi8((a.vocab_size, a.hidden_size)),
+                s=jnp.full((a.vocab_size,), 0.02 / 127, jnp.float32)),
+            "layers": layers,
+            "final_norm": jnp.ones((a.hidden_size,), self.dtype),
+        }
+        if not a.tie_word_embeddings:
+            params["lm_head"] = qw4(a.hidden_size, a.vocab_size)
+        return params
+
     def load_hf_state_dict(self, tensors: dict[str, np.ndarray],
                            as_numpy: bool = False) -> dict:
         """Convert an HF Llama state dict (numpy arrays) into our fused,

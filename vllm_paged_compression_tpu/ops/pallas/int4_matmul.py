@@ -1,0 +1,215 @@
+"""Pallas TPU int4 weight × bf16 activation fused matmul.
+
+TPU-native replacement for the reference's int4 GEMM kernels
+(csrc/quantization/gptq_marlin/ — marlin dequant-in-registers GEMM; also
+awq_gemm csrc/quantization/awq/gemm_kernels.cu): GPTQ/AWQ checkpoints
+execute at 4-bit weight bandwidth instead of being dequantized to bf16 at
+load.  On a 16 GiB chip this is the difference between 8B-int8 and
+8B-int4 + headroom; decode is weight-bandwidth-bound, so halving the
+bytes read per step is ~2× decode throughput at the margin.
+
+Design (not a translation):
+- Packing pairs row k with row k + K/2 in one int8 byte (low nibble = k,
+  high nibble = k + K/2).  Unpacking therefore yields two CONTIGUOUS
+  half-matrices W_lo (rows [0, K/2)) and W_hi (rows [K/2, K)) — no
+  row-interleave shuffle on the VPU, and the contraction splits into
+  x_lo @ W_lo + x_hi @ W_hi with both terms reading the SAME packed tile.
+- Group-wise (group=128 along in-features) scale + zero-point f32 arrays,
+  GPTQ-style asymmetric uint4: w ≈ (q - z) · s.
+- Grid = (M tiles, N tiles, K tiles), K innermost; fp32 accumulator in
+  VMEM scratch; the packed tile is dequantized in VMEM and fed to the
+  MXU as bf16.  HBM traffic per (m, n) tile ≈ K/2 · bn bytes of weight —
+  the 4-bit speed of light.
+
+The jnp oracle (int4_matmul_ref) runs everywhere and backs the CPU tests;
+the Pallas kernel runs interpret-mode on CPU, compiled on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+GROUP = 128
+
+
+class QuantizedWeight4(NamedTuple):
+    """4-bit packed weight.
+
+    qp: int8 [K//2, N] — low nibble = row j, high nibble = row j + K//2
+    s:  f32 [K//group, N] scales
+    z:  f32 [K//group, N] zero points (uint4 range, typically ~8)
+    """
+
+    qp: jnp.ndarray
+    s: jnp.ndarray
+    z: jnp.ndarray
+
+
+def quantize_weight_int4(w, group: int = GROUP) -> QuantizedWeight4:
+    """Asymmetric per-group uint4 quantization over the in-features axis.
+
+    w: [K, N] or stacked [L, K, N] (numpy stays on host; the packed tree
+    is what hits HBM).  K must be even and divisible by group.
+    """
+    if w.ndim == 3:
+        per = [quantize_weight_int4(w[i], group) for i in range(w.shape[0])]
+        return QuantizedWeight4(qp=jnp.stack([p.qp for p in per]),
+                                s=jnp.stack([p.s for p in per]),
+                                z=jnp.stack([p.z for p in per]))
+    on_host = isinstance(w, np.ndarray)
+    xp = np if on_host else jnp
+    wf = w.astype(np.float32 if on_host else jnp.float32)
+    K, N = wf.shape
+    assert K % 2 == 0 and K % group == 0, (K, group)
+    g = wf.reshape(K // group, group, N)
+    w_min = g.min(axis=1)
+    w_max = g.max(axis=1)
+    scale = xp.maximum((w_max - w_min) / 15.0, 1e-8)
+    zero = xp.clip(xp.round(-w_min / scale), 0, 15)
+    q = xp.clip(xp.round(g / scale[:, None, :]) + zero[:, None, :],
+                0, 15).astype(np.int32 if on_host else jnp.int32)
+    q = q.reshape(K, N)
+    lo = q[: K // 2]
+    hi = q[K // 2:]
+    packed = (lo | (hi << 4)).astype(np.uint8 if on_host else jnp.uint8)
+    packed = packed.astype(np.int8 if on_host else jnp.int8)
+    if on_host:
+        return QuantizedWeight4(qp=jnp.asarray(packed),
+                                s=jnp.asarray(scale.astype(np.float32)),
+                                z=jnp.asarray(zero.astype(np.float32)))
+    return QuantizedWeight4(qp=packed, s=scale.astype(jnp.float32),
+                            z=zero.astype(jnp.float32))
+
+
+def _unpack(qp: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """int8 packed [K//2, N] -> (lo, hi) int32 in [0, 15]."""
+    p = qp.astype(jnp.int32) & 0xFF  # undo int8 sign extension
+    return p & 0xF, (p >> 4) & 0xF
+
+
+def dequantize_int4(w4: QuantizedWeight4, group: int = GROUP,
+                    dtype=jnp.bfloat16) -> jnp.ndarray:
+    """[K, N] dense reference dequantization."""
+    lo, hi = _unpack(w4.qp)
+    q = jnp.concatenate([lo, hi], axis=0)          # [K, N]
+    K, N = q.shape
+    qg = q.reshape(K // group, group, N).astype(jnp.float32)
+    w = (qg - w4.z[:, None, :]) * w4.s[:, None, :]
+    return w.reshape(K, N).astype(dtype)
+
+
+def int4_matmul_ref(x: jnp.ndarray, w4: QuantizedWeight4,
+                    group: int = GROUP) -> jnp.ndarray:
+    """jnp oracle: dequantize then matmul (materializes the dense weight —
+    correctness reference and CPU fallback only).  Matches the kernel's
+    numerics: bf16 operands, f32 accumulation."""
+    w = dequantize_int4(w4, group, jnp.bfloat16)
+    y = jnp.dot(x.astype(jnp.bfloat16), w,
+                preferred_element_type=jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _int4_kernel(x_lo_ref, x_hi_ref, qp_ref, s_lo_ref, z_lo_ref,
+                 s_hi_ref, z_hi_ref, o_ref, acc_ref, *, n_k: int):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    p = qp_ref[:].astype(jnp.int32) & 0xFF
+    lo = (p & 0xF).astype(jnp.float32)
+    hi = ((p >> 4) & 0xF).astype(jnp.float32)
+    # One scale/zero row per k-step (block size bk == group size).
+    w_lo = ((lo - z_lo_ref[:]) * s_lo_ref[:]).astype(jnp.bfloat16)
+    w_hi = ((hi - z_hi_ref[:]) * s_hi_ref[:]).astype(jnp.bfloat16)
+    acc_ref[:] += jnp.dot(x_lo_ref[:].astype(jnp.bfloat16), w_lo,
+                          preferred_element_type=jnp.float32)
+    acc_ref[:] += jnp.dot(x_hi_ref[:].astype(jnp.bfloat16), w_hi,
+                          preferred_element_type=jnp.float32)
+
+    @pl.when(k == n_k - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("group", "bn", "bm"))
+def int4_matmul_pallas(x: jnp.ndarray, w4: QuantizedWeight4,
+                       group: int = GROUP, bn: int = 256,
+                       bm: Optional[int] = None) -> jnp.ndarray:
+    """y = x @ dequant(w4) without materializing the dense weight.
+
+    x: [M, K] (bf16/f32), w4 packing as above.  K/2 must be a multiple of
+    ``group`` (true for every transformer projection at group 128).
+    """
+    M, K = x.shape
+    Kh, N = w4.qp.shape
+    assert Kh * 2 == K, (K, Kh)
+    assert Kh % group == 0, (Kh, group)
+    bk = group
+    if bm is None:
+        bm = min(_round_up(M, 8), 256)
+    bn = min(bn, N)
+    n_m = pl.cdiv(M, bm)
+    n_n = pl.cdiv(N, bn)
+    n_k = Kh // bk
+
+    grid = (n_m, n_n, n_k)
+    kernel = functools.partial(_int4_kernel, n_k=n_k)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            # x_lo rows [0, K/2), x_hi rows [K/2, K): same array, two maps.
+            pl.BlockSpec((bm, bk), lambda m, n, k: (m, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, bk), lambda m, n, k, _h=n_k: (m, k + _h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda m, n, k: (k, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda m, n, k: (k, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda m, n, k: (k, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda m, n, k, _h=n_k: (k + _h, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda m, n, k, _h=n_k: (k + _h, n),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda m, n, k: (m, n),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=Kh * N + M * K * 2 + M * N * 2,
+            transcendentals=0),
+        interpret=jax.default_backend() == "cpu",
+    )(x, x, w4.qp, w4.s, w4.z, w4.s, w4.z)
+
+
+def _round_up(v: int, m: int) -> int:
+    return (v + m - 1) // m * m
+
+
+def int4_matmul(x: jnp.ndarray, w4: QuantizedWeight4,
+                group: int = GROUP) -> jnp.ndarray:
+    """Dispatcher used by ops.quant.matmul: Pallas kernel when shapes are
+    tile-friendly, jnp oracle otherwise (tiny test models)."""
+    orig_shape = x.shape
+    if x.ndim > 2:
+        x = x.reshape(-1, x.shape[-1])
+    M, K = x.shape
+    N = w4.qp.shape[1]
+    if K // 2 % GROUP or N % 128:
+        y = int4_matmul_ref(x, w4, group)
+    else:
+        y = int4_matmul_pallas(x, w4, group)
+    return y.reshape(*orig_shape[:-1], N)

@@ -49,11 +49,14 @@ def quantize_weight(w, axis: int = -2) -> QuantizedWeight:
 
 def matmul(x: jnp.ndarray,
            w: Union[jnp.ndarray, QuantizedWeight]) -> jnp.ndarray:
-    """y = x @ w with transparent int8 dequant."""
+    """y = x @ w with transparent int8/int4 dequant."""
     if isinstance(w, QuantizedWeight):
         y = jnp.dot(x, w.q.astype(x.dtype),
                     preferred_element_type=jnp.float32)
         return (y * w.s).astype(x.dtype)
+    from .pallas.int4_matmul import QuantizedWeight4, int4_matmul
+    if isinstance(w, QuantizedWeight4):
+        return int4_matmul(x, w)
     return x @ w
 
 
@@ -98,20 +101,28 @@ def dequantize_kv(kv: QuantKV) -> jnp.ndarray:
 
 
 def quantize_params_tree(params, leaf_names: tuple[str, ...],
-                         model_dtype=jnp.bfloat16):
+                         model_dtype=jnp.bfloat16, bits: int = 8):
     """Quantize the named leaves of a model params dict.  Projection
     weights ([..., in, out]) quantize over the in-features axis; the
-    ``embed`` table ([V, D], consumed by gather) quantizes per row.
+    ``embed`` table ([V, D], consumed by gather) quantizes per row and
+    stays int8 even at bits=4 (gathers read rows, not columns).
     Unnamed numpy leaves are uploaded in ``model_dtype``."""
     import numpy as np
+
+    def one(k, v):
+        if k == "embed":
+            return quantize_weight(v, axis=-1)
+        if bits == 4:
+            from .pallas.int4_matmul import quantize_weight_int4
+            return quantize_weight_int4(v)
+        return quantize_weight(v, axis=-2)
 
     def walk(node):
         if isinstance(node, dict):
             out = {}
             for k, v in node.items():
                 if k in leaf_names and not isinstance(v, dict):
-                    axis = -1 if k == "embed" else -2
-                    out[k] = quantize_weight(v, axis=axis)
+                    out[k] = one(k, v)
                 else:
                     out[k] = walk(v)
             return out

@@ -273,14 +273,17 @@ class ModelRunner:
         self._decode_window_jits: dict = {}
         self._prefill_plain_jits: dict = {}
         self._prefill_prune_jits: dict = {}
+        _ctx_body = (self._prefill_context_pp if self.pp > 1
+                     else self._prefill_context)
         self._prefill_ctx_jits = {
-            (g, last): jax.jit(functools.partial(self._prefill_context,
+            (g, last): jax.jit(functools.partial(_ctx_body,
                                                  greedy_only=g,
                                                  is_last=last),
                                donate_argnums=(1, 2))
             for g in (False, True) for last in (False, True)}
-        self._spec_verify_jit = jax.jit(self._spec_verify,
-                                        donate_argnums=(1, 2))
+        self._spec_verify_jit = jax.jit(
+            self._spec_verify_pp if self.pp > 1 else self._spec_verify,
+            donate_argnums=(1, 2))
         self._spec_verify_sampled_jit = jax.jit(self._spec_verify_sampled,
                                                 donate_argnums=(1, 2))
 
@@ -996,6 +999,70 @@ class ModelRunner:
                                   batch, extra_out_specs=(P(),))
         return (*out, None)
 
+    def _prefill_context_pp(self, params, caches, page_scores, batch,
+                            greedy_only=False, is_last=True):
+        """Chunked-prefill / cached-prefix-suffix program under pipeline
+        parallelism: the same single-microbatch wave as _prefill_plain_pp,
+        with each stage's layers attending to the already-cached context
+        through the block table (reference PP+chunked-prefill composition:
+        vllm/engine/llm_engine.py:1331-1338 virtual engines each run the
+        full scheduler feature set)."""
+        from jax.sharding import PartitionSpec as P
+
+        from ..models.llama import rms_norm
+        from ..ops.quant import QuantKV, dequantize_kv
+        from ..parallel.pipeline import _masked_psum, pp_prefill_wave
+        trash_page = self.cache_engine.trash_page
+        arch = self.model.arch
+
+        def body(params, caches, page_scores, batch):
+            def factory(active):
+                def attn_fn(q, k, v, state, layer):
+                    kc_all, vc_all = state
+                    wp = jnp.where(active, batch["write_pages"],
+                                   trash_page)
+                    kc = jax.tree.map(lambda x: x[layer], kc_all)
+                    vc = jax.tree.map(lambda x: x[layer], vc_all)
+                    kc, vc = write_kv_pages(kc, vc, k, v, wp)
+                    k_ctx = index_cache_pages(kc, batch["ctx_tables"])
+                    v_ctx = index_cache_pages(vc, batch["ctx_tables"])
+                    if isinstance(k_ctx, QuantKV):
+                        k_ctx = dequantize_kv(k_ctx).astype(q.dtype)
+                        v_ctx = dequantize_kv(v_ctx).astype(q.dtype)
+                    cp, ps = k_ctx.shape[0], k_ctx.shape[1]
+                    k_ctx = k_ctx.reshape(cp * ps, *k_ctx.shape[2:])
+                    v_ctx = v_ctx.reshape(cp * ps, *v_ctx.shape[2:])
+                    out = self._ctx_attn(q, k_ctx, v_ctx, k, v, self.scale,
+                                         batch["q_len"], batch["ctx_len"])
+                    kc_all = jax.tree.map(lambda a, s: a.at[layer].set(s),
+                                          kc_all, kc)
+                    vc_all = jax.tree.map(lambda a, s: a.at[layer].set(s),
+                                          vc_all, vc)
+                    return out, (kc_all, vc_all)
+                return attn_fn
+
+            h0 = self.model.embed(params, batch["tokens"])
+            if arch.embed_scale is not None:
+                h0 = h0 * jnp.asarray(arch.embed_scale, self.model.dtype)
+            h, caches = pp_prefill_wave(self, params, caches, h0,
+                                        batch["positions"], factory)
+            stage = jax.lax.axis_index("pipe")
+            if is_last:
+                h_final = rms_norm(h, params["final_norm"],
+                                   arch.rms_norm_eps,
+                                   arch.norm_unit_offset)
+                last = h_final[batch["q_len"] - 1][None]
+                logits = self.model.logits(params, last)
+                tokens = sample(logits, self._sampling_tensors(batch),
+                                greedy_only=greedy_only).astype(jnp.int32)
+                tokens = _masked_psum(tokens, stage == self.pp - 1, "pipe")
+            else:
+                tokens = jnp.zeros((1,), jnp.int32)
+            return caches, page_scores, tokens
+
+        return self._pp_shard_call(body, params, caches, page_scores,
+                                   batch, extra_out_specs=(P(),))
+
     def _prefill_plain(self, params, caches, page_scores, batch,
                        greedy_only=False, logprobs_l=0):
         # Prefix-LM prompts (PaliGemma): image batches attend
@@ -1207,6 +1274,53 @@ class ModelRunner:
         logits = self.model.logits(params, hidden)
         toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return new_caches, page_scores, toks
+
+    def _spec_verify_pp(self, params, caches, page_scores, batch):
+        """Greedy speculative verification under pipeline parallelism: the
+        multi-row verify forward runs as one single-microbatch wave (all
+        B x (k+1) rows together), cache writes steered to the trash slot
+        on inactive ticks.  Host-side proposers (ngram) need nothing from
+        the device, so the spec step composes with PP exactly like a
+        prefill (reference: spec decode is V0-engine-wide and therefore
+        runs under PP's virtual engines, vllm/spec_decode/)."""
+        from jax.sharding import PartitionSpec as P
+
+        from ..models.llama import rms_norm
+        from ..parallel.pipeline import _masked_psum, pp_prefill_wave
+        arch = self.model.arch
+        trash_slot = self.cache_engine.trash_slot
+
+        def body(params, caches, page_scores, batch):
+            tables = batch["tables"]
+            rows = batch["tokens"].shape[0]
+            rep = rows // tables.shape[0]
+            tables_rep = jnp.repeat(tables, rep, axis=0)
+
+            def factory(active):
+                def attn_fn(q, k, v, state, layer):
+                    kc_all, vc_all = state
+                    slots = jnp.where(active, batch["slots"], trash_slot)
+                    out, kc_all, vc_all = self._fused_attn(
+                        q, k, v, kc_all, vc_all, layer, tables_rep,
+                        batch["kv_lens"], slots, None)
+                    return out, (kc_all, vc_all)
+                return attn_fn
+
+            h0 = self.model.embed(params, batch["tokens"])
+            if arch.embed_scale is not None:
+                h0 = h0 * jnp.asarray(arch.embed_scale, self.model.dtype)
+            h, caches = pp_prefill_wave(self, params, caches, h0,
+                                        batch["positions"], factory)
+            h_final = rms_norm(h, params["final_norm"], arch.rms_norm_eps,
+                               arch.norm_unit_offset)
+            logits = self.model.logits(params, h_final)
+            toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            stage = jax.lax.axis_index("pipe")
+            toks = _masked_psum(toks, stage == self.pp - 1, "pipe")
+            return caches, page_scores, toks
+
+        return self._pp_shard_call(body, params, caches, page_scores,
+                                   batch, extra_out_specs=(P(),))
 
     def _spec_verify_sampled(self, params, caches, page_scores, batch):
         """Rejection-sampling verification (reference

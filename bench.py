@@ -67,11 +67,13 @@ def main() -> None:
     budget = int(os.environ.get("VPC_BENCH_CACHE_BUDGET", "1024"))
     evict = os.environ.get("VPC_BENCH_EVICT", "1") == "1"
 
-    # 8B bf16 (16 GiB) does not fit a 16 GiB chip: serve it with
-    # per-channel int8 weights (the reference's tpu_int8 scheme).
+    # 8B bf16 (16 GiB) does not fit a 16 GiB chip: serve it with packed
+    # int4 weights (group-128, the native kernel path — reference analog:
+    # gptq_marlin int4 serving).  int8 8B exceeds the chip's usable HBM
+    # once prefill temporaries are counted (the 16-layer half fits).
     quant = os.environ.get("VPC_BENCH_QUANT")
     if model_name == "llama-3.1-8b" and quant is None:
-        quant = "int8"
+        quant = "int4"
 
     from vllm_paged_compression_tpu.entrypoints.llm import LLM
     from vllm_paged_compression_tpu.sampling_params import SamplingParams

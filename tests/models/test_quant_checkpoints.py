@@ -172,3 +172,87 @@ def test_compressed_tensors_packed_rejected():
     with pytest.raises(NotImplementedError):
         dequantize_checkpoint({}, {"quant_method": "compressed-tensors",
                                    "format": "pack-quantized"})
+
+
+def test_gptq_checkpoint_serves_native_int4(tmp_path):
+    """An on-disk GPTQ checkpoint auto-routes to the native int4 path
+    (weight_dtype int4) and generates; the repacked int4 projections
+    dequantize to the checkpoint's own dequantized values (same group ->
+    same 16-level grid; reference executes these via gptq_marlin GEMM)."""
+    import json
+
+    from safetensors.numpy import save_file
+
+    rng = np.random.default_rng(7)
+    group = 16
+    hidden, inter, kv_dim = 32, 48, 16
+    lin_shapes = {"self_attn.q_proj": (hidden, hidden),
+                  "self_attn.k_proj": (kv_dim, hidden),
+                  "self_attn.v_proj": (kv_dim, hidden),
+                  "self_attn.o_proj": (hidden, hidden),
+                  "mlp.gate_proj": (inter, hidden),
+                  "mlp.up_proj": (inter, hidden),
+                  "mlp.down_proj": (hidden, inter)}
+    qt = {}
+    for i in range(2):
+        p = f"model.layers.{i}."
+        for name, (out_f, in_f) in lin_shapes.items():
+            iw = rng.integers(0, 16, (in_f, out_f))
+            iz = rng.integers(0, 15, (in_f // group, out_f))
+            s = (rng.standard_normal((in_f // group, out_f))
+                 .astype(np.float32) * 0.02)
+            qt[p + name + ".qweight"] = _pack_rows(iw)
+            qt[p + name + ".qzeros"] = _pack_cols(iz)
+            qt[p + name + ".scales"] = s
+        for norm in ("input_layernorm", "post_attention_layernorm"):
+            qt[p + norm + ".weight"] = np.ones(hidden, np.float32)
+    qt["model.embed_tokens.weight"] = (
+        rng.standard_normal((64, hidden)).astype(np.float32) * 0.02)
+    qt["model.norm.weight"] = np.ones(hidden, np.float32)
+    # safetensors serializes the raw buffer: transposed views (from
+    # _pack_rows) must be made contiguous or they save scrambled.
+    save_file({k: np.ascontiguousarray(v) for k, v in qt.items()},
+              str(tmp_path / "model.safetensors"))
+    cfg = {"architectures": ["LlamaForCausalLM"], "vocab_size": 64,
+           "hidden_size": hidden, "intermediate_size": inter,
+           "num_hidden_layers": 2, "num_attention_heads": 4,
+           "num_key_value_heads": 2, "max_position_embeddings": 256,
+           "rope_theta": 10000.0, "rms_norm_eps": 1e-5,
+           "tie_word_embeddings": True, "eos_token_id": None,
+           "quantization_config": {"quant_method": "gptq", "bits": 4,
+                                   "group_size": group}}
+    with open(tmp_path / "config.json", "w") as f:
+        json.dump(cfg, f)
+
+    from vllm_paged_compression_tpu.entrypoints.llm import LLM
+    from vllm_paged_compression_tpu.ops.pallas.int4_matmul import (
+        QuantizedWeight4, dequantize_int4)
+    from vllm_paged_compression_tpu.sampling_params import SamplingParams
+    llm = LLM(model=str(tmp_path), dtype="float32", block_size=4,
+              max_model_len=128, num_device_blocks=64, seed=0,
+              max_num_seqs=4)
+    eng = llm.engine
+    assert eng.config.model.weight_dtype == "int4"
+    wqkv = eng.params["layers"]["wqkv"]
+    assert isinstance(wqkv, QuantizedWeight4)
+
+    # Repack fidelity: re-quantization runs on the checkpoint's own group
+    # size, so every value stays within HALF the checkpoint's original
+    # quantization step (min/max refit can only shrink the grid).
+    iw = np.asarray(_dequant_gptq(
+        qt["model.layers.0.self_attn.q_proj.qweight"],
+        qt["model.layers.0.self_attn.q_proj.qzeros"],
+        qt["model.layers.0.self_attn.q_proj.scales"])).T  # [in, out]
+    ours = np.asarray(dequantize_int4(
+        QuantizedWeight4(qp=wqkv.qp[0], s=wqkv.s[0], z=wqkv.z[0]),
+        dtype=np.float32))[:, :hidden]
+    assert wqkv.s.shape[-2] == hidden // group  # group plumbed through
+    s_ckpt = np.abs(np.asarray(
+        qt["model.layers.0.self_attn.q_proj.scales"]))   # [in/g, out->in?]
+    bound = np.repeat(s_ckpt, group, axis=0) * 0.5 + 1e-7  # [in, out]
+    assert np.all(np.abs(ours - iw) <= bound)
+
+    outs = llm.generate(
+        prompt_token_ids=[[1, 5, 9, 13, 2, 6]],
+        sampling_params=SamplingParams(temperature=0.0, max_tokens=8))
+    assert len(outs[0].outputs[0].token_ids) == 8

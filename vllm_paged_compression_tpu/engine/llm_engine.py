@@ -64,8 +64,17 @@ class LLMEngine:
         mc = config.model
         dtype = _DTYPES[mc.dtype]
 
+        gguf_tensors = None
+        if mc.model:
+            from ..models.gguf import find_gguf_file, load_gguf_checkpoint
+            gguf_path = find_gguf_file(mc.model)
+        else:
+            gguf_path = None
         if mc.hf_config is not None:
             hf_cfg = mc.hf_config
+        elif gguf_path is not None:
+            logger.info("Loading GGUF checkpoint %s", gguf_path)
+            hf_cfg, gguf_tensors = load_gguf_checkpoint(gguf_path)
         else:
             hf_cfg = load_hf_config(mc.model)
         self.model = build_model(hf_cfg, dtype=dtype)
@@ -73,16 +82,31 @@ class LLMEngine:
         if isinstance(self.eos_token_id, list):
             self.eos_token_id = self.eos_token_id[0]
 
+        qc = hf_cfg.get("quantization_config") if mc.model else None
+        if (mc.weight_dtype is None and qc
+                and (qc.get("quant_method") or "").lower()
+                in ("awq", "gptq") and qc.get("bits", 4) == 4):
+            # 4-bit checkpoints execute natively by default: dequantize to
+            # the HF layout, then repack into the engine's int4 scheme on
+            # the checkpoint's own group size (every value stays within
+            # half the checkpoint's original quantization step; reference
+            # runs these through the marlin int4 GEMM,
+            # csrc/quantization/gptq_marlin/).
+            logger.info("4-bit %s checkpoint: serving with the native "
+                        "int4 kernel", qc.get("quant_method"))
+            mc.weight_dtype = "int4"
         as_numpy = mc.weight_dtype in ("int8", "int4") and params is None
         if params is not None:
             self.params = params
+        elif gguf_tensors is not None:
+            self.params = self.model.load_hf_state_dict(
+                gguf_tensors, as_numpy=as_numpy)
         elif mc.model:
             logger.info("Loading weights from %s", mc.model)
             tensors = load_state_dict(mc.model)
-            qc = hf_cfg.get("quantization_config")
             if qc:
-                # AWQ/GPTQ/fp8 checkpoints: dequantize to fp at load; pass
-                # quantization="int8" to re-quantize to the engine scheme.
+                # AWQ/GPTQ/fp8 checkpoints: dequantize to fp at load;
+                # weight_dtype int8/int4 re-quantizes to the engine scheme.
                 from ..models.weights import dequantize_checkpoint
                 logger.info("Dequantizing %s checkpoint",
                             qc.get("quant_method"))
@@ -136,13 +160,19 @@ class LLMEngine:
                 and not getattr(self, "_pre_quantized", False)):
             from ..ops.quant import quantize_params_tree
             bits = 4 if mc.weight_dtype == "int4" else 8
+            # Re-quantizing a 4-bit checkpoint on its own group size keeps
+            # the values within half the checkpoint's quantization step.
+            group = (qc or {}).get("group_size") if bits == 4 else None
+            if isinstance(group, int) and group <= 0:
+                group = None  # GPTQ group_size=-1 means per-column
             logger.info("Quantizing weights to int%d (int8: per-channel "
-                        "symmetric; int4: group-128 asymmetric)", bits)
+                        "symmetric; int4: group-%s asymmetric)", bits,
+                        group or 128)
             # Host-side quantization: only the packed ints + scales hit HBM.
             self.params = quantize_params_tree(
                 self.params,
                 ("wqkv", "wo", "w_gate_up", "w_down", "lm_head", "embed"),
-                model_dtype=dtype, bits=bits)
+                model_dtype=dtype, bits=bits, group=group)
 
         self.prompt_adapter_manager = None
         if config.prompt_adapter is not None:
@@ -167,6 +197,10 @@ class LLMEngine:
                                                      config.lora, dtype)}
 
         self.tokenizer = maybe_load_tokenizer(mc.tokenizer or mc.model)
+        if self.tokenizer is None and gguf_path is not None:
+            from ..models.gguf import read_gguf, tokenizer_from_gguf_meta
+            self.tokenizer = tokenizer_from_gguf_meta(
+                read_gguf(gguf_path, meta_only=True)[0])
 
         self.draft_proposer = None
         sc = config.speculative

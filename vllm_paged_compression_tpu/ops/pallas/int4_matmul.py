@@ -52,11 +52,13 @@ class QuantizedWeight4(NamedTuple):
     z: jnp.ndarray
 
 
-def quantize_weight_int4(w, group: int = GROUP) -> QuantizedWeight4:
+def quantize_weight_int4(w, group: Optional[int] = None
+                         ) -> QuantizedWeight4:
     """Asymmetric per-group uint4 quantization over the in-features axis.
 
     w: [K, N] or stacked [L, K, N] (numpy stays on host; the packed tree
-    is what hits HBM).  K must be even and divisible by group.
+    is what hits HBM).  K must be even; group defaults to 128, shrinking
+    to a divisor of K for small (test-sized) matrices.
     """
     if w.ndim == 3:
         per = [quantize_weight_int4(w[i], group) for i in range(w.shape[0])]
@@ -67,12 +69,19 @@ def quantize_weight_int4(w, group: int = GROUP) -> QuantizedWeight4:
     xp = np if on_host else jnp
     wf = w.astype(np.float32 if on_host else jnp.float32)
     K, N = wf.shape
-    assert K % 2 == 0 and K % group == 0, (K, group)
+    if group is None:
+        group = GROUP
+        while K % group:
+            group //= 2
+    assert K % 2 == 0 and K % group == 0 and group >= 1, (K, group)
     g = wf.reshape(K // group, group, N)
     w_min = g.min(axis=1)
     w_max = g.max(axis=1)
     scale = xp.maximum((w_max - w_min) / 15.0, 1e-8)
-    zero = xp.clip(xp.round(-w_min / scale), 0, 15)
+    # The zero point is a free f32 (NOT clipped to the uint4 range): an
+    # all-positive group needs a negative zero so q = round(w/s)+z stays
+    # affine over [min, max] — clipping z would saturate such groups.
+    zero = xp.round(-w_min / scale)
     q = xp.clip(xp.round(g / scale[:, None, :]) + zero[:, None, :],
                 0, 15).astype(np.int32 if on_host else jnp.int32)
     q = q.reshape(K, N)
@@ -94,9 +103,15 @@ def _unpack(qp: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return p & 0xF, (p >> 4) & 0xF
 
 
-def dequantize_int4(w4: QuantizedWeight4, group: int = GROUP,
+def group_of(w4: QuantizedWeight4) -> int:
+    """Group size is implied by the shapes: K / num_groups."""
+    return 2 * w4.qp.shape[-2] // w4.s.shape[-2]
+
+
+def dequantize_int4(w4: QuantizedWeight4, group: Optional[int] = None,
                     dtype=jnp.bfloat16) -> jnp.ndarray:
     """[K, N] dense reference dequantization."""
+    group = group or group_of(w4)
     lo, hi = _unpack(w4.qp)
     q = jnp.concatenate([lo, hi], axis=0)          # [K, N]
     K, N = q.shape
@@ -106,7 +121,7 @@ def dequantize_int4(w4: QuantizedWeight4, group: int = GROUP,
 
 
 def int4_matmul_ref(x: jnp.ndarray, w4: QuantizedWeight4,
-                    group: int = GROUP) -> jnp.ndarray:
+                    group: Optional[int] = None) -> jnp.ndarray:
     """jnp oracle: dequantize then matmul (materializes the dense weight —
     correctness reference and CPU fallback only).  Matches the kernel's
     numerics: bf16 operands, f32 accumulation."""
@@ -127,9 +142,14 @@ def _int4_kernel(x_lo_ref, x_hi_ref, qp_ref, s_lo_ref, z_lo_ref,
     p = qp_ref[:].astype(jnp.int32) & 0xFF
     lo = (p & 0xF).astype(jnp.float32)
     hi = ((p >> 4) & 0xF).astype(jnp.float32)
-    # One scale/zero row per k-step (block size bk == group size).
-    w_lo = ((lo - z_lo_ref[:]) * s_lo_ref[:]).astype(jnp.bfloat16)
-    w_hi = ((hi - z_hi_ref[:]) * s_hi_ref[:]).astype(jnp.bfloat16)
+    # Scale/zero blocks arrive as 8-row tiles (f32 min sublane tile is 8;
+    # a (1, bn) block fails Mosaic lowering); select this k-step's row.
+    s_lo = s_lo_ref[pl.ds(k % 8, 1), :]
+    z_lo = z_lo_ref[pl.ds(k % 8, 1), :]
+    s_hi = s_hi_ref[pl.ds((k + n_k) % 8, 1), :]
+    z_hi = z_hi_ref[pl.ds((k + n_k) % 8, 1), :]
+    w_lo = ((lo - z_lo) * s_lo).astype(jnp.bfloat16)
+    w_hi = ((hi - z_hi) * s_hi).astype(jnp.bfloat16)
     acc_ref[:] += jnp.dot(x_lo_ref[:].astype(jnp.bfloat16), w_lo,
                           preferred_element_type=jnp.float32)
     acc_ref[:] += jnp.dot(x_hi_ref[:].astype(jnp.bfloat16), w_hi,
@@ -155,7 +175,8 @@ def int4_matmul_pallas(x: jnp.ndarray, w4: QuantizedWeight4,
     assert Kh % group == 0, (Kh, group)
     bk = group
     if bm is None:
-        bm = min(_round_up(M, 8), 256)
+        # bf16 outputs need >= 16 sublanes per tile.
+        bm = min(_round_up(M, 16), 256)
     bn = min(bn, N)
     n_m = pl.cdiv(M, bm)
     n_n = pl.cdiv(N, bn)
@@ -174,13 +195,16 @@ def int4_matmul_pallas(x: jnp.ndarray, w4: QuantizedWeight4,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bk, bn), lambda m, n, k: (k, n),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda m, n, k: (k, n),
+            # scales/zeros as 8-row tiles; the kernel picks row k % 8.
+            pl.BlockSpec((8, bn), lambda m, n, k: (k // 8, n),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda m, n, k: (k, n),
+            pl.BlockSpec((8, bn), lambda m, n, k: (k // 8, n),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda m, n, k, _h=n_k: (k + _h, n),
+            pl.BlockSpec((8, bn), lambda m, n, k, _h=n_k: ((k + _h) // 8,
+                                                           n),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda m, n, k, _h=n_k: (k + _h, n),
+            pl.BlockSpec((8, bn), lambda m, n, k, _h=n_k: ((k + _h) // 8,
+                                                           n),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda m, n, k: (m, n),
@@ -199,8 +223,7 @@ def _round_up(v: int, m: int) -> int:
     return (v + m - 1) // m * m
 
 
-def int4_matmul(x: jnp.ndarray, w4: QuantizedWeight4,
-                group: int = GROUP) -> jnp.ndarray:
+def int4_matmul(x: jnp.ndarray, w4: QuantizedWeight4) -> jnp.ndarray:
     """Dispatcher used by ops.quant.matmul: Pallas kernel when shapes are
     tile-friendly, jnp oracle otherwise (tiny test models)."""
     orig_shape = x.shape
@@ -208,7 +231,8 @@ def int4_matmul(x: jnp.ndarray, w4: QuantizedWeight4,
         x = x.reshape(-1, x.shape[-1])
     M, K = x.shape
     N = w4.qp.shape[1]
-    if K // 2 % GROUP or N % 128:
+    group = group_of(w4)
+    if group != GROUP or K // 2 % GROUP or N % 128:
         y = int4_matmul_ref(x, w4, group)
     else:
         y = int4_matmul_pallas(x, w4, group)

@@ -101,12 +101,16 @@ def dequantize_kv(kv: QuantKV) -> jnp.ndarray:
 
 
 def quantize_params_tree(params, leaf_names: tuple[str, ...],
-                         model_dtype=jnp.bfloat16, bits: int = 8):
+                         model_dtype=jnp.bfloat16, bits: int = 8,
+                         group: int = None):
     """Quantize the named leaves of a model params dict.  Projection
     weights ([..., in, out]) quantize over the in-features axis; the
     ``embed`` table ([V, D], consumed by gather) quantizes per row and
     stays int8 even at bits=4 (gathers read rows, not columns).
-    Unnamed numpy leaves are uploaded in ``model_dtype``."""
+    Unnamed numpy leaves are uploaded in ``model_dtype``.  ``group``
+    overrides the int4 group size (pass the checkpoint's own group so
+    re-quantizing a dequantized GPTQ/AWQ checkpoint stays within half its
+    original quantization step)."""
     import numpy as np
 
     def one(k, v):
@@ -114,7 +118,7 @@ def quantize_params_tree(params, leaf_names: tuple[str, ...],
             return quantize_weight(v, axis=-1)
         if bits == 4:
             from .pallas.int4_matmul import quantize_weight_int4
-            return quantize_weight_int4(v)
+            return quantize_weight_int4(v, group=group)
         return quantize_weight(v, axis=-2)
 
     def walk(node):

@@ -119,3 +119,46 @@ class TestEngineInt4:
             prompt_token_ids=[[1, 17, 33, 5, 99, 2, 8, 61]],
             sampling_params=SamplingParams(temperature=0.0, max_tokens=8))
         assert outs2[0].outputs[0].token_ids == toks
+
+
+class TestStackedKernel:
+    def test_stacked_matches_sliced(self):
+        from vllm_paged_compression_tpu.ops.pallas.int4_matmul import (
+            StackedInt4View, int4_matmul_view)
+        rng = np.random.default_rng(6)
+        L, K, N = 3, 256, 256
+        w = rng.standard_normal((L, K, N), dtype=np.float32) * 0.02
+        w4 = quantize_weight_int4(w, group=128)
+        x = jnp.asarray(rng.standard_normal((8, K)), jnp.float32)
+        for li in range(L):
+            got = int4_matmul_view(x, StackedInt4View(w4, jnp.int32(li)))
+            ref = int4_matmul_ref(x, QuantizedWeight4(
+                w4.qp[li], w4.s[li], w4.z[li]))
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=2e-2, atol=8e-3)
+
+    def test_scan_over_layers_uses_views(self):
+        """A scan over a stacked int4 trunk must produce the same result
+        as applying per-layer slices sequentially."""
+        from vllm_paged_compression_tpu.ops.pallas.int4_matmul import (
+            StackedInt4View, int4_matmul_view)
+        rng = np.random.default_rng(7)
+        L, K = 4, 256
+        w = rng.standard_normal((L, K, K), dtype=np.float32) * 0.05
+        w4 = quantize_weight_int4(w, group=128)
+        x = jnp.asarray(rng.standard_normal((8, K)), jnp.float32)
+
+        @jax.jit
+        def scanned(x, w4):
+            def body(h, li):
+                y = int4_matmul_view(h, StackedInt4View(w4, li))
+                return jnp.tanh(y), None
+            h, _ = jax.lax.scan(body, x, jnp.arange(L, dtype=jnp.int32))
+            return h
+
+        h = x
+        for li in range(L):
+            h = jnp.tanh(int4_matmul(h, QuantizedWeight4(
+                w4.qp[li], w4.s[li], w4.z[li])))
+        np.testing.assert_allclose(np.asarray(scanned(x, w4)),
+                                   np.asarray(h), rtol=2e-2, atol=8e-3)

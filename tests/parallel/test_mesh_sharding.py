@@ -73,3 +73,23 @@ def test_param_shardings_cover_tree(eight_devices):
     flat_p = jax.tree.leaves(params)
     flat_s = jax.tree.leaves(sh, is_leaf=lambda x: hasattr(x, "spec"))
     assert len(flat_p) == len(flat_s)
+
+
+def test_tp_int4_matches_single_device(eight_devices):
+    """Packed int4 weights under TP: the out axis shards, the packed
+    in-features axis stays whole (nibble pairing couples rows j and
+    j + K/2), and tokens match single-device execution."""
+    cfg = dict(CFG, hidden_size=256, intermediate_size=512,
+               num_attention_heads=4, num_key_value_heads=2)
+
+    def gen(tp):
+        llm = LLM(hf_config=cfg, dtype="float32", block_size=4,
+                  max_model_len=128, num_device_blocks=64, seed=3,
+                  quantization="int4", tensor_parallel_size=tp)
+        outs = llm.generate(
+            prompt_token_ids=[[1, 17, 33, 5, 99, 2, 8, 61]],
+            sampling_params=SamplingParams(temperature=0.0,
+                                           max_tokens=10))
+        return outs[0].outputs[0].token_ids
+
+    assert gen(1) == gen(2)

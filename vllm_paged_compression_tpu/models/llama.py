@@ -36,6 +36,31 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.quant import QuantizedWeight, matmul
+
+
+def _split_int4_stack(stack):
+    """Separate layer-stacked packed-int4 leaves from everything else.
+    Packed weights must NOT ride through lax.scan's per-iteration slicing:
+    a dynamic-slice feeding a Pallas custom call materializes a full copy
+    of the layer's weights each step (measured 123 GB/s effective vs ~740
+    for the kernel itself).  They are closed over instead and indexed
+    in-kernel via scalar prefetch (StackedInt4View)."""
+    from ..ops.pallas.int4_matmul import QuantizedWeight4
+    big = {k: v for k, v in stack.items()
+           if isinstance(v, QuantizedWeight4)}
+    if not big:
+        return stack, None
+    return {k: v for k, v in stack.items() if k not in big}, big
+
+
+def _merge_int4_views(lp_small, big, local_li):
+    if not big:
+        return lp_small
+    from ..ops.pallas.int4_matmul import StackedInt4View
+    lp = dict(lp_small)
+    for k, v in big.items():
+        lp[k] = StackedInt4View(v, local_li)
+    return lp
 from ..ops.rope import apply_rope, rope_cos_sin
 
 
@@ -3081,33 +3106,44 @@ class LlamaModel:
             stacks = [params["dense_layers"], params["layers"]]
 
         if state_mode == "carry":
-            def layer_fn(carry, xs):
-                h, state = carry
-                lp, ll, li = xs
-                h, state = layer_body(h, lp, ll, state, li)
-                return (h, state), None
-
             carry = (h, attn_state)
             off = 0
             for stack in stacks:
                 n = jax.tree.leaves(stack)[0].shape[0]
                 ll = lora_layers if len(stacks) == 1 else None
+                small, big = _split_int4_stack(stack)
+                o = off
+
+                def layer_fn(carry, xs, big=big, o=o):
+                    h, state = carry
+                    lp, ll, li = xs
+                    lp = _merge_int4_views(lp, big, li - o)
+                    h, state = layer_body(h, lp, ll, state, li)
+                    return (h, state), None
+
                 carry, _ = jax.lax.scan(
                     layer_fn, carry,
-                    (stack, ll, jnp.arange(off, off + n, dtype=jnp.int32)))
+                    (small, ll, jnp.arange(off, off + n, dtype=jnp.int32)))
                 off += n
             h, new_state = carry
         else:
-            def layer_fn(h, xs):
-                lp, ll, state, li = xs
-                return layer_body(h, lp, ll, state, rope_li=li)
-
             if len(stacks) == 1:
+                small, big = _split_int4_stack(params["layers"])
+
+                def layer_fn(h, xs, big=big):
+                    lp, ll, state, li = xs
+                    lp = _merge_int4_views(lp, big, li)
+                    return layer_body(h, lp, ll, state, rope_li=li)
+
                 h, new_state = jax.lax.scan(
                     layer_fn, h,
-                    (params["layers"], lora_layers, attn_state,
+                    (small, lora_layers, attn_state,
                      jnp.arange(num_layers, dtype=jnp.int32)))
             else:
+                def layer_fn(h, xs):
+                    lp, ll, state, li = xs
+                    return layer_body(h, lp, ll, state, rope_li=li)
+
                 nd = jax.tree.leaves(stacks[0])[0].shape[0]
                 nm = jax.tree.leaves(stacks[1])[0].shape[0]
                 s_dense = jax.tree.map(lambda x: x[:nd], attn_state)

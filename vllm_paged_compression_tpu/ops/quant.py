@@ -54,9 +54,12 @@ def matmul(x: jnp.ndarray,
         y = jnp.dot(x, w.q.astype(x.dtype),
                     preferred_element_type=jnp.float32)
         return (y * w.s).astype(x.dtype)
-    from .pallas.int4_matmul import QuantizedWeight4, int4_matmul
+    from .pallas.int4_matmul import (QuantizedWeight4, StackedInt4View,
+                                     int4_matmul, int4_matmul_view)
     if isinstance(w, QuantizedWeight4):
         return int4_matmul(x, w)
+    if isinstance(w, StackedInt4View):
+        return int4_matmul_view(x, w)
     return x @ w
 
 

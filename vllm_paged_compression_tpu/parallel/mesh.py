@@ -128,6 +128,17 @@ def param_shardings(mesh: Mesh, architecture: str, params: dict,
         return P(*((spec[0],) + (None,) * (ndim - len(spec)) + spec[1:]))
 
     def walk(spec_node, param_node):
+        from ..ops.pallas.int4_matmul import QuantizedWeight4
+        if isinstance(param_node, QuantizedWeight4):
+            # Packed int4: the nibble pairing couples rows j and j + K/2,
+            # so the in-features axis must stay unsharded (GSPMD would
+            # otherwise split packed rows across ranks whose x slices
+            # don't match).  Shard the out axis only; scales/zeros share
+            # the qp rank and follow the same spec.
+            spec = fit(spec_node, param_node.qp.ndim)
+            spec = P(*(spec[:-2] + (None,) + spec[-1:]))
+            sh = NamedSharding(mesh, spec)
+            return QuantizedWeight4(qp=sh, s=sh, z=sh)
         if isinstance(param_node, QuantizedWeight):
             spec = fit(spec_node, param_node.q.ndim)
             s_spec = P(*(spec[:-2] + spec[-1:])) if len(spec) >= 2 else spec

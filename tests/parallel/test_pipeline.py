@@ -5,7 +5,6 @@ Reference analog: tests/distributed/test_pipeline_parallel.py compares
 PP output against TP/single-GPU output on one host (SURVEY §4)."""
 
 import numpy as np
-import pytest
 
 from vllm_paged_compression_tpu.entrypoints.llm import LLM
 from vllm_paged_compression_tpu.sampling_params import SamplingParams
@@ -113,6 +112,46 @@ class TestPipelineParity:
         assert gen(2, spec=True) == base
         assert gen(1, spec=True) == base
 
-    def test_pp_rejects_unsupported(self):
-        with pytest.raises(ValueError, match="LoRA"):
-            _generate(pp=2, enable_lora=True)
+    def test_pp2_lora_matches_single(self):
+        # Mixed batch (two adapters + no-adapter) under PP must be
+        # token-identical to the single-device LoRA engine: adapter
+        # stacks [L, S, ...] shard their layer axis over "pipe" exactly
+        # like params["layers"].
+        import numpy as np
+
+        from vllm_paged_compression_tpu.lora import LoRARequest
+        d = TINY_CFG["hidden_size"]
+        hd = d // TINY_CFG["num_attention_heads"]
+        qkv_out = (TINY_CFG["num_attention_heads"]
+                   + 2 * TINY_CFG["num_key_value_heads"]) * hd
+        dims = {"wqkv": (d, qkv_out), "wo": (d, d)}
+        rng = np.random.default_rng(3)
+        L = TINY_CFG["num_hidden_layers"]
+        adapters = {}
+        for aid in (1, 2):
+            adapters[aid] = {
+                name: (rng.standard_normal((L, din, 4)).astype(
+                           np.float32) * 0.6,
+                       rng.standard_normal((L, 4, dout)).astype(
+                           np.float32) * 0.6)
+                for name, (din, dout) in dims.items()}
+        reqs = [LoRARequest("a1", 1), LoRARequest("a2", 2), None,
+                LoRARequest("a1", 1)]
+
+        def gen(pp):
+            llm = LLM(hf_config=TINY_CFG, dtype="float32", block_size=4,
+                      max_model_len=256, num_device_blocks=128, seed=0,
+                      max_num_seqs=8, num_scheduler_steps=4,
+                      enable_lora=True, max_loras=2, max_lora_rank=4,
+                      pipeline_parallel_size=pp)
+            llm.engine.add_lora(1, adapters[1], scaling=1.0)
+            llm.engine.add_lora(2, adapters[2], scaling=0.5)
+            outs = llm.generate(
+                prompt_token_ids=PROMPTS,
+                sampling_params=SamplingParams(temperature=0.0,
+                                               max_tokens=9),
+                lora_request=reqs)
+            return [list(o.outputs[0].token_ids) for o in outs]
+
+        base = gen(1)
+        assert gen(2) == base

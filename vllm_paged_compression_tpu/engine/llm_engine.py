@@ -292,9 +292,6 @@ class LLMEngine:
                     raise ValueError("pipeline parallelism with MLA / "
                                      "dense-prefix (DeepSeek) stacks is "
                                      "not supported yet")
-                if config.lora is not None:
-                    raise ValueError("pipeline parallelism is incompatible "
-                                     "with LoRA")
                 if config.speculative is not None \
                         and config.speculative.method != "ngram":
                     raise ValueError(

@@ -119,6 +119,11 @@ def param_shardings(mesh: Mesh, architecture: str, params: dict,
         specs = dict(specs)
         specs["layers"] = {k: pipe_spec(v)
                            for k, v in specs["layers"].items()}
+        if "lora" in params:
+            # Adapter stacks [L, S, ...] shard the layer axis like
+            # params["layers"]; the per-slot scale vector replicates.
+            specs["lora"] = {k: (P() if k == "scale" else P("pipe"))
+                             for k in params["lora"]}
 
     def fit(spec, ndim):
         """MoE expert leaves carry an extra axis after the layer axis:

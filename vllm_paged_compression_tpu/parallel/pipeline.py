@@ -29,8 +29,11 @@ and GSPMD inserts each stage's TP collectives in place — no weight
 re-gather (verified: 0 all-gathers of TP weights in the compiled HLO vs 3
 with a fully-manual map).
 
-v1 restrictions (asserted at engine construction): llama-family models,
-no LoRA, no speculative decoding.
+Remaining restrictions (asserted at engine construction): llama-family
+models; speculative decoding limited to host-side (ngram) proposers with
+greedy verification.  Multi-LoRA serving composes: adapter stacks
+[L, S, ...] shard their layer axis over "pipe" exactly like
+params["layers"] and ride the same layer scan.
 """
 
 from __future__ import annotations
@@ -48,8 +51,17 @@ def pipe_specs_for(tree, leading_pipe: bool):
     return jax.tree.map(lambda _: spec, tree)
 
 
+def lora_specs(lora: dict):
+    """Adapter stacks [L, S, in, r]/[L, S, r, out] shard their leading
+    (layer) axis over "pipe" like params["layers"]; the per-slot "scale"
+    vector replicates."""
+    return {k: (P() if k == "scale" else P("pipe"))
+            for k in lora}
+
+
 def param_specs(params: dict):
-    return {k: pipe_specs_for(v, leading_pipe=(k == "layers"))
+    return {k: (lora_specs(v) if k == "lora"
+                else pipe_specs_for(v, leading_pipe=(k == "layers")))
             for k, v in params.items()}
 
 
@@ -89,6 +101,7 @@ def pp_decode_window_body(runner, params, caches, page_scores, plan_pack,
     tok0 = state_pack[:, p + 2]
     seeds = state_pack[:, p + 3]
     topk = state_pack[:, p + 4]
+    lora_slots = state_pack[:, p + 5]
     temp, top_p, min_p = f32_pack[0], f32_pack[1], f32_pack[5]
     if not greedy_only:
         presence, frequency, repetition = (f32_pack[2], f32_pack[3],
@@ -138,8 +151,12 @@ def pp_decode_window_body(runner, params, caches, page_scores, plan_pack,
                     zslots_mb)
                 return out, (kc, vc)
 
+            lk = (runner._lora_kwargs(params,
+                                      _mb_slice(lora_slots, m, g, pp))
+                  if runner.lora_enabled else {})
             h_out, caches = model.forward_layers(
-                params, h_in, pos_mb, attn_fn, caches, state_mode="carry")
+                params, h_in, pos_mb, attn_fn, caches, state_mode="carry",
+                **lk)
             h_out = h_out.astype(dtype)
 
             h_next = jax.lax.ppermute(
@@ -190,7 +207,8 @@ def pp_decode_window_body(runner, params, caches, page_scores, plan_pack,
     return new_caches, page_scores, out_pack, new_state
 
 
-def pp_prefill_wave(runner, params, caches, h0, positions, attn_fn_factory):
+def pp_prefill_wave(runner, params, caches, h0, positions, attn_fn_factory,
+                    lora_idx=None):
     """Run one prompt through the staged layers: a single-microbatch wave.
     ``attn_fn_factory(active)`` builds the per-layer attention callback
     with cache writes steered to the trash page when this stage is not the
@@ -199,13 +217,16 @@ def pp_prefill_wave(runner, params, caches, h0, positions, attn_fn_factory):
     pp = runner.pp
     stage = jax.lax.axis_index("pipe")
     h_buf = h0  # meaningful on stage 0 only
+    lk = (runner._lora_kwargs(params, lora_idx)
+          if runner.lora_enabled and lora_idx is not None else {})
 
     def tick(carry, t):
         h_buf, caches = carry
         active = t == stage
         attn_fn = attn_fn_factory(active)
         h_out, caches = runner.model.forward_layers(
-            params, h_buf, positions, attn_fn, caches, state_mode="carry")
+            params, h_buf, positions, attn_fn, caches, state_mode="carry",
+            **lk)
         h_out = h_out.astype(h_buf.dtype)
         keep = jnp.where(active, h_out, h_buf)
         h_next = jax.lax.ppermute(

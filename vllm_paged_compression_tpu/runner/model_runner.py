@@ -905,7 +905,8 @@ class ModelRunner:
         if arch.embed_scale is not None:
             h0 = h0 * jnp.asarray(arch.embed_scale, self.model.dtype)
         h, caches = pp_prefill_wave(self, params, caches, h0,
-                                    batch["positions"], attn_fn_factory)
+                                    batch["positions"], attn_fn_factory,
+                                    lora_idx=batch.get("lora_idx"))
         stage = jax.lax.axis_index("pipe")
         if self.track_page_scores:
             ps_new = self._update_page_scores(page_scores, caches[1],
@@ -1045,7 +1046,8 @@ class ModelRunner:
             if arch.embed_scale is not None:
                 h0 = h0 * jnp.asarray(arch.embed_scale, self.model.dtype)
             h, caches = pp_prefill_wave(self, params, caches, h0,
-                                        batch["positions"], factory)
+                                        batch["positions"], factory,
+                                        lora_idx=batch.get("lora_idx"))
             stage = jax.lax.axis_index("pipe")
             if is_last:
                 h_final = rms_norm(h, params["final_norm"],
@@ -1310,7 +1312,8 @@ class ModelRunner:
             if arch.embed_scale is not None:
                 h0 = h0 * jnp.asarray(arch.embed_scale, self.model.dtype)
             h, caches = pp_prefill_wave(self, params, caches, h0,
-                                        batch["positions"], factory)
+                                        batch["positions"], factory,
+                                        lora_idx=batch.get("lora_idx"))
             h_final = rms_norm(h, params["final_norm"], arch.rms_norm_eps,
                                arch.norm_unit_offset)
             logits = self.model.logits(params, h_final)

@@ -112,6 +112,101 @@ class TestPipelineParity:
         assert gen(2, spec=True) == base
         assert gen(1, spec=True) == base
 
+    def test_pp2_model_based_spec_matches_single(self):
+        # Medusa (target-riding heads) and draft-model proposers under
+        # PP: proposer jits run over the pipe-sharded target params via
+        # GSPMD auto partitioning; greedy verification is the PP wave.
+        draft_cfg = dict(TINY_CFG, num_hidden_layers=2)
+        configs = [
+            dict(method="medusa", num_speculative_tokens=3,
+                 draft_window=32),
+            dict(method="draft", num_speculative_tokens=3,
+                 draft_window=32, draft_hf_config=draft_cfg),
+            dict(method="eagle", num_speculative_tokens=3,
+                 draft_window=32,
+                 eagle_hf_config=dict(draft_cfg, num_hidden_layers=1)),
+        ]
+        base = _generate(pp=1)
+        for sc in configs:
+            assert _generate(pp=2, speculative_config=sc) == base, \
+                sc["method"]
+
+    def test_pp2_logprobs_match_single(self):
+        def gen(pp):
+            llm = LLM(hf_config=TINY_CFG, dtype="float32", block_size=4,
+                      max_model_len=256, num_device_blocks=128, seed=0,
+                      max_num_seqs=8, num_scheduler_steps=4,
+                      pipeline_parallel_size=pp)
+            outs = llm.generate(
+                prompt_token_ids=PROMPTS[:2],
+                sampling_params=SamplingParams(temperature=0.0,
+                                               max_tokens=6, logprobs=3))
+            return outs
+
+        base, pp2 = gen(1), gen(2)
+        for o1, o2 in zip(base, pp2):
+            assert o1.outputs[0].token_ids == o2.outputs[0].token_ids
+            lp1, lp2 = o1.outputs[0].logprobs, o2.outputs[0].logprobs
+            assert lp1 is not None and len(lp1) == len(lp2)
+            for d1, d2 in zip(lp1, lp2):
+                assert set(d1) == set(d2)
+                for t in d1:
+                    assert abs(d1[t] - d2[t]) < 1e-4
+
+    def test_pp2_guided_and_logit_controls_match_single(self):
+        # Guided regex + logit_bias + bad_words ride the PP decode window
+        # (single-step windows for FSM-gated lanes) and must be
+        # token-identical to the single-device engine.
+        from vllm_paged_compression_tpu.sampling_params import (
+            GuidedDecodingParams)
+        vocab = [b""] * 128
+        for c in range(32, 127):
+            vocab[c] = bytes([c])
+        cfg = dict(TINY_CFG, eos_token_id=1)
+
+        def gen(pp):
+            llm = LLM(hf_config=cfg, dtype="float32", block_size=4,
+                      max_model_len=256, num_device_blocks=128, seed=0,
+                      max_num_seqs=8, num_scheduler_steps=4,
+                      pipeline_parallel_size=pp)
+            llm.engine.set_guided_vocab(vocab)
+            guided = llm.generate(
+                prompt_token_ids=[list(range(40, 50))],
+                sampling_params=SamplingParams(
+                    temperature=1.0, seed=7, max_tokens=16,
+                    guided_decoding=GuidedDecodingParams(
+                        regex=r"[0-9]{3}-[0-9]{2}")))
+            biased = llm.generate(
+                prompt_token_ids=[list(range(40, 50))],
+                sampling_params=SamplingParams(
+                    temperature=0.0, max_tokens=8,
+                    logit_bias={65: 40.0}, bad_words=[[66]]))
+            return ([list(o.outputs[0].token_ids) for o in guided],
+                    [list(o.outputs[0].token_ids) for o in biased])
+
+        assert gen(2) == gen(1)
+
+    def test_pp2_sampled_spec_matches_single(self):
+        # Stochastic requests verify by in-graph rejection sampling; the
+        # seeded sampler makes pp=1 and pp=2 runs comparable exactly.
+        prompts = [[1, 2, 3, 4, 1, 2, 3, 4, 1, 2, 3, 4, 1, 2]]
+        sc = dict(method="ngram", num_speculative_tokens=3,
+                  ngram_prompt_lookup_max=3, ngram_prompt_lookup_min=1)
+
+        def gen(pp, spec):
+            kw = {"speculative_config": sc} if spec else {}
+            llm = LLM(hf_config=TINY_CFG, dtype="float32", block_size=4,
+                      max_model_len=256, num_device_blocks=128, seed=0,
+                      max_num_seqs=8, num_scheduler_steps=4,
+                      pipeline_parallel_size=pp, **kw)
+            outs = llm.generate(
+                prompt_token_ids=prompts,
+                sampling_params=SamplingParams(temperature=0.8, seed=7,
+                                               max_tokens=12))
+            return [list(o.outputs[0].token_ids) for o in outs]
+
+        assert gen(2, spec=True) == gen(1, spec=True)
+
     def test_pp2_lora_matches_single(self):
         # Mixed batch (two adapters + no-adapter) under PP must be
         # token-identical to the single-device LoRA engine: adapter

@@ -292,12 +292,14 @@ class LLMEngine:
                     raise ValueError("pipeline parallelism with MLA / "
                                      "dense-prefix (DeepSeek) stacks is "
                                      "not supported yet")
-                if config.speculative is not None \
-                        and config.speculative.method != "ngram":
-                    raise ValueError(
-                        "pipeline parallelism supports host-side (ngram) "
-                        "speculative proposers only; model-based proposers "
-                        "(draft/medusa/mlp/eagle) are follow-up work")
+                # Speculative proposers all compose with PP: ngram is
+                # host-side; draft runs its own (replicated) params in a
+                # separate jit; medusa/mlp/eagle ride the pipe-sharded
+                # target params under GSPMD auto partitioning (their
+                # stateless window forwards are correct over any layout).
+                # Verification runs via _spec_verify_pp (greedy; sampled
+                # verification under PP raises at the step, llm_engine
+                # _spec step).
             self.mesh = build_mesh(pc.tensor_parallel_size,
                                    pc.data_parallel_size, pp)
             self.params = shard_params(self.params, self.mesh,
@@ -446,10 +448,6 @@ class LLMEngine:
                        arrival_time=arrival_time, priority=priority,
                        eos_token_id=self.eos_token_id)
         sp_ = seq.params
-        if self.runner.pp > 1 and (sp_.logit_bias or sp_.allowed_token_ids
-                                   or sp_.bad_words):
-            raise ValueError("logit_bias / allowed_token_ids / bad_words "
-                             "with pipeline parallelism are not supported")
         if self.config.speculative is not None and (
                 sp_.logit_bias or sp_.allowed_token_ids or sp_.bad_words):
             raise ValueError("logit_bias / allowed_token_ids / bad_words "
@@ -460,9 +458,6 @@ class LLMEngine:
                 raise ValueError("guided decoding is incompatible with "
                                  "speculative decoding (the FSM must "
                                  "observe each token before the next)")
-            if self.runner.pp > 1:
-                raise ValueError("guided decoding with pipeline "
-                                 "parallelism is not supported yet")
             from ..guided import GuidedState, get_guided_fsm
             seq.guided = GuidedState(get_guided_fsm(
                 gd, self.guided_vocab(), self.eos_token_id,
@@ -802,10 +797,6 @@ class LLMEngine:
                             a += 1
                         accepted.append(props[:a] + [m[a]])
                 else:
-                    if self.runner.pp > 1:
-                        raise NotImplementedError(
-                            "sampled speculative verification under "
-                            "pipeline parallelism (greedy requests only)")
                     self.kv_caches, self.page_scores, toks, n_acc = \
                         self.runner.run_spec_verify_sampled(
                             self.params, self.kv_caches, self.page_scores,

@@ -78,7 +78,8 @@ def _mb_slice(x, m, size, num_mb):
 
 def pp_decode_window_body(runner, params, caches, page_scores, plan_pack,
                           state_pack, f32_pack, token_counts=None,
-                          greedy_only=False):
+                          mask_pack=None, bias_pack=None,
+                          greedy_only=False, logprobs_l=0):
     """shard_map body over ("pipe",): the PP analog of
     ModelRunner._decode_window.  All plan/table math is replicated; only
     the transformer layers are stage-local."""
@@ -114,8 +115,9 @@ def pp_decode_window_body(runner, params, caches, page_scores, plan_pack,
     def body(carry, xs):
         caches, page_scores, tables, kv_lens, num_pages, tokens, \
             counts = carry
+        xs_plan, mask = (xs, None) if mask_pack is None else xs
         positions, slots, evict, victims_in, zero_slots, fill_pages, \
-            new_pages, stepctr = (xs[i] for i in
+            new_pages, stepctr = (xs_plan[i] for i in
                                   range(len(runner._PLAN_FIELDS)))
         eff_tables, eff_kv, num_pages, victims = runner._step_tables(
             page_scores, tables, kv_lens, num_pages, evict, victims_in,
@@ -184,6 +186,13 @@ def pp_decode_window_body(runner, params, caches, page_scores, plan_pack,
             from ..ops.sampling import apply_penalties
             logits = apply_penalties(logits, counts, presence, frequency,
                                      repetition)
+        if bias_pack is not None:
+            bias_ids, bias_vals = bias_pack
+            logits = logits.astype(jnp.float32).at[
+                iota_b[:, None], bias_ids].add(bias_vals)
+        if mask is not None:
+            from ..ops.sampling import apply_token_bitmask
+            logits = apply_token_bitmask(logits, mask)
         toks = sample(logits, SamplingTensors(
             temperature=temp, top_p=top_p, top_k=topk, seed=seeds,
             step=stepctr, min_p=min_p),
@@ -193,18 +202,31 @@ def pp_decode_window_body(runner, params, caches, page_scores, plan_pack,
             counts = counts.at[iota_b, toks].add(1)
         carry = (caches, page_scores, eff_tables, eff_kv, num_pages, toks,
                  counts)
-        return carry, jnp.stack([toks, victims])
+        ys = jnp.stack([toks, victims])
+        if logprobs_l > 0:
+            lp = jax.nn.log_softmax(logits.astype(jnp.float32))
+            tv, ti = jax.lax.top_k(lp, logprobs_l)
+            chosen = lp[iota_b, toks]
+            lp_row = jnp.concatenate(
+                [tv, ti.astype(jnp.float32), chosen[:, None]], axis=1)
+            lp_row = _masked_psum(lp_row, stage == pp - 1, "pipe")
+            ys = (ys, lp_row)
+        return carry, ys
 
     init = (caches, page_scores, tables0, kv0, np0, tok0, token_counts)
-    carry, ys = jax.lax.scan(body, init, plan_pack)
+    xs = plan_pack if mask_pack is None else (plan_pack, mask_pack)
+    carry, ys = jax.lax.scan(body, init, xs)
     (new_caches, page_scores, tables_end, kv_end, np_end, tok_end,
      _counts) = carry
+    lp_pack = None
+    if logprobs_l > 0:
+        ys, lp_pack = ys          # lp_pack: [K, B, 2L+1] f32
     out_pack = jnp.swapaxes(ys, 0, 1)
     new_state = jnp.concatenate([
         tables_end, kv_end[:, None], np_end[:, None], tok_end[:, None],
         state_pack[:, p + 3:],
     ], axis=1)
-    return new_caches, page_scores, out_pack, new_state
+    return new_caches, page_scores, out_pack, new_state, lp_pack
 
 
 def pp_prefill_wave(runner, params, caches, h0, positions, attn_fn_factory,

@@ -284,8 +284,10 @@ class ModelRunner:
         self._spec_verify_jit = jax.jit(
             self._spec_verify_pp if self.pp > 1 else self._spec_verify,
             donate_argnums=(1, 2))
-        self._spec_verify_sampled_jit = jax.jit(self._spec_verify_sampled,
-                                                donate_argnums=(1, 2))
+        self._spec_verify_sampled_jit = jax.jit(
+            self._spec_verify_sampled_pp if self.pp > 1
+            else self._spec_verify_sampled,
+            donate_argnums=(1, 2))
 
     # ------------------------------------------------------------------
     # jitted programs
@@ -552,8 +554,6 @@ class ModelRunner:
         key = (greedy, logprobs_l)
         if key not in cache:
             if self.pp > 1:
-                assert logprobs_l == 0, \
-                    "logprobs with pipeline parallelism is follow-up work"
                 body = (self._prefill_prune_pp if prune
                         else self._prefill_plain_pp)
             else:
@@ -879,24 +879,31 @@ class ModelRunner:
         from jax.sharding import PartitionSpec as P
 
         from ..parallel.pipeline import pp_decode_window_body
-        assert logprobs_l == 0, \
-            "logprobs with pipeline parallelism is follow-up work"
-        assert mask_pack is None and bias_pack is None, \
-            "logit masks/bias with pipeline parallelism are unsupported"
 
         def body(params, caches, page_scores, plan_pack, state_pack,
-                 f32_pack, token_counts):
-            return pp_decode_window_body(
+                 f32_pack, token_counts, mask_pack=None, bias_pack=None):
+            out = pp_decode_window_body(
                 self, params, caches, page_scores, plan_pack, state_pack,
-                f32_pack, token_counts, greedy_only=greedy_only)
+                f32_pack, token_counts, mask_pack=mask_pack,
+                bias_pack=bias_pack, greedy_only=greedy_only,
+                logprobs_l=logprobs_l)
+            # shard_map out_specs can't carry a None leaf: drop the
+            # lp_pack slot when logprobs are off.
+            return out if logprobs_l > 0 else out[:4]
 
+        rest = [plan_pack, state_pack, f32_pack, token_counts]
+        if mask_pack is not None or bias_pack is not None:
+            import functools
+            body = functools.partial(body, mask_pack=mask_pack,
+                                     bias_pack=bias_pack)
+        extra = (P(), P()) + ((P(),) if logprobs_l > 0 else ())
         out = self._pp_shard_call(
-            body, params, caches, page_scores, plan_pack, state_pack,
-            f32_pack, token_counts, extra_out_specs=(P(), P()))
-        return (*out, None)
+            body, params, caches, page_scores, *rest,
+            extra_out_specs=extra)
+        return out if logprobs_l > 0 else (*out, None)
 
     def _finish_prefill_pp(self, params, caches, page_scores, batch,
-                           attn_fn_factory, greedy_only):
+                           attn_fn_factory, greedy_only, logprobs_l=0):
         """Shared tail of the PP prefill programs (inside shard_map)."""
         from ..models.llama import rms_norm
         from ..parallel.pipeline import _masked_psum, pp_prefill_wave
@@ -916,14 +923,28 @@ class ModelRunner:
                            arch.norm_unit_offset)
         last = h_final[batch["q_len"] - 1][None]
         logits = self.model.logits(params, last)
+        if "bias_ids" in batch:
+            logits = logits.astype(jnp.float32).at[
+                jnp.zeros(1, jnp.int32)[:, None],
+                batch["bias_ids"][None]].add(batch["bias_vals"][None])
+        if "mask_words" in batch:
+            from ..ops.sampling import apply_token_bitmask
+            logits = apply_token_bitmask(logits, batch["mask_words"][None])
         tokens = sample(logits, self._sampling_tensors(batch),
                         greedy_only=greedy_only).astype(jnp.int32)
         tokens = _masked_psum(tokens, stage == self.pp - 1, "pipe")
+        if logprobs_l > 0:
+            lp = jax.nn.log_softmax(logits.astype(jnp.float32))
+            tv, ti = jax.lax.top_k(lp, logprobs_l)
+            chosen = lp[jnp.arange(1), tokens]
+            lp_row = jnp.concatenate(
+                [tv, ti.astype(jnp.float32), chosen[:, None]], axis=1)[0]
+            lp_row = _masked_psum(lp_row, stage == self.pp - 1, "pipe")
+            return caches, page_scores, tokens, lp_row
         return caches, page_scores, tokens
 
     def _prefill_plain_pp(self, params, caches, page_scores, batch,
                           greedy_only=False, logprobs_l=0):
-        assert logprobs_l == 0
         from jax.sharding import PartitionSpec as P
         trash_page = self.cache_engine.trash_page
 
@@ -944,15 +965,16 @@ class ModelRunner:
                     return out, (kc_all, vc_all)
                 return attn_fn
             return self._finish_prefill_pp(params, caches, page_scores,
-                                           batch, factory, greedy_only)
+                                           batch, factory, greedy_only,
+                                           logprobs_l)
 
+        extra = (P(),) + ((P(),) if logprobs_l > 0 else ())
         out = self._pp_shard_call(body, params, caches, page_scores,
-                                  batch, extra_out_specs=(P(),))
-        return (*out, None)
+                                  batch, extra_out_specs=extra)
+        return out if logprobs_l > 0 else (*out, None)
 
     def _prefill_prune_pp(self, params, caches, page_scores, batch,
                           greedy_only=False, logprobs_l=0):
-        assert logprobs_l == 0
         """Evict-at-prefill under PP: per-layer pruning exactly as the
         single-stage program (each stage prunes at its own layers)."""
         from jax.sharding import PartitionSpec as P
@@ -994,11 +1016,13 @@ class ModelRunner:
                     return out, (kc_all, vc_all)
                 return attn_fn
             return self._finish_prefill_pp(params, caches, page_scores,
-                                           batch, factory, greedy_only)
+                                           batch, factory, greedy_only,
+                                           logprobs_l)
 
+        extra = (P(),) + ((P(),) if logprobs_l > 0 else ())
         out = self._pp_shard_call(body, params, caches, page_scores,
-                                  batch, extra_out_specs=(P(),))
-        return (*out, None)
+                                  batch, extra_out_specs=extra)
+        return out if logprobs_l > 0 else (*out, None)
 
     def _prefill_context_pp(self, params, caches, page_scores, batch,
                             greedy_only=False, is_last=True):
@@ -1055,6 +1079,15 @@ class ModelRunner:
                                    arch.norm_unit_offset)
                 last = h_final[batch["q_len"] - 1][None]
                 logits = self.model.logits(params, last)
+                if "bias_ids" in batch:
+                    logits = logits.astype(jnp.float32).at[
+                        jnp.zeros(1, jnp.int32)[:, None],
+                        batch["bias_ids"][None]].add(
+                            batch["bias_vals"][None])
+                if "mask_words" in batch:
+                    from ..ops.sampling import apply_token_bitmask
+                    logits = apply_token_bitmask(
+                        logits, batch["mask_words"][None])
                 tokens = sample(logits, self._sampling_tensors(batch),
                                 greedy_only=greedy_only).astype(jnp.int32)
                 tokens = _masked_psum(tokens, stage == self.pp - 1, "pipe")
@@ -1324,6 +1357,70 @@ class ModelRunner:
 
         return self._pp_shard_call(body, params, caches, page_scores,
                                    batch, extra_out_specs=(P(),))
+
+    def _spec_verify_sampled_pp(self, params, caches, page_scores, batch):
+        """Rejection/typical-acceptance verification under pipeline
+        parallelism: the multi-row wave of _spec_verify_pp, with the
+        sampling tail (probs + accept/resample) computed on the last
+        stage and broadcast via masked psums."""
+        from jax.sharding import PartitionSpec as P
+
+        from ..models.llama import rms_norm
+        from ..ops.sampling import rejection_sample, sampling_probs
+        from ..parallel.pipeline import _masked_psum, pp_prefill_wave
+        arch = self.model.arch
+        trash_slot = self.cache_engine.trash_slot
+
+        def body(params, caches, page_scores, batch):
+            tables = batch["tables"]
+            rows = batch["tokens"].shape[0]
+            rep = rows // tables.shape[0]
+            tables_rep = jnp.repeat(tables, rep, axis=0)
+
+            def factory(active):
+                def attn_fn(q, k, v, state, layer):
+                    kc_all, vc_all = state
+                    slots = jnp.where(active, batch["slots"], trash_slot)
+                    out, kc_all, vc_all = self._fused_attn(
+                        q, k, v, kc_all, vc_all, layer, tables_rep,
+                        batch["kv_lens"], slots, None)
+                    return out, (kc_all, vc_all)
+                return attn_fn
+
+            h0 = self.model.embed(params, batch["tokens"])
+            if arch.embed_scale is not None:
+                h0 = h0 * jnp.asarray(arch.embed_scale, self.model.dtype)
+            h, caches = pp_prefill_wave(self, params, caches, h0,
+                                        batch["positions"], factory,
+                                        lora_idx=batch.get("lora_idx"))
+            h_final = rms_norm(h, params["final_norm"], arch.rms_norm_eps,
+                               arch.norm_unit_offset)
+            logits = self.model.logits(params, h_final)
+            zeros = jnp.zeros(rows, jnp.int32)
+            probs = sampling_probs(logits, SamplingTensors(
+                temperature=batch["row_temp"], top_p=batch["row_top_p"],
+                top_k=batch["row_top_k"], seed=zeros, step=zeros,
+                min_p=batch["row_min_p"]))
+            b = batch["proposals"].shape[0]
+            probs = probs.reshape(b, rep, -1)
+            sc = self.config.speculative
+            if sc is not None and \
+                    sc.acceptance_method == "typical_acceptance_sampler":
+                from ..ops.sampling import typical_acceptance_sample
+                toks, n_acc = typical_acceptance_sample(
+                    probs, batch["proposals"],
+                    sc.typical_posterior_threshold,
+                    sc.typical_posterior_alpha)
+            else:
+                toks, n_acc = rejection_sample(probs, batch["proposals"],
+                                               batch["seed"], batch["step"])
+            stage = jax.lax.axis_index("pipe")
+            toks = _masked_psum(toks, stage == self.pp - 1, "pipe")
+            n_acc = _masked_psum(n_acc, stage == self.pp - 1, "pipe")
+            return caches, page_scores, (toks, n_acc)
+
+        return self._pp_shard_call(body, params, caches, page_scores,
+                                   batch, extra_out_specs=((P(), P()),))
 
     def _spec_verify_sampled(self, params, caches, page_scores, batch):
         """Rejection-sampling verification (reference
@@ -1658,8 +1755,7 @@ class ModelRunner:
         logprobs_l = max((pl.seq.params.logprobs or 0) for pl in plans)
         logprobs_l = min(logprobs_l, 32)
         mask_pack = None
-        if self.pp == 1 and any(self._lane_needs_mask(pl.seq)
-                                for pl in plans):
+        if any(self._lane_needs_mask(pl.seq) for pl in plans):
             # Allowed-token bitmasks.  Step-wise constraints (guided FSM,
             # multi-token bad_words) see every token before the next mask,
             # so the engine clamps their windows to one step; static and
@@ -1678,8 +1774,7 @@ class ModelRunner:
                     words = self._lane_mask_words(pl.seq, j)
                     if words is not None:
                         mask_pack[j, i] = words
-        bias_pack = (self._bias_arrays([pl.seq for pl in plans], b)
-                     if self.pp == 1 else None)
+        bias_pack = self._bias_arrays([pl.seq for pl in plans], b)
         caches, page_scores, out_pack, new_state, lp = \
             self._decode_jit(greedy, logprobs_l)(
                 params, caches, page_scores, plan_pack, state_pack,
@@ -1751,19 +1846,16 @@ class ModelRunner:
         if getattr(seq, "pa_len", 0) > 0:
             batch["pa_slot"] = np.int32(seq.pa_slot)
             batch["pa_len"] = np.int32(seq.pa_len)
-        if self.pp == 1:
-            if self._lane_needs_mask(seq):
-                words = self._lane_mask_words(seq, 0)
-                if words is not None:
-                    batch["mask_words"] = words
-            bias = self._bias_arrays([seq], 1)
-            if bias is not None:
-                batch["bias_ids"], batch["bias_vals"] = (bias[0][0],
-                                                         bias[1][0])
+        if self._lane_needs_mask(seq):
+            words = self._lane_mask_words(seq, 0)
+            if words is not None:
+                batch["mask_words"] = words
+        bias = self._bias_arrays([seq], 1)
+        if bias is not None:
+            batch["bias_ids"], batch["bias_vals"] = (bias[0][0],
+                                                     bias[1][0])
         greedy = seq.params.greedy
         logprobs_l = min(seq.params.logprobs or 0, 32)
-        if self.pp > 1:
-            logprobs_l = 0
         fn = self._prefill_jit(do_prune, greedy, logprobs_l)
         caches, page_scores, tok, lp_row = fn(params, caches, page_scores,
                                               batch)
@@ -1807,7 +1899,7 @@ class ModelRunner:
         batch.update(self._seq_sampling_arrays([seq], 1))
         if self.lora_enabled:
             batch["lora_idx"] = np.int32(seq.lora_slot)
-        if sp.is_last and self.pp == 1:
+        if sp.is_last:
             if self._lane_needs_mask(seq):
                 words = self._lane_mask_words(seq, 0)
                 if words is not None:

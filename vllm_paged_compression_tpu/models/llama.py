@@ -2394,8 +2394,10 @@ class LlamaModel:
             k_in, n_out = shape[-2], shape[-1]
             packed = shape[:-2] + (k_in // 2, n_out)
             gshape = shape[:-2] + (k_in // GROUP, n_out)
+            key_box[0], sub = jax.random.split(key_box[0])
             return QuantizedWeight4(
-                qp=_randi8(packed),
+                qp=jax.random.randint(sub, packed, 0, 256,
+                                      jnp.int32).astype(jnp.uint8),
                 s=jnp.full(gshape, 0.02 / 15, jnp.float32),
                 z=jnp.full(gshape, 8.0, jnp.float32))
 

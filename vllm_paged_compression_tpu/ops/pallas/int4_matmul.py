@@ -17,9 +17,12 @@ Design (not a translation):
 - Group-wise (group=128 along in-features) scale + zero-point f32 arrays,
   GPTQ-style asymmetric uint4: w ≈ (q - z) · s.
 - Grid = (M tiles, N tiles, K tiles), K innermost; fp32 accumulator in
-  VMEM scratch; the packed tile is dequantized in VMEM and fed to the
-  MXU as bf16.  HBM traffic per (m, n) tile ≈ K/2 · bn bytes of weight —
-  the 4-bit speed of light.
+  VMEM scratch.  Dequant is GROUP-FACTORED: the MXU multiplies the raw
+  4-bit values (exact in bf16) and scale/zero apply to the [bm, bn]
+  partial sums — x @ ((q-z)·s) = (x@q)·s - (Σx)·(z·s) per group — so the
+  per-element VPU path is just the 2-op nibble unpack + cast.  HBM
+  traffic per (m, n) tile ≈ K/2 · bn bytes of weight — the 4-bit speed
+  of light.
 
 The jnp oracle (int4_matmul_ref) runs everywhere and backs the CPU tests;
 the Pallas kernel runs interpret-mode on CPU, compiled on TPU.
@@ -42,7 +45,7 @@ GROUP = 128
 class QuantizedWeight4(NamedTuple):
     """4-bit packed weight.
 
-    qp: int8 [K//2, N] — low nibble = row j, high nibble = row j + K//2
+    qp: uint8 [K//2, N] — low nibble = row j, high nibble = row j + K//2
     s:  f32 [K//group, N] scales
     z:  f32 [K//group, N] zero points (uint4 range, typically ~8)
     """
@@ -87,8 +90,9 @@ def quantize_weight_int4(w, group: Optional[int] = None
     q = q.reshape(K, N)
     lo = q[: K // 2]
     hi = q[K // 2:]
+    # uint8 storage: astype(int32) zero-extends in the kernel, so the
+    # high-nibble unpack is a bare shift (no sign-extension mask).
     packed = (lo | (hi << 4)).astype(np.uint8 if on_host else jnp.uint8)
-    packed = packed.astype(np.int8 if on_host else jnp.int8)
     if on_host:
         return QuantizedWeight4(qp=jnp.asarray(packed),
                                 s=jnp.asarray(scale.astype(np.float32)),
@@ -98,8 +102,9 @@ def quantize_weight_int4(w, group: Optional[int] = None
 
 
 def _unpack(qp: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """int8 packed [K//2, N] -> (lo, hi) int32 in [0, 15]."""
-    p = qp.astype(jnp.int32) & 0xFF  # undo int8 sign extension
+    """packed [K//2, N] -> (lo, hi) int32 in [0, 15].  uint8 storage is
+    canonical; `& 0xFF` keeps legacy int8 arrays correct too."""
+    p = qp.astype(jnp.int32) & 0xFF
     return p & 0xF, (p >> 4) & 0xF
 
 
@@ -131,38 +136,86 @@ def int4_matmul_ref(x: jnp.ndarray, w4: QuantizedWeight4,
     return y.astype(x.dtype)
 
 
-def _int4_kernel(x_lo_ref, x_hi_ref, qp_ref, s_lo_ref, z_lo_ref,
-                 s_hi_ref, z_hi_ref, o_ref, acc_ref, *, n_k: int):
+def _int4_body(x_lo, x_hi, p, s_row, z_row, o_ref, acc_ref, *,
+               n_k: int, gs: int):
+    """Shared kernel body (plain and stacked wrappers strip the leading
+    layer axis before calling).
+
+    Group-factored dequant: within a group the scale/zero are constant,
+    so  x @ ((q - z) * s) = (x @ q) * s - (Σ_k x) * (z * s).  The MXU
+    multiplies the RAW 4-bit values (exact in bf16) and the VPU applies
+    scale/zero to the [bm, bn] PARTIAL SUMS — O(M·N) elementwise work per
+    group instead of O(K·N).  The per-element path is only the 2-op
+    unpack + bf16 cast (uint8 zero-extends, no sign mask); the naive
+    per-element dequant was VPU-bound at ~100 GB/s effective, this form
+    measures ~470 GB/s on v5e at the 8B decode shapes.
+
+    ``gs`` groups are processed per k-step (bk = gs·group): fewer, larger
+    DMAs (the packed tile row chunk is bn bytes; grid-step overhead
+    amortizes over gs MXU calls).
+    """
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    p = qp_ref[:].astype(jnp.int32) & 0xFF
-    lo = (p & 0xF).astype(jnp.float32)
-    hi = ((p >> 4) & 0xF).astype(jnp.float32)
-    # Scale/zero blocks arrive as 8-row tiles (f32 min sublane tile is 8;
-    # a (1, bn) block fails Mosaic lowering); select this k-step's row.
-    s_lo = s_lo_ref[pl.ds(k % 8, 1), :]
-    z_lo = z_lo_ref[pl.ds(k % 8, 1), :]
-    s_hi = s_hi_ref[pl.ds((k + n_k) % 8, 1), :]
-    z_hi = z_hi_ref[pl.ds((k + n_k) % 8, 1), :]
-    w_lo = ((lo - z_lo) * s_lo).astype(jnp.bfloat16)
-    w_hi = ((hi - z_hi) * s_hi).astype(jnp.bfloat16)
-    acc_ref[:] += jnp.dot(x_lo_ref[:].astype(jnp.bfloat16), w_lo,
-                          preferred_element_type=jnp.float32)
-    acc_ref[:] += jnp.dot(x_hi_ref[:].astype(jnp.bfloat16), w_hi,
-                          preferred_element_type=jnp.float32)
+    p = p.astype(jnp.int32)
+    lo = (p & 0xF).astype(jnp.bfloat16)            # [bk, bn]
+    hi = (p >> 4).astype(jnp.bfloat16)
+    acc = acc_ref[:]
+    for g in range(gs):
+        # Scale/zero 8-row tiles (f32 min sublane tile); ``s_row(which,
+        # row)`` reads one row ref-side (pl.ds — value-level
+        # dynamic_slice has no Mosaic lowering).  Row selects are
+        # tile-local because gs | 8 (see _pick_gs).
+        r_lo = (k * gs + g) % 8
+        r_hi = ((k + n_k) * gs + g) % 8
+        s_lo = s_row(0, r_lo)
+        zs_lo = z_row(0, r_lo) * s_lo
+        s_hi = s_row(1, r_hi)
+        zs_hi = z_row(1, r_hi) * s_hi
+        xl = x_lo[:, g * GROUP:(g + 1) * GROUP].astype(jnp.bfloat16)
+        xh = x_hi[:, g * GROUP:(g + 1) * GROUP].astype(jnp.bfloat16)
+        qlo = lo[g * GROUP:(g + 1) * GROUP, :]
+        qhi = hi[g * GROUP:(g + 1) * GROUP, :]
+        y_lo = jnp.dot(xl, qlo, preferred_element_type=jnp.float32)
+        y_hi = jnp.dot(xh, qhi, preferred_element_type=jnp.float32)
+        xs_lo = jnp.sum(xl.astype(jnp.float32), axis=1, keepdims=True)
+        xs_hi = jnp.sum(xh.astype(jnp.float32), axis=1, keepdims=True)
+        acc = acc + (y_lo * s_lo - xs_lo * zs_lo
+                     + y_hi * s_hi - xs_hi * zs_hi)
+    acc_ref[:] = acc
 
     @pl.when(k == n_k - 1)
     def _():
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
+def _int4_kernel(x_lo_ref, x_hi_ref, qp_ref, s_lo_ref, z_lo_ref,
+                 s_hi_ref, z_hi_ref, o_ref, acc_ref, *, n_k: int, gs: int):
+    def s_row(which, r):
+        return (s_hi_ref if which else s_lo_ref)[pl.ds(r, 1), :]
+
+    def z_row(which, r):
+        return (z_hi_ref if which else z_lo_ref)[pl.ds(r, 1), :]
+
+    _int4_body(x_lo_ref[:], x_hi_ref[:], qp_ref[:], s_row, z_row,
+               o_ref, acc_ref, n_k=n_k, gs=gs)
+
+
+def _pick_gs(n_groups_half: int) -> int:
+    """Largest gs in {8, 4, 2, 1} with gs | 8 and gs | (K/2)/group —
+    both row-tile locality of the scale selects and the k-grid need it."""
+    for gs in (8, 4, 2, 1):
+        if n_groups_half % gs == 0:
+            return gs
+    return 1
+
+
 @functools.partial(jax.jit, static_argnames=("group", "bn", "bm"))
 def int4_matmul_pallas(x: jnp.ndarray, w4: QuantizedWeight4,
-                       group: int = GROUP, bn: int = 256,
+                       group: int = GROUP, bn: int = 2048,
                        bm: Optional[int] = None) -> jnp.ndarray:
     """y = x @ dequant(w4) without materializing the dense weight.
 
@@ -173,7 +226,8 @@ def int4_matmul_pallas(x: jnp.ndarray, w4: QuantizedWeight4,
     Kh, N = w4.qp.shape
     assert Kh * 2 == K, (K, Kh)
     assert Kh % group == 0, (Kh, group)
-    bk = group
+    gs = _pick_gs(Kh // group)
+    bk = group * gs
     if bm is None:
         # bf16 outputs need >= 16 sublanes per tile.
         bm = min(_round_up(M, 16), 256)
@@ -183,7 +237,7 @@ def int4_matmul_pallas(x: jnp.ndarray, w4: QuantizedWeight4,
     n_k = Kh // bk
 
     grid = (n_m, n_n, n_k)
-    kernel = functools.partial(_int4_kernel, n_k=n_k)
+    kernel = functools.partial(_int4_kernel, n_k=n_k, gs=gs)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -195,16 +249,19 @@ def int4_matmul_pallas(x: jnp.ndarray, w4: QuantizedWeight4,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bk, bn), lambda m, n, k: (k, n),
                          memory_space=pltpu.VMEM),
-            # scales/zeros as 8-row tiles; the kernel picks row k % 8.
-            pl.BlockSpec((8, bn), lambda m, n, k: (k // 8, n),
+            # scales/zeros as 8-row tiles; the kernel selects tile-local
+            # rows (gs | 8 keeps each k-step inside one tile).
+            pl.BlockSpec((8, bn), lambda m, n, k, _g=gs: (k * _g // 8, n),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, bn), lambda m, n, k: (k // 8, n),
+            pl.BlockSpec((8, bn), lambda m, n, k, _g=gs: (k * _g // 8, n),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, bn), lambda m, n, k, _h=n_k: ((k + _h) // 8,
-                                                           n),
+            pl.BlockSpec((8, bn),
+                         lambda m, n, k, _h=n_k, _g=gs: (
+                             (k + _h) * _g // 8, n),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, bn), lambda m, n, k, _h=n_k: ((k + _h) // 8,
-                                                           n),
+            pl.BlockSpec((8, bn),
+                         lambda m, n, k, _h=n_k, _g=gs: (
+                             (k + _h) * _g // 8, n),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda m, n, k: (m, n),
@@ -225,37 +282,22 @@ def _round_up(v: int, m: int) -> int:
 
 def _int4_kernel_stacked(li_ref, x_lo_ref, x_hi_ref, qp_ref, s_lo_ref,
                          z_lo_ref, s_hi_ref, z_hi_ref, o_ref, acc_ref, *,
-                         n_k: int):
-    # Same body as _int4_kernel; the layer index only steers the DMAs
-    # (consumed by the BlockSpec index maps, not the compute).
-    k = pl.program_id(2)
+                         n_k: int, gs: int):
+    # Same group-factored body as _int4_kernel; the layer index only
+    # steers the DMAs (consumed by the BlockSpec index maps).
+    def s_row(which, r):
+        return (s_hi_ref if which else s_lo_ref)[0, pl.ds(r, 1), :]
 
-    @pl.when(k == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
+    def z_row(which, r):
+        return (z_hi_ref if which else z_lo_ref)[0, pl.ds(r, 1), :]
 
-    p = qp_ref[0].astype(jnp.int32) & 0xFF
-    lo = (p & 0xF).astype(jnp.float32)
-    hi = ((p >> 4) & 0xF).astype(jnp.float32)
-    s_lo = s_lo_ref[0, pl.ds(k % 8, 1), :]
-    z_lo = z_lo_ref[0, pl.ds(k % 8, 1), :]
-    s_hi = s_hi_ref[0, pl.ds((k + n_k) % 8, 1), :]
-    z_hi = z_hi_ref[0, pl.ds((k + n_k) % 8, 1), :]
-    w_lo = ((lo - z_lo) * s_lo).astype(jnp.bfloat16)
-    w_hi = ((hi - z_hi) * s_hi).astype(jnp.bfloat16)
-    acc_ref[:] += jnp.dot(x_lo_ref[:].astype(jnp.bfloat16), w_lo,
-                          preferred_element_type=jnp.float32)
-    acc_ref[:] += jnp.dot(x_hi_ref[:].astype(jnp.bfloat16), w_hi,
-                          preferred_element_type=jnp.float32)
-
-    @pl.when(k == n_k - 1)
-    def _():
-        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+    _int4_body(x_lo_ref[:], x_hi_ref[:], qp_ref[0], s_row, z_row,
+               o_ref, acc_ref, n_k=n_k, gs=gs)
 
 
 @functools.partial(jax.jit, static_argnames=("group", "bn", "bm"))
 def int4_matmul_stacked(x: jnp.ndarray, w4: QuantizedWeight4,
-                        layer, group: int = GROUP, bn: int = 256,
+                        layer, group: int = GROUP, bn: int = 2048,
                         bm: Optional[int] = None) -> jnp.ndarray:
     """y = x @ dequant(w4[layer]) with layer-stacked packed weights.
 
@@ -263,19 +305,20 @@ def int4_matmul_stacked(x: jnp.ndarray, w4: QuantizedWeight4,
     traced scalar consumed via scalar prefetch, so a lax.scan over layers
     passes the WHOLE stack by reference every iteration — XLA never
     materializes a per-layer copy of the weights, which it would for a
-    dynamic-slice feeding a custom call (measured 123 GB/s effective vs
-    ~740 GB/s for this kernel; the slice-copy halves decode throughput).
+    dynamic-slice feeding a custom call (measured 123 GB/s effective for
+    the slice-copy; it halves decode throughput).
     """
     M, K = x.shape
     L, Kh, N = w4.qp.shape
     assert Kh * 2 == K and Kh % group == 0, (K, Kh, group)
-    bk = group
+    gs = _pick_gs(Kh // group)
+    bk = group * gs
     if bm is None:
         bm = min(_round_up(M, 16), 256)
     bn = min(bn, N)
     n_k = Kh // bk
     grid = (pl.cdiv(M, bm), pl.cdiv(N, bn), n_k)
-    kernel = functools.partial(_int4_kernel_stacked, n_k=n_k)
+    kernel = functools.partial(_int4_kernel_stacked, n_k=n_k, gs=gs)
     li = jnp.asarray(layer, jnp.int32).reshape(1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -288,15 +331,17 @@ def int4_matmul_stacked(x: jnp.ndarray, w4: QuantizedWeight4,
             pl.BlockSpec((1, bk, bn),
                          lambda m, n, k, li: (li[0], k, n)),
             pl.BlockSpec((1, 8, bn),
-                         lambda m, n, k, li: (li[0], k // 8, n)),
+                         lambda m, n, k, li, _g=gs: (li[0], k * _g // 8,
+                                                     n)),
             pl.BlockSpec((1, 8, bn),
-                         lambda m, n, k, li: (li[0], k // 8, n)),
+                         lambda m, n, k, li, _g=gs: (li[0], k * _g // 8,
+                                                     n)),
             pl.BlockSpec((1, 8, bn),
-                         lambda m, n, k, li, _h=n_k: (li[0],
-                                                      (k + _h) // 8, n)),
+                         lambda m, n, k, li, _h=n_k, _g=gs: (
+                             li[0], (k + _h) * _g // 8, n)),
             pl.BlockSpec((1, 8, bn),
-                         lambda m, n, k, li, _h=n_k: (li[0],
-                                                      (k + _h) // 8, n)),
+                         lambda m, n, k, li, _h=n_k, _g=gs: (
+                             li[0], (k + _h) * _g // 8, n)),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda m, n, k, li: (m, n)),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],

@@ -213,6 +213,35 @@ def _pick_gs(n_groups_half: int) -> int:
     return 1
 
 
+def _pick_tiles(n_groups_half: int, N: int, bm: int,
+                group: int) -> tuple[int, int]:
+    """(gs, bn) fitting the ~16 MB scoped-VMEM budget.
+
+    Dominant residents: double-buffered packed tile (bk·bn), the
+    unpacked lo/hi bf16 tiles (2·bk·bn·2), x tiles, f32 accumulator and
+    double-buffered output.  Decode (bm=16) takes the largest tiles
+    (bk=1024, bn=2048, ~13 MB — bigger DMAs are what buy the 4x
+    bandwidth); prefill's larger bm shrinks bn/gs to stay under budget."""
+    gs = _pick_gs(n_groups_half)
+    bn = min(2048, N)
+    budget = 13 * 1024 * 1024
+    while True:
+        bk = group * gs
+        vmem = (2 * bk * bn          # packed, double-buffered
+                + 4 * bk * bn        # lo + hi bf16
+                + 4 * bm * bk * 2    # x lo/hi, double-buffered bf16
+                + 4 * bm * bn        # f32 accumulator
+                + 4 * bm * bn)       # output, double-buffered bf16
+        if vmem <= budget or (gs == 1 and bn <= 256):
+            return gs, bn
+        if bn >= 1024:
+            bn //= 2
+        elif gs > 1:
+            gs //= 2
+        else:
+            bn //= 2
+
+
 @functools.partial(jax.jit, static_argnames=("group", "bn", "bm"))
 def int4_matmul_pallas(x: jnp.ndarray, w4: QuantizedWeight4,
                        group: int = GROUP, bn: int = 2048,
@@ -226,12 +255,12 @@ def int4_matmul_pallas(x: jnp.ndarray, w4: QuantizedWeight4,
     Kh, N = w4.qp.shape
     assert Kh * 2 == K, (K, Kh)
     assert Kh % group == 0, (Kh, group)
-    gs = _pick_gs(Kh // group)
-    bk = group * gs
     if bm is None:
         # bf16 outputs need >= 16 sublanes per tile.
         bm = min(_round_up(M, 16), 256)
-    bn = min(bn, N)
+    gs, bn_fit = _pick_tiles(Kh // group, N, bm, group)
+    bk = group * gs
+    bn = min(bn, bn_fit)
     n_m = pl.cdiv(M, bm)
     n_n = pl.cdiv(N, bn)
     n_k = Kh // bk
@@ -311,11 +340,11 @@ def int4_matmul_stacked(x: jnp.ndarray, w4: QuantizedWeight4,
     M, K = x.shape
     L, Kh, N = w4.qp.shape
     assert Kh * 2 == K and Kh % group == 0, (K, Kh, group)
-    gs = _pick_gs(Kh // group)
-    bk = group * gs
     if bm is None:
         bm = min(_round_up(M, 16), 256)
-    bn = min(bn, N)
+    gs, bn_fit = _pick_tiles(Kh // group, N, bm, group)
+    bk = group * gs
+    bn = min(bn, bn_fit)
     n_k = Kh // bk
     grid = (pl.cdiv(M, bm), pl.cdiv(N, bn), n_k)
     kernel = functools.partial(_int4_kernel_stacked, n_k=n_k, gs=gs)

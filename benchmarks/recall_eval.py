@@ -61,22 +61,35 @@ ARCH = {
 }
 
 
-def make_batch(rng, batch, pairs):
-    """Episodes [B, 2*pairs+3] + target value token per episode."""
-    seq_len = 2 * pairs + 3
+def make_batch(rng, batch, pairs, n_queries=1):
+    """Episodes ``BOS k1 v1 .. kn vn  Q ka va  Q kb vb ...`` with
+    ``n_queries`` recall queries.  Returns (tokens [B, T], query-key
+    positions [B, n_queries], targets [B, n_queries]).
+
+    Training uses many queries per episode — one supervised position per
+    sequence is far too sparse a signal for the retrieval head to form
+    (measured: 4k steps stuck at the ln(NVALS) plateau with one query;
+    16 queries crack it in a few hundred).  Engine eval uses
+    n_queries=1 so the answer is the single generated token."""
+    seq_len = 2 * pairs + 2 + 3 * n_queries
     toks = np.zeros((batch, seq_len), np.int32)
-    tgt = np.zeros(batch, np.int32)
+    qpos = np.zeros((batch, n_queries), np.int32)
+    tgt = np.zeros((batch, n_queries), np.int32)
     for b in range(batch):
         keys = rng.choice(NKEYS, size=pairs, replace=False)
         vals = rng.integers(0, NVALS, size=pairs)
-        qi = rng.integers(0, pairs)
         row = [BOS]
         for k, v in zip(keys, vals):
             row += [KEY0 + int(k), VAL0 + int(v)]
-        row += [QTOK, KEY0 + int(keys[qi])]
-        toks[b] = row
-        tgt[b] = VAL0 + int(vals[qi])
-    return toks, tgt
+        qis = rng.choice(pairs, size=n_queries, replace=n_queries > pairs)
+        for j, qi in enumerate(qis):
+            row += [QTOK, KEY0 + int(keys[qi])]
+            qpos[b, j] = len(row) - 1
+            tgt[b, j] = VAL0 + int(vals[qi])
+            row.append(VAL0 + int(vals[qi]))
+        row = row[:-1]          # final answer is what the model predicts
+        toks[b, :len(row)] = row
+    return toks, qpos, tgt
 
 
 def build_model():
@@ -86,54 +99,88 @@ def build_model():
     return LlamaModel(arch, dtype=jnp.float32)
 
 
-def train(model, steps=1500, batch=64, pairs=60, lr=3e-3, seed=0,
+def train(model, steps=4000, batch=64, pairs=60, lr=1e-3, seed=0,
           log=print):
-    """Adam on final-position cross-entropy; returns trained params."""
+    """AdamW (warmup + cosine) on multi-query recall cross-entropy with
+    a pairs CURRICULUM; returns trained params.
+
+    The retrieval head forms quickly at small episode sizes and then
+    transfers — training directly at large ``pairs`` sits on the
+    ln(NVALS) plateau indefinitely (measured: 8k steps flat at
+    pairs=126), while a 10 → pairs ladder cracks it in a few hundred
+    steps per rung."""
     import optax
     from vllm_paged_compression_tpu.ops.attention import prefill_attention
     params = model.init_params(seed)
     scale = model.arch.head_dim ** -0.5
-    seq_len = 2 * pairs + 3
-    positions = jnp.arange(seq_len)
+    nq = 16
 
-    def forward_last(params, toks):
-        def one(t):
-            h, _ = model.forward_hidden(
-                params, t, positions,
-                lambda q, k, v, s: (prefill_attention(q, k, v, scale,
-                                                      seq_len), s))
-            return h[-1]
-        h_last = jax.vmap(one)(toks)               # [B, D]
-        return model.logits(params, h_last)        # [B, V]
+    def make_fns(cur_pairs):
+        seq_len = 2 * cur_pairs + 2 + 3 * nq
+        positions = jnp.arange(seq_len)
 
-    def loss_fn(params, toks, tgt):
-        logits = forward_last(params, toks)
-        lp = jax.nn.log_softmax(logits)
-        return -jnp.mean(lp[jnp.arange(toks.shape[0]), tgt])
+        def forward_at(params, toks, qpos):
+            def one(t, qp):
+                h, _ = model.forward_hidden(
+                    params, t, positions,
+                    lambda q, k, v, s: (prefill_attention(
+                        q, k, v, scale, seq_len), s))
+                return h[qp]                        # [nq, D]
+            h_q = jax.vmap(one)(toks, qpos)         # [B, nq, D]
+            return model.logits(params, h_q)        # [B, nq, V]
 
-    opt = optax.adam(lr)
+        def loss_fn(params, toks, qpos, tgt):
+            logits = forward_at(params, toks, qpos)
+            lp = jax.nn.log_softmax(logits)
+            b, nq_ = tgt.shape
+            return -jnp.mean(lp[jnp.arange(b)[:, None],
+                                jnp.arange(nq_)[None, :], tgt])
+
+        @jax.jit
+        def step(params, opt_state, toks, qpos, tgt):
+            loss, grads = jax.value_and_grad(loss_fn)(params, toks,
+                                                      qpos, tgt)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        return step, jax.jit(forward_at)
+
+    # Curriculum rungs: double from 10 up to the target episode size,
+    # splitting the step budget evenly with the last rung taking slack.
+    rungs = [10]
+    while rungs[-1] < pairs:
+        rungs.append(min(rungs[-1] * 2, pairs))
+    per = max(steps // len(rungs), 1)
+
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, lr, warmup_steps=min(200, steps // 10),
+        decay_steps=steps, end_value=lr * 0.1)
+    opt = optax.chain(optax.clip_by_global_norm(1.0),
+                      optax.adamw(sched, weight_decay=0.01))
     opt_state = opt.init(params)
-
-    @jax.jit
-    def step(params, opt_state, toks, tgt):
-        loss, grads = jax.value_and_grad(loss_fn)(params, toks, tgt)
-        updates, opt_state = opt.update(grads, opt_state)
-        return optax.apply_updates(params, updates), opt_state, loss
 
     rng = np.random.default_rng(seed)
     t0 = time.time()
-    for i in range(steps):
-        toks, tgt = make_batch(rng, batch, pairs)
-        params, opt_state, loss = step(params, opt_state,
-                                       jnp.asarray(toks),
-                                       jnp.asarray(tgt))
-        if i % 200 == 0 or i == steps - 1:
-            log(f"# train step {i}: loss {float(loss):.4f} "
-                f"({time.time() - t0:.0f}s)")
-    # held-out accuracy
-    toks, tgt = make_batch(rng, 256, pairs)
+    done = 0
+    for ri, cur in enumerate(rungs):
+        n = steps - done if ri == len(rungs) - 1 else per
+        step, _fwd = make_fns(cur)
+        for i in range(n):
+            toks, qpos, tgt = make_batch(rng, batch, cur, nq)
+            params, opt_state, loss = step(params, opt_state,
+                                           jnp.asarray(toks),
+                                           jnp.asarray(qpos),
+                                           jnp.asarray(tgt))
+            if i % 200 == 0 or i == n - 1:
+                log(f"# rung pairs={cur} step {done + i}: loss "
+                    f"{float(loss):.4f} ({time.time() - t0:.0f}s)")
+        done += n
+
+    # held-out accuracy at the TARGET shape
+    _step, fwd = make_fns(pairs)
+    toks, qpos, tgt = make_batch(rng, 256, pairs, nq)
     pred = np.asarray(jnp.argmax(
-        jax.jit(forward_last)(params, jnp.asarray(toks)), axis=-1))
+        fwd(params, jnp.asarray(toks), jnp.asarray(qpos)), axis=-1))
     acc = float((pred == tgt).mean())
     log(f"# held-out full-attention accuracy: {acc:.3f}")
     return params, acc
@@ -164,22 +211,25 @@ def main() -> None:
     ap.add_argument("--pairs", type=int, default=60,
                     help="KV pairs per episode (prompt ~2*pairs tokens)")
     ap.add_argument("--episodes", type=int, default=128)
-    ap.add_argument("--train-steps", type=int, default=1500)
+    ap.add_argument("--train-steps", type=int, default=4000)
+    ap.add_argument("--train-batch", type=int, default=64)
+    ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--block-size", type=int, default=16)
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
 
     model = build_model()
     params, train_acc = train(model, steps=args.train_steps,
-                              pairs=args.pairs,
+                              batch=args.train_batch, pairs=args.pairs,
+                              lr=args.lr,
                               log=lambda m: print(m, file=sys.stderr,
                                                   flush=True))
 
     rng = np.random.default_rng(123)
-    toks, tgt = make_batch(rng, args.episodes, args.pairs)
-    prompts = [toks[i] for i in range(args.episodes)]
-    targets = tgt.tolist()
-    seq_len = toks.shape[1]
+    toks, qpos, tgt = make_batch(rng, args.episodes, args.pairs, 1)
+    prompts = [toks[i, :qpos[i, 0] + 1] for i in range(args.episodes)]
+    targets = tgt[:, 0].tolist()
+    seq_len = int(qpos[:, 0].max()) + 1
     base_kw = dict(block_size=args.block_size,
                    max_model_len=seq_len + 16,
                    num_device_blocks=args.episodes // 4 * (

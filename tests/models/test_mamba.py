@@ -166,3 +166,33 @@ def test_falcon_mamba_logits_match_hf():
                                              slots, pools)
         got.append(np.asarray(model.logits(params, h))[0])
     np.testing.assert_allclose(np.stack(got), want, rtol=3e-4, atol=3e-4)
+
+
+class TestMambaTP:
+    def test_tp2_matches_single(self):
+        """Mamba under tensor parallelism (d_inner sharded over "model")
+        must be token-identical to the single-device engine; the conftest
+        provides the 8-device CPU mesh."""
+        def gen(tp):
+            cfg = transformers.MambaConfig(**CFG).to_dict()
+            cfg["architectures"] = ["MambaForCausalLM"]
+            cfg["eos_token_id"] = None
+            llm = LLM(hf_config=cfg, dtype="float32", max_model_len=128,
+                      max_num_seqs=4, seed=0, num_scheduler_steps=4,
+                      tensor_parallel_size=tp)
+            prompts = [list(range(1, 9)), list(range(20, 30))]
+            outs = llm.generate(prompt_token_ids=prompts,
+                                sampling_params=SamplingParams(
+                                    temperature=0.0, max_tokens=12,
+                                    ignore_eos=True))
+            return [list(o.outputs[0].token_ids) for o in outs]
+
+        assert gen(2) == gen(1)
+
+    def test_rejects_pp_and_hybrids(self):
+        cfg = transformers.MambaConfig(**CFG).to_dict()
+        cfg["architectures"] = ["MambaForCausalLM"]
+        cfg["eos_token_id"] = None
+        with pytest.raises(ValueError, match="pipeline/data"):
+            LLM(hf_config=cfg, dtype="float32", max_model_len=128,
+                max_num_seqs=4, seed=0, pipeline_parallel_size=2)

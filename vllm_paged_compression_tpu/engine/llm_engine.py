@@ -237,8 +237,16 @@ class LLMEngine:
                     (cc.cache_dtype not in ("auto", "float32") or None,
                      "quantized KV"),
                     ((config.parallel is not None
-                      and config.parallel.world_size > 1) or None,
-                     "multi-chip parallelism (round-2)"),
+                      and config.parallel.world_size > 1
+                      and type(self.model).__name__ != "MambaModel")
+                     or None,
+                     "multi-chip parallelism (state-slot hybrids: "
+                     "Jamba/BART/Mllama)"),
+                    ((config.parallel is not None
+                      and (config.parallel.pipeline_parallel_size > 1
+                           or config.parallel.data_parallel_size > 1))
+                     or None,
+                     "pipeline/data parallelism (Mamba supports TP)"),
                     (sc2.preemption_mode == "swap" or None,
                      "preemption by swap")):
                 if bad is not None:
@@ -304,7 +312,9 @@ class LLMEngine:
                                    pc.data_parallel_size, pp)
             self.params = shard_params(self.params, self.mesh,
                                        self.model.architecture, pp)
-            self.kv_caches = shard_caches(self.kv_caches, self.mesh, pp)
+            self.kv_caches = shard_caches(
+                self.kv_caches, self.mesh, pp,
+                state_model=self.model.architecture == "mamba")
             self.page_scores = jax.device_put(self.page_scores,
                                               replicated(self.mesh))
         if sc is not None and sc.method in ("medusa", "mlp_speculator"):

@@ -99,7 +99,37 @@ _OPT_PARAM_SPECS = {
     },
 }
 
-PARAM_SPECS = {"llama": _LLAMA_PARAM_SPECS, "opt": _OPT_PARAM_SPECS}
+# Mamba (state-space) TP: shard the d_inner axis over "model" — in_proj /
+# conv / dt / A / D / gates are column-parallel, x_proj and out_proj are
+# row-parallel (GSPMD inserts the psum), and the per-sequence conv/SSM
+# state slots shard their feature axis so recurrent state never crosses
+# chips.  The reference runs Mamba under megatron TP the same way
+# (vllm/model_executor/models/mamba.py MambaMixer with Column/Row
+# ParallelLinear).
+_MAMBA_PARAM_SPECS = {
+    "embed": P("model", None),
+    "final_norm": P(None),
+    "lm_head": P(None, "model"),
+    "layers": {
+        "in_proj": P(None, None, "model"),
+        "conv_w": P(None, None, "model"),
+        "conv_b": P(None, "model"),
+        "x_proj": P(None, "model", None),
+        "dt_w": P(None, None, "model"),
+        "dt_b": P(None, "model"),
+        "A_log": P(None, "model", None),
+        "Dskip": P(None, "model"),
+        "out_proj": P(None, "model", None),
+        "norm": P(None, None),
+        # FalconMamba/Jamba dt/b/c norm weights are tiny; replicate.
+        "dt_norm": P(None, None),
+        "b_norm": P(None, None),
+        "c_norm": P(None, None),
+    },
+}
+
+PARAM_SPECS = {"llama": _LLAMA_PARAM_SPECS, "opt": _OPT_PARAM_SPECS,
+               "mamba": _MAMBA_PARAM_SPECS}
 
 
 def param_shardings(mesh: Mesh, architecture: str, params: dict,
@@ -182,7 +212,14 @@ def shard_params(params: dict, mesh: Mesh, architecture: str,
                                           pipeline_parallel))
 
 
-def shard_caches(caches, mesh: Mesh, pipeline_parallel: int = 1):
+def shard_caches(caches, mesh: Mesh, pipeline_parallel: int = 1,
+                 state_model: bool = False):
+    if state_model:
+        # Mamba state pools conv [L, slots, I, k-1] / ssm [L, slots, I,
+        # S]: the feature (d_inner) axis shards over "model" to match
+        # the column-parallel mixer outputs.
+        s = NamedSharding(mesh, P(None, None, "model", None))
+        return jax.tree.map(lambda x: jax.device_put(x, s), caches)
     s = kv_cache_sharding(mesh, pipeline_parallel)
     k, v = caches
     return (jax.device_put(k, s), jax.device_put(v, s))

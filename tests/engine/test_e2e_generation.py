@@ -306,6 +306,34 @@ class TestLogprobs:
             ids.append(tok)
         np.testing.assert_allclose(co.cumulative_logprob, cum, atol=1e-2)
 
+
+    def test_logprobs_under_chunked_prefill_and_prefix_cache(self):
+        # The context-prefill program (chunked prefill / prefix-cache
+        # suffix) must emit the first generated token's logprob row just
+        # like the plain prefill (reference: logprobs are engine-wide).
+        prompt = list(range(1, 40))
+        sp = SamplingParams(temperature=0.0, max_tokens=5, logprobs=3)
+
+        def rows(llm, pr=prompt):
+            out = llm.generate(prompt_token_ids=[pr],
+                               sampling_params=sp)[0].outputs[0]
+            assert out.logprobs is not None and len(out.logprobs) == 5
+            return out.token_ids, out.logprobs
+
+        base_t, base_l = rows(tiny_llm())
+        ck_t, ck_l = rows(tiny_llm(enable_chunked_prefill=True,
+                                   max_num_batched_tokens=16))
+        assert ck_t == base_t
+        for d1, d2 in zip(base_l, ck_l):
+            assert set(d1) == set(d2)
+            for t in d1:
+                np.testing.assert_allclose(d1[t], d2[t], atol=1e-3)
+        # Prefix cache: second request shares the first 36 tokens.
+        llm = tiny_llm(enable_prefix_caching=True)
+        rows(llm)
+        pc_t, pc_l = rows(llm, prompt[:36] + [77, 78])
+        assert len(pc_l) == 5 and pc_t
+
     def test_logprobs_off_by_default(self):
         llm = tiny_llm()
         outs = llm.generate(

@@ -273,14 +273,7 @@ class ModelRunner:
         self._decode_window_jits: dict = {}
         self._prefill_plain_jits: dict = {}
         self._prefill_prune_jits: dict = {}
-        _ctx_body = (self._prefill_context_pp if self.pp > 1
-                     else self._prefill_context)
-        self._prefill_ctx_jits = {
-            (g, last): jax.jit(functools.partial(_ctx_body,
-                                                 greedy_only=g,
-                                                 is_last=last),
-                               donate_argnums=(1, 2))
-            for g in (False, True) for last in (False, True)}
+        self._prefill_ctx_jits = {}
         self._spec_verify_jit = jax.jit(
             self._spec_verify_pp if self.pp > 1 else self._spec_verify,
             donate_argnums=(1, 2))
@@ -546,6 +539,18 @@ class ModelRunner:
                                   logprobs_l=logprobs_l),
                 donate_argnums=(1, 2, 4))
         return self._decode_window_jits[key]
+
+    def _prefill_ctx_jit(self, greedy: bool, last: bool, logprobs_l: int):
+        import functools
+        key = (greedy, last, logprobs_l)
+        if key not in self._prefill_ctx_jits:
+            body = (self._prefill_context_pp if self.pp > 1
+                    else self._prefill_context)
+            self._prefill_ctx_jits[key] = jax.jit(
+                functools.partial(body, greedy_only=greedy, is_last=last,
+                                  logprobs_l=logprobs_l),
+                donate_argnums=(1, 2))
+        return self._prefill_ctx_jits[key]
 
     def _prefill_jit(self, prune: bool, greedy: bool, logprobs_l: int):
         import functools
@@ -1025,7 +1030,8 @@ class ModelRunner:
         return out if logprobs_l > 0 else (*out, None)
 
     def _prefill_context_pp(self, params, caches, page_scores, batch,
-                            greedy_only=False, is_last=True):
+                            greedy_only=False, is_last=True,
+                            logprobs_l=0):
         """Chunked-prefill / cached-prefix-suffix program under pipeline
         parallelism: the same single-microbatch wave as _prefill_plain_pp,
         with each stage's layers attending to the already-cached context
@@ -1091,12 +1097,26 @@ class ModelRunner:
                 tokens = sample(logits, self._sampling_tensors(batch),
                                 greedy_only=greedy_only).astype(jnp.int32)
                 tokens = _masked_psum(tokens, stage == self.pp - 1, "pipe")
+                if logprobs_l > 0:
+                    lp = jax.nn.log_softmax(logits.astype(jnp.float32))
+                    tv, ti = jax.lax.top_k(lp, logprobs_l)
+                    chosen = lp[jnp.arange(1), tokens]
+                    lp_row = jnp.concatenate(
+                        [tv, ti.astype(jnp.float32), chosen[:, None]],
+                        axis=1)[0]
+                    lp_row = _masked_psum(lp_row, stage == self.pp - 1,
+                                          "pipe")
+                    return caches, page_scores, tokens, lp_row
             else:
                 tokens = jnp.zeros((1,), jnp.int32)
+            if logprobs_l > 0:
+                return (caches, page_scores, tokens,
+                        jnp.zeros(2 * logprobs_l + 1, jnp.float32))
             return caches, page_scores, tokens
 
+        extra = (P(),) + ((P(),) if logprobs_l > 0 else ())
         return self._pp_shard_call(body, params, caches, page_scores,
-                                   batch, extra_out_specs=(P(),))
+                                   batch, extra_out_specs=extra)
 
     def _prefill_plain(self, params, caches, page_scores, batch,
                        greedy_only=False, logprobs_l=0):
@@ -1236,7 +1256,7 @@ class ModelRunner:
                                     attn_fn, greedy_only, logprobs_l)
 
     def _prefill_context(self, params, caches, page_scores, batch,
-                         greedy_only=False, is_last=True):
+                         greedy_only=False, is_last=True, logprobs_l=0):
         """One chunk of a chunked prefill (or the uncached suffix after a
         prefix-cache hit): chunk queries attend to the already-cached
         context through the block table plus the chunk itself
@@ -1277,8 +1297,19 @@ class ModelRunner:
                                              batch["mask_words"][None])
             tokens = sample(logits, self._sampling_tensors(batch),
                             greedy_only=greedy_only)
+            if logprobs_l > 0:
+                lp = jax.nn.log_softmax(logits.astype(jnp.float32))
+                tv, ti = jax.lax.top_k(lp, logprobs_l)
+                chosen = lp[jnp.arange(1), tokens]
+                lp_row = jnp.concatenate(
+                    [tv, ti.astype(jnp.float32), chosen[:, None]],
+                    axis=1)[0]
+                return new_caches, page_scores, tokens, lp_row
         else:
             tokens = jnp.zeros((1,), jnp.int32)
+        if logprobs_l > 0:
+            return (new_caches, page_scores, tokens,
+                    jnp.zeros(2 * logprobs_l + 1, jnp.float32))
         return new_caches, page_scores, tokens
 
     def _spec_verify(self, params, caches, page_scores, batch):
@@ -1908,6 +1939,14 @@ class ModelRunner:
             if bias is not None:
                 batch["bias_ids"], batch["bias_vals"] = (bias[0][0],
                                                          bias[1][0])
-        fn = self._prefill_ctx_jits[(seq.params.greedy, sp.is_last)]
-        caches, page_scores, tok = fn(params, caches, page_scores, batch)
+        logprobs_l = (min(seq.params.logprobs or 0, 32)
+                      if sp.is_last else 0)
+        fn = self._prefill_ctx_jit(seq.params.greedy, sp.is_last,
+                                   logprobs_l)
+        out = fn(params, caches, page_scores, batch)
+        if logprobs_l > 0:
+            caches, page_scores, tok, lp_row = out
+            return (caches, page_scores, int(np.asarray(tok)[0]),
+                    np.asarray(lp_row))
+        caches, page_scores, tok = out
         return caches, page_scores, int(np.asarray(tok)[0]), None

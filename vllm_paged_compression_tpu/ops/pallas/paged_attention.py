@@ -132,8 +132,8 @@ def _decode_kernel_quant(tables_ref, lens_ref, q_ref, k_ref, ks_ref,
         q = q_ref[0].astype(jnp.float32) * scale
         k = k_ref[0].astype(jnp.float32).reshape(cols, d)
         v = v_ref[0].astype(jnp.float32).reshape(cols, d)
-        ks = ks_ref[:]                                     # [1, cols]
-        vs = vs_ref[:]
+        ks = ks_ref[0]                                     # [1, cols]
+        vs = vs_ref[0]
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * ks
@@ -205,16 +205,20 @@ def paged_decode_attention_pallas(q: jnp.ndarray, k_cache,
         return (tables[b_, i_], 0, 0, 0)
 
     def scale_map(b_, i_, tables, lens):
-        return (tables[b_, i_], 0)
+        return (tables[b_, i_], 0, 0)
 
     kv_spec = pl.BlockSpec((1, page_size, num_kv, d), kv_map)
     if quant:
-        # Scales laid out flat per page in kernel column order.
-        ks2 = k_cache.s.reshape(-1, cols)
-        vs2 = v_cache.s.reshape(-1, cols)
+        # Scales laid out flat per page in kernel column order; the
+        # middle singleton axis keeps the block's last two dims EQUAL to
+        # the array's (Mosaic requires last-two block dims divisible by
+        # (8, 128) or equal — a (1, cols) block over [NP, cols] is
+        # neither).
+        ks2 = k_cache.s.reshape(-1, 1, cols)
+        vs2 = v_cache.s.reshape(-1, 1, cols)
         in_specs = [pl.BlockSpec((1, h, d), q_map),
-                    kv_spec, pl.BlockSpec((1, cols), scale_map),
-                    kv_spec, pl.BlockSpec((1, cols), scale_map)]
+                    kv_spec, pl.BlockSpec((1, 1, cols), scale_map),
+                    kv_spec, pl.BlockSpec((1, 1, cols), scale_map)]
         operands = (q, k_cache.q, ks2, v_cache.q, vs2)
         kern = functools.partial(_decode_kernel_quant, scale=scale,
                                  page_size=page_size, num_kv_heads=num_kv,

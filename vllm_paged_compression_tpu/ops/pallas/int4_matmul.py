@@ -160,7 +160,9 @@ def _int4_body(x_lo, x_hi, p, s_row, z_row, o_ref, acc_ref, *,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    p = p.astype(jnp.int32)
+    # & 0xFF matches _unpack: uint8 zero-extends anyway, but a legacy
+    # int8-packed array would sign-extend and corrupt the high nibble.
+    p = p.astype(jnp.int32) & 0xFF
     lo = (p & 0xF).astype(jnp.bfloat16)            # [bk, bn]
     hi = (p >> 4).astype(jnp.bfloat16)
     acc = acc_ref[:]

@@ -29,9 +29,11 @@ and GSPMD inserts each stage's TP collectives in place — no weight
 re-gather (verified: 0 all-gathers of TP weights in the compiled HLO vs 3
 with a fully-manual map).
 
-Remaining restrictions (asserted at engine construction): llama-family
-models; speculative decoding limited to host-side (ngram) proposers with
-greedy verification.  Multi-LoRA serving composes: adapter stacks
+Remaining restriction (asserted at engine construction): llama-family
+trunks only.  Speculative decoding composes fully — host-side (ngram)
+AND model-based proposers (draft/medusa/mlp/eagle) with greedy, sampled
+rejection, or typical-acceptance verification (model_runner's PP
+spec-verify waves).  Multi-LoRA serving composes: adapter stacks
 [L, S, ...] shard their layer axis over "pipe" exactly like
 params["layers"] and ride the same layer scan.
 """

@@ -217,6 +217,74 @@ def test_fused_decode_layout_variants(d, hkv):
     np.testing.assert_array_equal(np.asarray(vc1), np.asarray(vc2))
 
 
+def _quantize_pools(kc, vc, qdtype):
+    """Quantize dense test pools into QuantKV row-by-row (same math as the
+    online path: per-(token, head) scales over head_dim)."""
+    from vllm_paged_compression_tpu.ops.quant import (QuantKV,
+                                                      quantize_kv_rows)
+    L, pool, ps, hkv, d = kc.shape
+
+    def one(c):
+        q, s = quantize_kv_rows(c.reshape(-1, hkv, d), qdtype)
+        return QuantKV(q=q.reshape(L, pool, ps, hkv, d),
+                       s=s.reshape(L, pool, ps, hkv))
+    return one(kc), one(vc)
+
+
+@pytest.mark.parametrize("qdtype", ["int8", "fp8"])
+@pytest.mark.parametrize("zero", [False, True])
+def test_fused_decode_quant_matches_reference(qdtype, zero):
+    """Quantized-KV fused kernel: writes this step's quantized rows +
+    scales, applies zero-overwrites, and attends identically to the jnp
+    oracle (which dequantizes whole pages).  This combination — fp8/int8
+    KV with in-forward eviction writes — is the capability the reference
+    rejects outright (torch_cuda_sdpa.py:769-772)."""
+    dt = jnp.int8 if qdtype == "int8" else jnp.float8_e4m3fn
+    rng = np.random.default_rng(8)
+    (fused, ref_fn, q, kn, vn, kc, vc, tables, kv_lens,
+     slots) = _fused_setup(rng, hkv=4, d=128)
+    kcq, vcq = _quantize_pools(kc, vc, dt)
+    zslots = (jnp.asarray([int(tables[i, 1]) * 16 + 2 for i in range(3)],
+                          jnp.int32) if zero else None)
+    o1, kc1, vc1 = fused(q, kn, vn, kcq, vcq, 1, tables, kv_lens, slots,
+                         zslots, scale=128 ** -0.5)
+    o2, kc2, vc2 = ref_fn(q, kn, vn, kcq, vcq, 1, tables, kv_lens, slots,
+                          zslots, scale=128 ** -0.5)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_array_equal(
+        np.asarray(kc1.q, np.uint8).view(np.uint8),
+        np.asarray(kc2.q, np.uint8).view(np.uint8))
+    np.testing.assert_array_equal(np.asarray(kc1.s), np.asarray(kc2.s))
+    np.testing.assert_array_equal(np.asarray(vc1.s), np.asarray(vc2.s))
+
+
+def test_fused_decode_quant_untouched_layer_intact():
+    rng = np.random.default_rng(9)
+    (fused, _, q, kn, vn, kc, vc, tables, kv_lens,
+     slots) = _fused_setup(rng, hkv=4, d=128)
+    kcq, vcq = _quantize_pools(kc, vc, jnp.int8)
+    _, kc1, vc1 = fused(q, kn, vn, kcq, vcq, 1, tables, kv_lens, slots,
+                        scale=0.125)
+    np.testing.assert_array_equal(np.asarray(kc1.q[0]),
+                                  np.asarray(kcq.q[0]))
+    np.testing.assert_array_equal(np.asarray(kc1.s[0]),
+                                  np.asarray(kcq.s[0]))
+    assert not np.array_equal(np.asarray(vc1.q[1]), np.asarray(vcq.q[1]))
+
+
+def test_fused_decode_quant_rejects_unaligned_head_dim():
+    from vllm_paged_compression_tpu.ops.pallas.fused_decode import (
+        fused_paged_decode_attention)
+    rng = np.random.default_rng(10)
+    (fused, _, q, kn, vn, kc, vc, tables, kv_lens,
+     slots) = _fused_setup(rng, hkv=4, d=64)
+    kcq, vcq = _quantize_pools(kc, vc, jnp.int8)
+    with pytest.raises(ValueError, match="head_dim % 128"):
+        fused_paged_decode_attention(q, kn, vn, kcq, vcq, 1, tables,
+                                     kv_lens, slots, scale=0.125)
+
+
 def test_fused_decode_rejects_untileable_dims():
     from vllm_paged_compression_tpu.ops.pallas.fused_decode import (
         fused_paged_decode_attention)

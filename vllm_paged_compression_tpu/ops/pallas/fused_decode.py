@@ -170,6 +170,282 @@ def _fused_kernel(layer_ref, tables_ref, lens_ref, starts_ref, slots_ref,
                 / jnp.where(lsum == 0.0, 1.0, lsum)).astype(o_ref.dtype)
 
 
+def _fused_kernel_quant(layer_ref, tables_ref, lens_ref, starts_ref,
+                        slots_ref, zslots_ref,
+                        q_ref, knew_ref, vnew_ref, kc_in, vc_in,
+                        ks_ref, vs_ref,
+                        o_ref, kc_ref, vc_ref,
+                        kbuf, vbuf, ksbuf, vsbuf, zbuf, csem, wsem,
+                        m_ref, l_ref, acc_ref, *,
+                        scale: float, page_size: int, num_kv_heads: int,
+                        group: int, softcap, ppb: int, zero_writes: bool):
+    """Quantized-KV (int8/fp8) fused write+attend variant.
+
+    Differences from _fused_kernel:
+    - knew/vnew arrive already quantized (per-(token, head) scales were
+      scattered into the scale pools by the caller BEFORE this kernel, so
+      every page's scales — including this step's row — are visible).
+    - The scale pools travel as read-only flat [L, NP, ps*Hkv] inputs;
+      each chunk DMA also fetches the ppb pages' scale rows into
+      [1, ps*Hkv] VMEM strips (one per page — lane-dim slicing would
+      need 128-alignment Mosaic can't give for ps*Hkv=64 configs).
+    - Dequant never materializes a bf16 page: the score matmul runs per
+      page ([H, ps*Hkv]) and absorbs the K scales as a column-wise
+      multiply on the MXU partial result; probabilities absorb the V
+      scales before the PV matmul — the same factoring as the unfused
+      quant kernel (paged_attention.py _decode_kernel_quant), which the
+      reference cannot do at all (it rejects fp8 KV + eviction,
+      torch_cuda_sdpa.py:769-772).  Online-softmax statistics update per
+      page (VPU-trivial; decode is DMA-bound and the DMAs stay chunked).
+    """
+    del kc_in, vc_in
+    b = pl.program_id(0)
+    lay = layer_ref[0]
+    ps = page_size
+    hkv = num_kv_heads
+    h = q_ref.shape[1]
+    d = q_ref.shape[2]
+    cpp = ps * hkv                 # scale columns per page
+    chunk_tokens = ppb * ps
+
+    @pl.when(b == 0)
+    def _():
+        zbuf[:] = jnp.zeros_like(zbuf)
+
+    slot = slots_ref[b]
+    pg_w = slot // ps
+    off_w = slot % ps
+    kw = pltpu.make_async_copy(knew_ref.at[0], kc_ref.at[lay, pg_w, off_w],
+                               wsem.at[0])
+    vw = pltpu.make_async_copy(vnew_ref.at[0], vc_ref.at[lay, pg_w, off_w],
+                               wsem.at[1])
+    kw.start()
+    vw.start()
+    if zero_writes:
+        zs = zslots_ref[b]
+        pz = zs // ps
+        oz = zs % ps
+        kz = pltpu.make_async_copy(zbuf, kc_ref.at[lay, pz, oz], wsem.at[2])
+        vz = pltpu.make_async_copy(zbuf, vc_ref.at[lay, pz, oz], wsem.at[3])
+        kz.start()
+        vz.start()
+        kz.wait()
+        vz.wait()
+    kw.wait()
+    vw.wait()
+
+    kv_len = lens_ref[b]
+    start = starts_ref[b]
+    c0 = start // chunk_tokens
+    n_ch = (kv_len + chunk_tokens - 1) // chunk_tokens
+    m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+    l_ref[:] = jnp.zeros_like(l_ref)
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def chunk_copies(c, tog):
+        out = []
+        for j in range(ppb):
+            pg = tables_ref[b, c * ppb + j]
+            out.append(pltpu.make_async_copy(
+                kc_ref.at[lay, pg], kbuf.at[tog, j], csem.at[tog, 0, j]))
+            out.append(pltpu.make_async_copy(
+                vc_ref.at[lay, pg], vbuf.at[tog, j], csem.at[tog, 1, j]))
+            out.append(pltpu.make_async_copy(
+                ks_ref.at[lay, pg], ksbuf.at[tog, j], csem.at[tog, 2, j]))
+            out.append(pltpu.make_async_copy(
+                vs_ref.at[lay, pg], vsbuf.at[tog, j], csem.at[tog, 3, j]))
+        return out
+
+    for dma in chunk_copies(c0, jax.lax.rem(c0, 2)):
+        dma.start()
+
+    q = q_ref[0] * jnp.asarray(scale, q_ref.dtype)         # [H, d]
+    col = jax.lax.broadcasted_iota(jnp.int32, (h, cpp), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (h, cpp), 0)
+    head_ok = (col % hkv) == (row // group)
+    tok_in_page = col // hkv
+
+    def body(c, _):
+        tog = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < n_ch)
+        def _():
+            for dma in chunk_copies(c + 1, 1 - tog):
+                dma.start()
+
+        for dma in chunk_copies(c, tog):
+            dma.wait()
+
+        for j in range(ppb):
+            # int8/fp8 values are exact in bf16 (<= 8 significand bits).
+            k = kbuf[tog, j].reshape(cpp, d).astype(q.dtype)
+            v = vbuf[tog, j].reshape(cpp, d).astype(q.dtype)
+            # Offset-0 sub-tile value slices lower fine (cf. m_ref[:, :1]);
+            # the buffers are lane-padded to 128 because Mosaic rejects
+            # sub-128 lane-dim REF slices in the DMA otherwise.
+            ks = ksbuf[tog, j][:, :cpp]                    # [1, cpp]
+            vs = vsbuf[tog, j][:, :cpp]
+            s = jax.lax.dot_general(                       # [H, cpp]
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * ks
+            if softcap is not None:
+                s = softcap * jnp.tanh(s / softcap)
+            pos = c * chunk_tokens + j * ps + tok_in_page
+            tok_ok = (pos < kv_len) & (pos >= start)
+            s = jnp.where(head_ok & tok_ok, s, _NEG_INF)
+
+            m_prev = m_ref[:, :1]
+            l_prev = l_ref[:, :1]
+            m_new = jnp.maximum(m_prev,
+                                jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            e = jnp.exp(s - m_new)
+            l_new = l_prev * alpha + jnp.sum(e, axis=1, keepdims=True)
+            pv = jax.lax.dot_general(                      # [H, d]
+                (e * vs).astype(v.dtype), v,               # absorb V scales
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc_ref[:, :] = acc_ref[:, :] * alpha + pv
+            m_ref[:, :] = jnp.broadcast_to(m_new, m_ref.shape)
+            l_ref[:, :] = jnp.broadcast_to(l_new, l_ref.shape)
+        return 0
+
+    jax.lax.fori_loop(c0, n_ch, body, 0)
+
+    lsum = l_ref[:, :1]
+    o_ref[0] = (acc_ref[:, :]
+                / jnp.where(lsum == 0.0, 1.0, lsum)).astype(o_ref.dtype)
+
+
+def _fused_quant(q, k_new, v_new, kc_all, vc_all, layer, tables, kv_lens,
+                 slots, zero_slots, window_starts, *, scale, softcap,
+                 pages_per_chunk):
+    """Quantized-pool driver: online-quantize the step's K/V rows, scatter
+    their scales into the (tiny) scale pools via XLA, then run the fused
+    Pallas kernel over the int8/fp8 value pools (aliased in place).
+
+    kc_all/vc_all: QuantKV(q=[L, NP, ps, Hkv, d] int8|fp8,
+                           s=[L, NP, ps, Hkv] f32).
+    The scale pools are ~64x smaller than the value pools (d=128: 4 B per
+    row-head vs 256 B), so the XLA scatter's per-layer copy inside the
+    scan costs <1 us/layer — the value pools, where the bandwidth is,
+    stay zero-copy through the kernel's aliased DMA writes.
+    """
+    from ..quant import quantize_kv_rows
+
+    b, h_orig, d = q.shape
+    num_layers, num_pages, page_size, num_kv, _ = kc_all.q.shape
+    group = h_orig // num_kv
+    cpp = page_size * num_kv
+
+    kq, ks_rows = quantize_kv_rows(k_new, kc_all.q.dtype)
+    vq, vs_rows = quantize_kv_rows(v_new, vc_all.q.dtype)
+
+    lay_s = jnp.asarray(layer, jnp.int32)
+    ks_pool = kc_all.s.reshape(num_layers, num_pages * page_size, num_kv)
+    vs_pool = vc_all.s.reshape(num_layers, num_pages * page_size, num_kv)
+    ks_pool = ks_pool.at[lay_s, slots].set(ks_rows, mode="drop")
+    vs_pool = vs_pool.at[lay_s, slots].set(vs_rows, mode="drop")
+    if zero_slots is not None:
+        ks_pool = ks_pool.at[lay_s, zero_slots].set(0.0, mode="drop")
+        vs_pool = vs_pool.at[lay_s, zero_slots].set(0.0, mode="drop")
+    # Singleton third axis: page-scale DMAs land in [1, cpp_pad] VMEM
+    # strips (broadcastable over the H sublanes of the score matrix).
+    # Lane-padded to 128: Mosaic requires DMA ref slices 128-aligned in
+    # the minor dim (hkv*ps = 64 configs would fail unpadded).
+    cpp_pad = _round_up(cpp, 128)
+    ks_flat = ks_pool.reshape(num_layers, num_pages, 1, cpp)
+    vs_flat = vs_pool.reshape(num_layers, num_pages, 1, cpp)
+    if cpp_pad != cpp:
+        pad = ((0, 0), (0, 0), (0, 0), (0, cpp_pad - cpp))
+        ks_flat = jnp.pad(ks_flat, pad)
+        vs_flat = jnp.pad(vs_flat, pad)
+
+    h = _round_up(h_orig, 8)
+    if h != h_orig:
+        q = jnp.pad(q, ((0, 0), (0, h - h_orig), (0, 0)))
+
+    p = tables.shape[1]
+    ppb = min(pages_per_chunk, p)
+    n_ch = -(-p // ppb)
+    pad_w = n_ch * ppb - p
+    if pad_w:
+        tables = jnp.pad(tables, ((0, 0), (0, pad_w)), mode="edge")
+
+    zero_writes = zero_slots is not None
+    if zero_slots is None:
+        zero_slots = jnp.zeros_like(slots)
+    if window_starts is None:
+        window_starts = jnp.zeros_like(kv_lens)
+    layer = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    def q_map(b_, *refs):
+        return (b_, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, d), q_map),            # q
+            pl.BlockSpec((1, num_kv, d), q_map),       # kq_new
+            pl.BlockSpec((1, num_kv, d), q_map),       # vq_new
+            pl.BlockSpec(memory_space=pltpu.ANY),      # kc.q
+            pl.BlockSpec(memory_space=pltpu.ANY),      # vc.q
+            pl.BlockSpec(memory_space=pltpu.ANY),      # ks flat
+            pl.BlockSpec(memory_space=pltpu.ANY),      # vs flat
+        ],
+        out_specs=[
+            pl.BlockSpec((1, h, d), q_map),            # out
+            pl.BlockSpec(memory_space=pltpu.ANY),      # kc.q (aliased)
+            pl.BlockSpec(memory_space=pltpu.ANY),      # vc.q (aliased)
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, ppb, page_size, num_kv, d), kc_all.q.dtype),
+            pltpu.VMEM((2, ppb, page_size, num_kv, d), vc_all.q.dtype),
+            pltpu.VMEM((2, ppb, 1, cpp_pad), jnp.float32),  # K scales
+            pltpu.VMEM((2, ppb, 1, cpp_pad), jnp.float32),  # V scales
+            pltpu.VMEM((num_kv, d), kc_all.q.dtype),   # zeros source
+            pltpu.SemaphoreType.DMA((2, 4, ppb)),      # chunk DMAs
+            pltpu.SemaphoreType.DMA((4,)),             # write DMAs
+            pltpu.VMEM((h, 128), jnp.float32),         # m
+            pltpu.VMEM((h, 128), jnp.float32),         # l
+            pltpu.VMEM((h, d), jnp.float32),           # acc
+        ],
+    )
+    kern = functools.partial(
+        _fused_kernel_quant, scale=scale, page_size=page_size,
+        num_kv_heads=num_kv, group=group, softcap=softcap, ppb=ppb,
+        zero_writes=zero_writes)
+    kv_bytes = ((2 * p * page_size * num_kv * d
+                 * jnp.dtype(kc_all.q.dtype).itemsize
+                 + 2 * p * cpp * 4) * b)
+    # flattened inputs: 6 scalar-prefetch + q(6) kq(7) vq(8) kc.q(9)
+    # vc.q(10) ks(11) vs(12); outputs: out(0) kc.q(1) vc.q(2)
+    out, kcq, vcq = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, d), q.dtype),
+            jax.ShapeDtypeStruct(kc_all.q.shape, kc_all.q.dtype),
+            jax.ShapeDtypeStruct(vc_all.q.shape, vc_all.q.dtype),
+        ],
+        input_output_aliases={9: 1, 10: 2},
+        interpret=jax.default_backend() == "cpu",
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * p * page_size * num_kv * d * h,
+            bytes_accessed=kv_bytes,
+            transcendentals=b * p * page_size * num_kv * h),
+    )(layer, tables, kv_lens, window_starts, slots, zero_slots, q, kq,
+      vq, kc_all.q, vc_all.q, ks_flat, vs_flat)
+    from ..quant import QuantKV
+    new_s = (num_layers, num_pages, page_size, num_kv)
+    return (out[:, :h_orig],
+            QuantKV(q=kcq, s=ks_pool.reshape(new_s)),
+            QuantKV(q=vcq, s=vs_pool.reshape(new_s)))
+
+
 def _fused_kernel_flat(layer_ref, tables_ref, lens_ref, starts_ref,
                        slots_ref,
                        zslots_ref, q_ref, knew_ref, vnew_ref, kc_in, vc_in,
@@ -410,6 +686,19 @@ def fused_paged_decode_attention(q, k_new, v_new, kc_all, vc_all, layer,
                   pages wholly below the start are skipped, DMA included)
     Returns (out [B, H, d], kc_all, vc_all).
     """
+    from ..quant import QuantKV
+    if isinstance(kc_all, QuantKV):
+        # int8/fp8 pools: per-(token, head) scales scattered outside the
+        # kernel, dequant absorbed into the score/probability matrices.
+        b, h_orig, d = q.shape
+        if d % 128 != 0:
+            raise ValueError(
+                f"quantized-KV fused decode kernel needs head_dim % 128 "
+                f"== 0, got {d} (route to the jnp oracle instead)")
+        return _fused_quant(q, k_new, v_new, kc_all, vc_all, layer,
+                            tables, kv_lens, slots, zero_slots,
+                            window_starts, scale=scale, softcap=softcap,
+                            pages_per_chunk=pages_per_chunk)
     b, h_orig, d = q.shape
     _, _, page_size, num_kv, _ = kc_all.shape
     group = h_orig // num_kv

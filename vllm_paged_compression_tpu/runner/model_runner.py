@@ -364,7 +364,7 @@ class ModelRunner:
             words = static.copy() if words is None else words & static
         for bw in (p.bad_words or []):
             if len(bw) > 1:
-                tail = seq.output_token_ids[-(len(bw) - 1):]
+                tail = seq.all_output_token_ids[-(len(bw) - 1):]
                 if len(tail) == len(bw) - 1 and tail == bw[:-1]:
                     if words is None:
                         words = np.full(self._mask_w, 0xFFFFFFFF,
@@ -437,7 +437,10 @@ class ModelRunner:
             caches)
 
     def _kv_view5(self, pool):
-        """5D view of one stacked pool regardless of carry layout."""
+        """5D view of one stacked pool regardless of carry layout.
+        QuantKV pools pass through (flat_kv never applies to them)."""
+        if not hasattr(pool, "ndim"):
+            return pool
         if pool.ndim == 4:
             a = self.model.arch
             return pool.reshape(*pool.shape[:3], a.num_kv_heads,
@@ -452,8 +455,12 @@ class ModelRunner:
         flat-page variant); slice-update fallback elsewhere (CPU oracle
         path, quantized pools, exotic head dims)."""
         a = self.model.arch
+        quant_kv = self.cache_engine.quantized_kv
+        # The quantized fused kernel has no flat-page variant: it needs
+        # head_dim itself lane-aligned.
         fused_ok = (a.head_dim % 128 == 0
-                    or (a.num_kv_heads * a.head_dim) % 128 == 0)
+                    or (not quant_kv
+                        and (a.num_kv_heads * a.head_dim) % 128 == 0))
         sw_starts = None
         if self.sliding is not None:
             # First attended position per row for this layer: global
@@ -462,8 +469,7 @@ class ModelRunner:
             sw_starts = jnp.where(
                 self._sw_layers[layer],
                 jnp.maximum(kv_lens - self.sliding, 0), 0)
-        if self.attn_backend == "pallas" and fused_ok \
-                and not self.cache_engine.quantized_kv:
+        if self.attn_backend == "pallas" and fused_ok:
             flat_in = (not isinstance(kc_all, tuple)
                        and getattr(kc_all, "ndim", 5) == 4)
             out, kc5, vc5 = fused_paged_decode_attention(
@@ -1775,7 +1781,7 @@ class ModelRunner:
             counts = np.zeros((b, vocab), np.int32)
             for i, pl in enumerate(plans):
                 ids, cnt = np.unique(
-                    np.asarray(pl.seq.output_token_ids, np.int64),
+                    np.asarray(pl.seq.all_output_token_ids, np.int64),
                     return_counts=True)
                 if len(ids):
                     counts[i, ids] = cnt

@@ -37,6 +37,35 @@ def test_stress_mixed_lengths_eviction_and_preemption():
     assert sched.allocator.num_allocated_blocks == 0
 
 
+def test_preemption_recompute_preserves_output():
+    """A request preempted by RECOMPUTE mid-generation must keep its
+    pre-preemption tokens in the final output and still produce exactly
+    max_tokens — reset_for_recompute folds generated tokens into the
+    prompt for replay, and used to silently drop them from the output
+    and restart the max_tokens budget (caught by the chain-recall
+    harness: finished outputs came back short and shifted)."""
+    rng = np.random.default_rng(2)
+    n = 8
+    prompts = [rng.integers(1, 128, 150).tolist() for _ in range(n)]
+    m = 40
+
+    def run(blocks):
+        llm = LLM(hf_config=CFG, dtype="float32", block_size=16,
+                  max_model_len=512, num_device_blocks=blocks,
+                  max_num_seqs=n, num_scheduler_steps=2, seed=0)
+        sp = SamplingParams(temperature=0.0, max_tokens=m,
+                            ignore_eos=True)
+        outs = llm.generate(prompt_token_ids=prompts, sampling_params=sp)
+        return outs, llm.engine.scheduler
+
+    ample, _ = run(256)
+    tight, sched = run(12 * n - 10)   # forces mid-decode preemption
+    assert sched.num_preemptions > 0, "pool was not tight enough"
+    for a, t in zip(ample, tight):
+        assert len(t.outputs[0].token_ids) == m
+        assert t.outputs[0].token_ids == a.outputs[0].token_ids
+
+
 def test_stress_determinism_across_batch_compositions():
     """A request's greedy continuation must not depend on which other
     requests share its decode batches (fixed-shape padding + masking)."""

@@ -49,6 +49,9 @@ class Sequence:
         self.request_id = request_id
         self.prompt_token_ids = list(prompt_token_ids)
         self.output_token_ids: list[int] = []
+        # Generated tokens folded into prompt_token_ids by
+        # preemption-recompute (still part of the user-visible output).
+        self.folded_output_token_ids: list[int] = []
         self.params = sampling_params
         self.arrival_time = arrival_time if arrival_time is not None \
             else time.monotonic()
@@ -104,7 +107,20 @@ class Sequence:
 
     @property
     def num_output_tokens(self) -> int:
-        return len(self.output_token_ids)
+        """TOTAL generated tokens, including any folded into the prompt
+        by preemption-recompute — max_tokens/min_tokens accounting and
+        sampling-step counters must survive preemption."""
+        return len(self.folded_output_token_ids) + len(self.output_token_ids)
+
+    @property
+    def all_output_token_ids(self) -> list:
+        """User-visible output: tokens generated before any
+        preemption-recompute (folded into the prompt for replay) plus
+        the post-resume tail.  ``output_token_ids`` alone is the
+        physical view (tokens NOT yet represented in prompt_token_ids)."""
+        if self.folded_output_token_ids:
+            return self.folded_output_token_ids + self.output_token_ids
+        return self.output_token_ids
 
     def get_len(self) -> int:
         """Logical length (prompt + generated)."""
@@ -134,12 +150,24 @@ class Sequence:
     def reset_for_recompute(self) -> None:
         """Preemption by recompute: drop the KV, fold generated tokens into
         the prompt so the next prefill replays everything (reference
-        scheduler preemption, core/scheduler.py:1572-1625)."""
+        scheduler preemption, core/scheduler.py:1572-1625).
+
+        The folded tokens stay user-visible via folded_output_token_ids
+        (without this, a preempted request silently lost its
+        pre-preemption output and restarted its max_tokens budget —
+        caught by the chain-recall harness's truncated outputs)."""
         if self.block_table is not None:
             self.block_table.free()
             self.block_table = None
+        self.folded_output_token_ids = (self.folded_output_token_ids
+                                        + self.output_token_ids)
         self.prompt_token_ids = self.prompt_token_ids + self.output_token_ids
         self.output_token_ids = []
+        # Incremental detokenizer offsets index output_token_ids, which
+        # just emptied; output_text keeps everything already emitted and
+        # future deltas decode from the fresh tail.
+        self._detok_prefix_len = 0
+        self._detok_read_len = 0
         self.prefill_pos = 0
         self.status = SequenceStatus.PREEMPTED
         self.num_preemptions += 1

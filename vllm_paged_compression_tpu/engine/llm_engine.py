@@ -305,9 +305,9 @@ class LLMEngine:
                 # separate jit; medusa/mlp/eagle ride the pipe-sharded
                 # target params under GSPMD auto partitioning (their
                 # stateless window forwards are correct over any layout).
-                # Verification runs via _spec_verify_pp (greedy; sampled
-                # verification under PP raises at the step, llm_engine
-                # _spec step).
+                # Verification runs via _spec_verify_pp (greedy) or
+                # _spec_verify_sampled_pp (rejection / typical
+                # acceptance).
             self.mesh = build_mesh(pc.tensor_parallel_size,
                                    pc.data_parallel_size, pp)
             self.params = shard_params(self.params, self.mesh,
@@ -1322,7 +1322,7 @@ class LLMEngine:
             request_id=seq.request_id,
             prompt_token_ids=seq.prompt_token_ids,
             outputs=[CompletionOutput(
-                0, text, list(seq.output_token_ids), reason,
+                0, text, list(seq.all_output_token_ids), reason,
                 logprobs=(list(seq.logprobs) if seq.logprobs else None),
                 cumulative_logprob=seq.cumulative_logprob)],
             finished=finished,

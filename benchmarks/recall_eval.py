@@ -21,6 +21,24 @@ sink+recent pairs; global/local L2 keep high-score rows).  Because the
 circuit is exact, every accuracy delta is attributable to eviction
 alone.
 
+Two tasks share the planted circuit:
+
+- ``prompt`` (single-token answer): measures PROMPT pruning only — the
+  original harness.  Decode-boundary eviction never engages
+  (max_tokens=1), which is why streamingLLM and streamingLLM-1 used to
+  post byte-identical numbers.
+- ``chain`` (pointer-chasing generation): pair values are themselves
+  keys forming a random non-repeating chain; the model must GENERATE
+  the whole chain (every hop is a fresh retrieval from the pairs
+  section).  The generated tokens push the sequence across block
+  boundaries past the budget, so the DECODE-time eviction loop (the
+  reference's _prune_decode_reqs_*, torch_cuda_sdpa.py:1375-1560) fires
+  repeatedly mid-generation and each method's victim choice shows up as
+  a distinct accuracy-vs-depth decay: streamingLLM kills whole early
+  blocks at boundaries, streamingLLM-1 additionally zero-overwrites
+  off-boundary slots, inverse_key_l2 (decode-time only) zeroes random
+  middle slots without shrinking kv_len, local/global pick by page L2.
+
 A gradient-descent variant (--mode trained) is kept for reference; on
 this task SGD reliably stalls on the "attend to all value positions"
 plateau (loss ln(NVALS)) across 2-4-layer / 128-256-dim configs, which
@@ -53,7 +71,7 @@ import jax                                              # noqa: E402
 import jax.numpy as jnp                                 # noqa: E402
 import numpy as np                                      # noqa: E402
 
-BOS, QTOK = 1, 2
+BOS, QTOK, SEP = 1, 2, 3
 KEY0, NKEYS = 10, 300
 VAL0, NVALS = 320, 64
 VOCAB = 400
@@ -97,6 +115,40 @@ def make_batch(rng, batch, pairs, n_queries=1):
         row = row[:-1]          # final answer is what the model predicts
         toks[b, :len(row)] = row
     return toks, qpos, tgt
+
+
+def make_chain_batch(rng, batch, pairs, chain_len):
+    """Pointer-chasing episodes for DECODE-time eviction quality.
+
+    ``BOS  k_{p1} v_{p1} SEP  k_{p2} v_{p2} SEP ...  QTOK k_start``
+    where the value of chain pair j is the KEY of chain pair j+1 (a
+    random non-repeating walk of length chain_len through the pairs).
+    Non-chain pairs get VAL-range fillers.  The SEP between pairs keeps
+    pair adjacency out of the matching head: without it, position(k_j)
+    has predecessor v_{j-1}, planting a spurious v→k mapping that
+    collides with chain queries (v's ARE k's here).  Each hop the model
+    must retrieve f(k) from the pairs section — which decode-boundary
+    eviction is eating in the background.
+
+    Returns (tokens [B, T], expected chains [B, chain_len]).
+    """
+    assert chain_len < pairs
+    seq_len = 1 + 3 * pairs + 2
+    toks = np.zeros((batch, seq_len), np.int32)
+    chains = np.zeros((batch, chain_len), np.int32)
+    for b in range(batch):
+        keys = rng.choice(NKEYS, size=pairs, replace=False) + KEY0
+        order = rng.permutation(pairs)           # chain visits these
+        vals = rng.integers(0, NVALS, size=pairs) + VAL0
+        for j in range(chain_len):
+            vals[order[j]] = keys[order[j + 1]]
+        row = [BOS]
+        for k, v in zip(keys, vals):
+            row += [int(k), int(v), SEP]
+        row += [QTOK, int(keys[order[0]])]
+        toks[b, :len(row)] = row
+        chains[b] = keys[order[1:chain_len + 1]]
+    return toks, chains
 
 
 def build_model():
@@ -155,19 +207,31 @@ def build_constructed_params(model, seed=0):
     # losslessly onto one head's 12 slow rope planes (a random 48→24
     # projection would add ~1/√24 inner-product noise — at 126 in-context
     # impostors that floor drowns the match), plus a 24-dim residual
-    # section.  All code sections are orthogonal to the shared component
-    # u0: the previous-token head's score carries a (x·u0)(x'·u0) factor,
-    # and code leakage into u0 becomes per-token multiplicative noise
-    # (~±25%) that swamps its ~16% position margin.
-    u0 = unit_rows(1, 48)[0]
+    # section.  The previous-token head rides TWO shared carriers: its
+    # query reads u_q, its key reads u_k.  Every token carries both —
+    # EXCEPT the chain task's SEP, which drops u_q: at SEP positions the
+    # previous-token head then has no query, so S_P(SEP) is attention
+    # mush instead of the preceding VALUE token's code.  (With a single
+    # shared u0, the SEP following a chain key's value occurrence matched
+    # that key's queries at full strength, splitting the matching head's
+    # mass 50/50 and dropping the readout signal to the noise floor —
+    # measured 0.078 full-cache chain accuracy vs ~1.0 with the split.)
+    # Code sections are orthogonal to both carriers: leakage into them
+    # becomes per-token multiplicative noise (~±25%) that would swamp
+    # the previous-token head's ~16% position margin.
+    uq, uk = unit_rows(2, 48)
+    uk = uk - (uk @ uq) * uq
+    uk /= np.linalg.norm(uk)
     m_code = unit_rows(V, 24)
     r_code = unit_rows(V, 24)
     code = np.concatenate([m_code, r_code], axis=1) / np.sqrt(2)
-    code = code - np.outer(code @ u0, u0)
+    code = code - np.outer(code @ uq, uq) - np.outer(code @ uk, uk)
     code /= np.linalg.norm(code, axis=1, keepdims=True)
-    alpha, beta = 0.5, np.sqrt(0.75).astype(np.float32)
+    alpha = 0.5 / np.sqrt(2.0)           # per-carrier amplitude
+    beta = np.sqrt(0.75).astype(np.float32)
     embed = np.zeros((V, D), np.float32)
-    embed[:, :48] = alpha * u0[None, :] + beta * code
+    embed[:, :48] = alpha * (uq + uk)[None, :] + beta * code
+    embed[SEP, :48] = alpha * uk + beta * code[SEP]
 
     def head_cols(h):
         return slice(h * dh, (h + 1) * dh)
@@ -178,20 +242,23 @@ def build_constructed_params(model, seed=0):
 
     # ---- layer 1, head 0: previous-token head -----------------------
     fast = [0, 1, 2]                     # plane indices
-    cq, ck1 = 8.0, 8.0
+    # carrier amplitude a² dropped from 0.25 (single u0) to 0.125, so
+    # the gains rise to keep a²·cq·ck1 = 16 (the margin analysis's
+    # operating point).
+    cq, ck1 = 11.3137, 11.3137
     u_fast = np.zeros(dh, np.float32)
     for p in fast:
         u_fast[p] = 1.0 / np.sqrt(len(fast))
-    # q = cq * (x . u0_in_S_E) * u_fast
-    wq1 = np.outer(np.pad(u0, (0, D - 48)), u_fast) * cq
-    # k = ck * (x . u0) * R_{+1} u_fast  (rotate each plane by omega_p)
+    # q = cq * (x . u_q in S_E) * u_fast
+    wq1 = np.outer(np.pad(uq, (0, D - 48)), u_fast) * cq
+    # k = ck * (x . u_k) * R_{+1} u_fast  (rotate each plane by omega_p)
     u_fast_rot = u_fast.copy()
     for p in fast:
         w = theta ** (-2.0 * p / dh)
         # rotate_half convention: plane p couples dims (p, p + half)
         u_fast_rot[p] = u_fast[p] * np.cos(w)
         u_fast_rot[p + half] = u_fast[p] * np.sin(w)
-    wk1 = np.outer(np.pad(u0, (0, D - 48)), u_fast_rot) * ck1
+    wk1 = np.outer(np.pad(uk, (0, D - 48)), u_fast_rot) * ck1
     # v = the MATCH section of the token's own code (24 dims, copied
     # verbatim — no compression); OV writes it into S_P dims [48, 72).
     wv1 = np.zeros((D, dh), np.float32)
@@ -237,6 +304,11 @@ def build_constructed_params(model, seed=0):
 
     lm_head = np.zeros((D, V), np.float32)
     lm_head[96:120, VAL0:VAL0 + NVALS] = m_code[VAL0:VAL0 + NVALS].T
+    # The chain task's answers are KEY-range tokens (pair values are
+    # keys), so the S_O readout covers them too.  BOS/QTOK/SEP stay
+    # unreadable: spurious matches whose OV carries a separator code are
+    # invisible to the logits (they only split softmax mass).
+    lm_head[96:120, KEY0:KEY0 + NKEYS] = m_code[KEY0:KEY0 + NKEYS].T
 
     I = a.intermediate_size
     layers = {
@@ -354,16 +426,55 @@ def engine_accuracy(params, prompts, targets, n_queries, **llm_kw):
     return float(np.mean([p == t for p, t in zip(pred, targets)]))
 
 
+def engine_chain_accuracy(params, prompts, chains, **llm_kw):
+    """Serve the chain episodes; greedy-generate the full chain length.
+
+    Returns (token_acc, mean_depth_frac): token_acc is the positional
+    match rate over all chain slots; depth is the correct prefix length
+    before the first divergence (once a hop is wrong the walk leaves the
+    planted chain, so depth is the stricter signal).
+    """
+    from vllm_paged_compression_tpu.entrypoints.llm import LLM
+    from vllm_paged_compression_tpu.sampling_params import SamplingParams
+    chain_len = chains.shape[1]
+    llm = LLM(hf_config=ARCH, dtype="float32", params=params,
+              max_num_seqs=16, num_scheduler_steps=1, seed=0, **llm_kw)
+    outs = llm.generate(
+        prompt_token_ids=[p.tolist() for p in prompts],
+        sampling_params=SamplingParams(temperature=0.0,
+                                       max_tokens=chain_len,
+                                       ignore_eos=True))
+    del llm
+    tok_hits, depths = [], []
+    for o, chain in zip(outs, chains):
+        got = np.asarray(o.outputs[0].token_ids[:chain_len])
+        got = np.pad(got, (0, chain_len - len(got)), constant_values=-1)
+        hit = got == chain
+        tok_hits.append(hit.mean())
+        depths.append((np.cumprod(hit).sum()) / chain_len)
+    return float(np.mean(tok_hits)), float(np.mean(depths))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--methods", nargs="+",
                     default=["streamingLLM", "streamingLLM-1", "local",
-                             "global"])
+                             "global", "inverse_key_l2"])
     ap.add_argument("--budgets", nargs="+", type=int,
                     default=[128, 192, 256])
     ap.add_argument("--pairs", type=int, default=60,
                     help="KV pairs per episode (prompt ~2*pairs tokens)")
     ap.add_argument("--episodes", type=int, default=128)
+    ap.add_argument("--tasks", nargs="+", default=["prompt", "chain"],
+                    choices=["prompt", "chain"])
+    ap.add_argument("--chain-pairs", type=int, default=60)
+    ap.add_argument("--chain-len", type=int, default=48,
+                    help="generated hops; prompt+chain must cross the "
+                         "budget so decode-boundary eviction engages")
+    ap.add_argument("--chain-budgets", nargs="+", type=int, default=None,
+                    help="budgets for the chain task (default: sized "
+                         "around the chain prompt so eviction happens "
+                         "mid-generation, not only at prefill)")
     ap.add_argument("--mode", choices=["constructed", "trained"],
                     default="constructed",
                     help="constructed: analytically planted retrieval "
@@ -390,43 +501,89 @@ def main() -> None:
             pairs=args.pairs, lr=args.lr,
             log=lambda m: print(m, file=sys.stderr, flush=True))
 
-    rng = np.random.default_rng(123)
-    toks, qpos, tgt = make_batch(rng, args.episodes, args.pairs, 1)
-    prompts = [toks[i, :qpos[i, 0] + 1] for i in range(args.episodes)]
-    targets = tgt[:, 0].tolist()
-    seq_len = int(qpos[:, 0].max()) + 1
-    base_kw = dict(block_size=args.block_size,
-                   max_model_len=seq_len + 16,
-                   num_device_blocks=args.episodes // 4 * (
-                       seq_len // args.block_size + 2) + 32)
-
     results = []
-    full = engine_accuracy(params, prompts, targets, args.episodes,
-                           **base_kw)
-    line = {"method": "full-cache", "budget": seq_len,
-            "recall_acc": round(full, 4), "n": args.episodes,
-            "train_acc": round(train_acc, 4)}
-    print(json.dumps(line), flush=True)
-    results.append(line)
+    rng = np.random.default_rng(123)
 
-    for method in args.methods:
-        for budget in args.budgets:
-            acc = engine_accuracy(
-                params, prompts, targets, args.episodes,
-                enable_paged_eviction=True, evict_method=method,
-                cache_budget=budget, evict_selection="l2",
-                topk_blocks=(3 if method == "local" else -1), **base_kw)
-            line = {"method": method, "budget": budget,
-                    "budget_frac": round(budget / seq_len, 2),
-                    "recall_acc": round(acc, 4), "n": args.episodes}
-            print(json.dumps(line), flush=True)
-            results.append(line)
+    if "prompt" in args.tasks:
+        toks, qpos, tgt = make_batch(rng, args.episodes, args.pairs, 1)
+        prompts = [toks[i, :qpos[i, 0] + 1] for i in range(args.episodes)]
+        targets = tgt[:, 0].tolist()
+        seq_len = int(qpos[:, 0].max()) + 1
+        base_kw = dict(block_size=args.block_size,
+                       max_model_len=seq_len + 16,
+                       num_device_blocks=args.episodes // 4 * (
+                           seq_len // args.block_size + 2) + 32)
+
+        full = engine_accuracy(params, prompts, targets, args.episodes,
+                               **base_kw)
+        line = {"task": "prompt", "method": "full-cache",
+                "budget": seq_len, "recall_acc": round(full, 4),
+                "n": args.episodes, "train_acc": round(train_acc, 4)}
+        print(json.dumps(line), flush=True)
+        results.append(line)
+
+        for method in args.methods:
+            for budget in args.budgets:
+                acc = engine_accuracy(
+                    params, prompts, targets, args.episodes,
+                    enable_paged_eviction=True, evict_method=method,
+                    cache_budget=budget, evict_selection="l2",
+                    topk_blocks=(3 if method == "local" else -1),
+                    **base_kw)
+                line = {"task": "prompt", "method": method,
+                        "budget": budget,
+                        "budget_frac": round(budget / seq_len, 2),
+                        "recall_acc": round(acc, 4), "n": args.episodes}
+                print(json.dumps(line), flush=True)
+                results.append(line)
+
+    if "chain" in args.tasks:
+        ctoks, chains = make_chain_batch(rng, args.episodes,
+                                         args.chain_pairs, args.chain_len)
+        cprompts = [t[:1 + 3 * args.chain_pairs + 2] for t in ctoks]
+        clen = len(cprompts[0])
+        total = clen + args.chain_len
+        cbudgets = args.chain_budgets
+        if cbudgets is None:
+            # One budget above the prompt length (eviction fires ONLY at
+            # decode boundaries — the pure decode-time configuration) and
+            # one below (prefill pruning + decode eviction combined).
+            bs = args.block_size
+            cbudgets = [(clen + 2 * bs) // bs * bs,
+                        (2 * clen // 3) // bs * bs]
+        ckw = dict(block_size=args.block_size, max_model_len=total + 16,
+                   num_device_blocks=args.episodes // 4 * (
+                       total // args.block_size + 2) + 32)
+        acc, depth = engine_chain_accuracy(params, cprompts, chains,
+                                           **ckw)
+        line = {"task": "chain", "method": "full-cache", "budget": total,
+                "chain_acc": round(acc, 4), "depth_frac": round(depth, 4),
+                "prompt_len": clen, "chain_len": args.chain_len,
+                "n": args.episodes}
+        print(json.dumps(line), flush=True)
+        results.append(line)
+        for method in args.methods:
+            for budget in cbudgets:
+                acc, depth = engine_chain_accuracy(
+                    params, cprompts, chains,
+                    enable_paged_eviction=True, evict_method=method,
+                    cache_budget=budget, evict_selection="l2",
+                    topk_blocks=(3 if method == "local" else -1), **ckw)
+                line = {"task": "chain", "method": method,
+                        "budget": budget,
+                        "budget_frac": round(budget / total, 2),
+                        "chain_acc": round(acc, 4),
+                        "depth_frac": round(depth, 4),
+                        "n": args.episodes}
+                print(json.dumps(line), flush=True)
+                results.append(line)
 
     if args.json_out:
         with open(args.json_out, "w") as f:
             json.dump({"task": "associative-recall", "mode": args.mode,
                        "arch": ARCH, "pairs": args.pairs,
-                       "prompt_len": seq_len,
+                       "tasks": args.tasks,
+                       "chain_len": args.chain_len,
                        "train_acc": round(train_acc, 4),
                        "lines": results}, f, indent=1)
 

@@ -129,11 +129,120 @@ class TestDequant:
         np.testing.assert_array_equal(t["a"], w)
         np.testing.assert_allclose(t["b"], w, rtol=1e-3)
 
-    def test_kquant_rejected(self, tmp_path):
+    def test_unsupported_quant_rejected(self, tmp_path):
         p = tmp_path / "t.gguf"
-        _write_gguf(str(p), b"", 0, [("x", (256,), 12, b"\0" * 256)])
-        with pytest.raises(NotImplementedError, match="K-quants"):
+        # Q2_K (type 10) stays unsupported.
+        _write_gguf(str(p), b"", 0, [("x", (256,), 10, b"\0" * 256)])
+        with pytest.raises(NotImplementedError, match="not supported"):
             read_gguf(str(p))
+
+
+# ---- k-quants: vectorized dequant vs scalar spec reference ---------------
+# The references below transcribe ggml's dequantize_row_q{4,5,6}_K loops
+# (ggml-common.h / reference csrc/quantization/gguf) element by element.
+
+def _ref_scale_min(sc_bytes, j):
+    if j < 4:
+        return sc_bytes[j] & 63, sc_bytes[j + 4] & 63
+    d = (sc_bytes[j + 4] & 0xF) | ((sc_bytes[j - 4] >> 6) << 4)
+    m = (sc_bytes[j + 4] >> 4) | ((sc_bytes[j] >> 6) << 4)
+    return d, m
+
+
+def _ref_q4_k(blk: bytes) -> np.ndarray:
+    d = np.frombuffer(blk[0:2], np.float16)[0].astype(np.float32)
+    dmin = np.frombuffer(blk[2:4], np.float16)[0].astype(np.float32)
+    scales = blk[4:16]
+    qs = blk[16:144]
+    y = np.zeros(256, np.float32)
+    ys = 0
+    q = 0
+    for j in range(4):          # QK_K/64 chunks
+        sc1, m1 = _ref_scale_min(scales, 2 * j)
+        sc2, m2 = _ref_scale_min(scales, 2 * j + 1)
+        for l in range(32):
+            y[ys + l] = d * sc1 * (qs[q + l] & 0xF) - dmin * m1
+        for l in range(32):
+            y[ys + 32 + l] = d * sc2 * (qs[q + l] >> 4) - dmin * m2
+        ys += 64
+        q += 32
+    return y
+
+
+def _ref_q5_k(blk: bytes) -> np.ndarray:
+    d = np.frombuffer(blk[0:2], np.float16)[0].astype(np.float32)
+    dmin = np.frombuffer(blk[2:4], np.float16)[0].astype(np.float32)
+    scales = blk[4:16]
+    qh = blk[16:48]
+    qs = blk[48:176]
+    y = np.zeros(256, np.float32)
+    ys, q = 0, 0
+    u1, u2 = 1, 2
+    for j in range(4):
+        sc1, m1 = _ref_scale_min(scales, 2 * j)
+        sc2, m2 = _ref_scale_min(scales, 2 * j + 1)
+        for l in range(32):
+            hi = 16 if (qh[l] & u1) else 0
+            y[ys + l] = d * sc1 * ((qs[q + l] & 0xF) + hi) - dmin * m1
+        for l in range(32):
+            hi = 16 if (qh[l] & u2) else 0
+            y[ys + 32 + l] = d * sc2 * ((qs[q + l] >> 4) + hi) - dmin * m2
+        ys += 64
+        q += 32
+        u1 <<= 2
+        u2 <<= 2
+    return y
+
+
+def _ref_q6_k(blk: bytes) -> np.ndarray:
+    ql = blk[0:128]
+    qh = blk[128:192]
+    sc = np.frombuffer(blk[192:208], np.int8)
+    d = np.frombuffer(blk[208:210], np.float16)[0].astype(np.float32)
+    y = np.zeros(256, np.float32)
+    for n in range(2):          # two 128-element halves
+        yo, qlo, qho, so = n * 128, n * 64, n * 32, n * 8
+        for l in range(32):
+            is_ = l // 16
+            q1 = ((ql[qlo + l] & 0xF) | ((qh[qho + l] & 3) << 4)) - 32
+            q2 = ((ql[qlo + l + 32] & 0xF)
+                  | (((qh[qho + l] >> 2) & 3) << 4)) - 32
+            q3 = ((ql[qlo + l] >> 4) | (((qh[qho + l] >> 4) & 3) << 4)) - 32
+            q4 = ((ql[qlo + l + 32] >> 4)
+                  | (((qh[qho + l] >> 6) & 3) << 4)) - 32
+            y[yo + l] = d * sc[so + is_] * q1
+            y[yo + l + 32] = d * sc[so + is_ + 2] * q2
+            y[yo + l + 64] = d * sc[so + is_ + 4] * q3
+            y[yo + l + 96] = d * sc[so + is_ + 6] * q4
+    return y
+
+
+class TestKQuants:
+    @pytest.mark.parametrize("gtype,bsize,ref", [
+        (12, 144, _ref_q4_k), (13, 176, _ref_q5_k), (14, 210, _ref_q6_k)])
+    def test_kquant_matches_scalar_reference(self, tmp_path, gtype,
+                                             bsize, ref):
+        """Random super-block bytes through the vectorized numpy dequant
+        must equal the element-by-element ggml spec transcription."""
+        rng = np.random.default_rng(gtype)
+        nb = 3
+        raw = rng.integers(0, 256, nb * bsize, dtype=np.uint8)
+        # Overwrite the f16 d/dmin fields with sane finite values (random
+        # bytes can encode NaN/inf, which compare unequal).
+        raw = raw.copy()
+        for i in range(nb):
+            off = i * bsize if gtype != 14 else i * bsize + 208
+            d16 = np.array([0.01 * (i + 1), -0.02], np.float16).tobytes()
+            n = 2 if gtype == 14 else 4
+            raw[off:off + n] = np.frombuffer(d16[:n], np.uint8)
+        p = tmp_path / "t.gguf"
+        _write_gguf(str(p), b"", 0,
+                    [("x", (256 * nb,), gtype, raw.tobytes())])
+        _, t = read_gguf(str(p))
+        expect = np.concatenate([
+            ref(raw[i * bsize:(i + 1) * bsize].tobytes())
+            for i in range(nb)])
+        np.testing.assert_allclose(t["x"], expect, rtol=0, atol=0)
 
 
 def _tiny_llama_gguf(path, rng):

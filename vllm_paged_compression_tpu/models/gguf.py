@@ -5,11 +5,14 @@ Reference analog: vllm/model_executor/model_loader/loader.py GGUFModelLoader
 the `gguf` package, absent from this image).  Implements the GGUF v2/v3
 binary format directly: header, typed metadata KVs, tensor infos, aligned
 data section; dequantizes the common ggml tensor codecs (F32, F16, BF16,
-Q8_0, Q4_0, Q4_1) to fp32 numpy in the HF layout and rebuilds an HF-style
+Q8_0, Q4_0, Q4_1) AND the 256-element super-block k-quants (Q4_K, Q5_K,
+Q6_K — the formats real GGUF releases actually ship; reference analog
+csrc/quantization/gguf/gguf_kernel.cu with the layout tables from
+ggml-common.h) to fp32 numpy in the HF layout, and rebuilds an HF-style
 config dict from the llama.* metadata keys.
 
-K-quants (Q4_K/Q6_K/...) are not implemented — loading one raises with a
-clear message (re-export the checkpoint as Q8_0/Q4_0).
+Q2_K/Q3_K (and the i-quants) are not implemented — loading one raises
+with a clear message (re-export as Q4_K/Q6_K/Q8_0).
 """
 
 from __future__ import annotations
@@ -35,9 +38,11 @@ _SCALAR_FMT = {_T_U8: "<B", _T_I8: "<b", _T_U16: "<H", _T_I16: "<h",
 GGML_F32, GGML_F16 = 0, 1
 GGML_Q4_0, GGML_Q4_1 = 2, 3
 GGML_Q8_0 = 8
+GGML_Q4_K, GGML_Q5_K, GGML_Q6_K = 12, 13, 14
 GGML_BF16 = 30
 
-_QK = 32  # block size of the classic quants
+_QK = 32    # block size of the classic quants
+_QK_K = 256  # super-block size of the k-quants
 
 
 def _read_str(f: BinaryIO) -> str:
@@ -90,9 +95,98 @@ def _dequant(data: bytes, ggml_type: int, n_elems: int) -> np.ndarray:
         q = np.concatenate([lo, hi], axis=1)
         return (rec["d"].astype(np.float32)[:, None] * q
                 + rec["m"].astype(np.float32)[:, None]).reshape(-1)
+    nbk = n_elems // _QK_K
+    if ggml_type == GGML_Q4_K:
+        return _dequant_q4_k(data, nbk)
+    if ggml_type == GGML_Q5_K:
+        return _dequant_q5_k(data, nbk)
+    if ggml_type == GGML_Q6_K:
+        return _dequant_q6_k(data, nbk)
     raise NotImplementedError(
-        f"ggml tensor type {ggml_type} (K-quants are not supported; "
-        "re-export the GGUF as Q8_0 / Q4_0 / F16)")
+        f"ggml tensor type {ggml_type} is not supported; re-export the "
+        "GGUF as Q4_K / Q5_K / Q6_K / Q8_0 / Q4_0 / F16")
+
+
+def _k_scale_min(scales: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Unpack the Q4_K/Q5_K 6-bit sub-block (scale, min) pairs from the
+    12-byte packed array (ggml-common.h get_scale_min_k4): sub-blocks
+    0-3 use the low 6 bits of bytes j / j+4; sub-blocks 4-7 splice the
+    low nibble of bytes j+4 with the top 2 bits of bytes j-4 / j."""
+    nb = scales.shape[0]
+    sc = np.empty((nb, 8), np.float32)
+    mn = np.empty((nb, 8), np.float32)
+    s = scales
+    for j in range(4):
+        sc[:, j] = s[:, j] & 63
+        mn[:, j] = s[:, j + 4] & 63
+    for j in range(4, 8):
+        sc[:, j] = (s[:, j + 4] & 0xF) | ((s[:, j - 4] >> 6) << 4)
+        mn[:, j] = (s[:, j + 4] >> 4) | ((s[:, j] >> 6) << 4)
+    return sc, mn
+
+
+def _dequant_q4_k(data: bytes, nb: int) -> np.ndarray:
+    """Q4_K: 256-elem super-block = f16 d, f16 dmin, 12B packed 6-bit
+    scales/mins (8 sub-blocks of 32), 128B nibbles.  w = d·sc·q − dmin·m;
+    each 32-byte quarter holds 64 elems: low nibbles first 32, high
+    nibbles next 32 (sub-blocks 2j, 2j+1)."""
+    rec = np.frombuffer(data, np.dtype([
+        ("d", "<f2"), ("dmin", "<f2"), ("scales", "u1", (12,)),
+        ("qs", "u1", (128,))]), nb)
+    sc, mn = _k_scale_min(rec["scales"])
+    d = rec["d"].astype(np.float32)[:, None, None, None]
+    dmin = rec["dmin"].astype(np.float32)[:, None, None, None]
+    qs = rec["qs"].reshape(nb, 4, 32)
+    q = np.stack([qs & 0xF, qs >> 4], axis=2).astype(np.float32)
+    scs = sc.reshape(nb, 4, 2)[..., None]
+    mns = mn.reshape(nb, 4, 2)[..., None]
+    return (d * scs * q - dmin * mns).reshape(-1)
+
+
+def _dequant_q5_k(data: bytes, nb: int) -> np.ndarray:
+    """Q5_K: Q4_K layout plus 32B of 5th bits — sub-block s's high bit is
+    bit s of each qh byte."""
+    rec = np.frombuffer(data, np.dtype([
+        ("d", "<f2"), ("dmin", "<f2"), ("scales", "u1", (12,)),
+        ("qh", "u1", (32,)), ("qs", "u1", (128,))]), nb)
+    sc, mn = _k_scale_min(rec["scales"])
+    d = rec["d"].astype(np.float32)[:, None, None, None]
+    dmin = rec["dmin"].astype(np.float32)[:, None, None, None]
+    qs = rec["qs"].reshape(nb, 4, 32)
+    q4 = np.stack([qs & 0xF, qs >> 4], axis=2).astype(np.float32)
+    qh = rec["qh"]                                       # [nb, 32]
+    hbit = np.stack([(qh >> s) & 1 for s in range(8)],
+                    axis=1).reshape(nb, 4, 2, 32).astype(np.float32)
+    q = q4 + 16.0 * hbit
+    scs = sc.reshape(nb, 4, 2)[..., None]
+    mns = mn.reshape(nb, 4, 2)[..., None]
+    return (d * scs * q - dmin * mns).reshape(-1)
+
+
+def _dequant_q6_k(data: bytes, nb: int) -> np.ndarray:
+    """Q6_K: 128B low nibbles + 64B 2-bit highs + 16 int8 sub-block
+    scales (16 sub-blocks of 16) + f16 d.  q = ((ql | qh<<4) − 32);
+    w = d·scale[sub]·q.  Per 128-elem half, the 4 interleaved 32-elem
+    groups take qh bit-pairs 0/2/4/6 and scale strides 2·g + l//16."""
+    rec = np.frombuffer(data, np.dtype([
+        ("ql", "u1", (128,)), ("qh", "u1", (64,)),
+        ("scales", "i1", (16,)), ("d", "<f2")]), nb)
+    d = rec["d"].astype(np.float32)
+    ql = rec["ql"].reshape(nb, 2, 64)
+    qh = rec["qh"].reshape(nb, 2, 32)
+    sc = rec["scales"].reshape(nb, 2, 8).astype(np.float32)
+    ql_lo, ql_hi = ql & 0xF, ql >> 4
+    hb = np.stack([(qh >> (2 * k)) & 3 for k in range(4)],
+                  axis=2)                                 # [nb, 2, 4, 32]
+    q = np.empty((nb, 2, 4, 32), np.float32)
+    q[:, :, 0] = ql_lo[:, :, :32] | (hb[:, :, 0] << 4)
+    q[:, :, 1] = ql_lo[:, :, 32:] | (hb[:, :, 1] << 4)
+    q[:, :, 2] = ql_hi[:, :, :32] | (hb[:, :, 2] << 4)
+    q[:, :, 3] = ql_hi[:, :, 32:] | (hb[:, :, 3] << 4)
+    q -= 32.0
+    idx = 2 * np.arange(4)[:, None] + np.arange(32)[None, :] // 16
+    scl = sc[:, :, idx]                                   # [nb, 2, 4, 32]
+    return (d[:, None, None, None] * scl * q).reshape(-1)
 
 
 def _type_size(ggml_type: int, n_elems: int) -> int:
@@ -107,9 +201,16 @@ def _type_size(ggml_type: int, n_elems: int) -> int:
         return nb * (2 + _QK // 2)
     if ggml_type == GGML_Q4_1:
         return nb * (4 + _QK // 2)
+    nbk = n_elems // _QK_K
+    if ggml_type == GGML_Q4_K:
+        return nbk * 144   # 2 + 2 + 12 + 128
+    if ggml_type == GGML_Q5_K:
+        return nbk * 176   # 2 + 2 + 12 + 32 + 128
+    if ggml_type == GGML_Q6_K:
+        return nbk * 210   # 128 + 64 + 16 + 2
     raise NotImplementedError(
-        f"ggml tensor type {ggml_type} (K-quants are not supported; "
-        "re-export the GGUF as Q8_0 / Q4_0 / F16)")
+        f"ggml tensor type {ggml_type} is not supported; re-export the "
+        "GGUF as Q4_K / Q5_K / Q6_K / Q8_0 / Q4_0 / F16")
 
 
 def read_gguf(path: str, meta_only: bool = False

@@ -137,10 +137,12 @@ def main() -> None:
         dt = time.perf_counter() - t_warm0
         marks = []
     tok_s = n_timed / max(dt, 1e-9)
+    whole_run = tok_s
     # The chip tunnel suffers transient multi-second stalls unrelated to
     # the program (measured spread 49-97 tok/s on identical runs).  Report
     # the median over ~8 contiguous segments — each itself a sustained
-    # multi-window wall-clock rate — so one stall doesn't define the run.
+    # multi-window wall-clock rate — so one stall doesn't define the run;
+    # the whole-run rate is reported alongside (never replaced).
     n_seg = min(8, max(len(marks) - 1, 1))
     step = (len(marks) - 1) // n_seg
     if step >= 1:
@@ -161,6 +163,7 @@ def main() -> None:
         "value": round(tok_s, 2),
         "unit": "tok/s",
         "vs_baseline": round(tok_s / BASELINE_TOK_S, 3),
+        "whole_run_tok_s": round(whole_run, 2),
         "prefill_tok_s": round(input_len / t_prefill, 1),
         "ttft_s": round(t_prefill, 4),
     }

@@ -66,18 +66,30 @@ def run_point(model_cfg, input_len, output_len, budget, kv_dtype, quant,
     warm = max(min(32, output_len // 4), 1)
     while seq.num_output_tokens < warm and eng.has_unfinished_requests():
         eng.step()
+    # MEASURED steady-state cache state (not asserted from config): the
+    # block table's physical slot/page counts and the allocator's live
+    # page count prove eviction actually reclaimed memory mid-decode.
+    held_slots = seq.block_table.num_kv_slots
+    held_pages = len(seq.block_table.pages)
+    used_pages = eng.scheduler.allocator.num_allocated_blocks
     n0, t1 = seq.num_output_tokens, time.perf_counter()
     while eng.has_unfinished_requests():
         eng.step()
     dt = time.perf_counter() - t1
     n = seq.num_output_tokens - n0
-    kv_len = budget  # steady state: eviction pins physical KV at budget
-    bytes_per_tok = ce.page_bytes / ce.block_size
+    runner = eng.runner
+    fused_quant = (runner.attn_backend == "pallas"
+                   and ce.quantized_kv
+                   and runner.model.arch.head_dim % 128 == 0)
     return {
         "input_len": input_len, "budget": budget, "kv_dtype": kv_dtype,
         "tok_s": round(n / max(dt, 1e-9), 2),
-        "kv_bytes_per_token": round(bytes_per_tok, 1),
-        "kv_tokens_held": kv_len,
+        "kv_bytes_per_token": round(
+            held_pages * ce.page_bytes / max(held_slots, 1), 1),
+        "kv_tokens_held": held_slots,
+        "kv_pages_held": held_pages,
+        "allocator_pages_used": used_pages,
+        "fused_quant_kernel": fused_quant,
         "ttft_s": round(ttft, 3),
     }
 

@@ -37,7 +37,7 @@ def run_point(model_cfg, input_len, output_len, budget, kv_dtype, quant,
               max_model_len=input_len + output_len + 64,
               enable_paged_eviction=True, evict_method="global",
               cache_budget=budget, evict_selection="l2",
-              kv_cache_dtype=kv_dtype, max_num_seqs=8,
+              kv_cache_dtype=kv_dtype, max_num_seqs=1,
               num_scheduler_steps=num_steps, quantization=quant, seed=0)
     eng = llm.engine
     ce = eng.cache_engine

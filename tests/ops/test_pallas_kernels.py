@@ -231,18 +231,21 @@ def _quantize_pools(kc, vc, qdtype):
     return one(kc), one(vc)
 
 
+@pytest.mark.parametrize("hkv", [4, 8])   # cpp 64 (per-page) / 128 (strip)
 @pytest.mark.parametrize("qdtype", ["int8", "fp8"])
 @pytest.mark.parametrize("zero", [False, True])
-def test_fused_decode_quant_matches_reference(qdtype, zero):
+def test_fused_decode_quant_matches_reference(qdtype, zero, hkv):
     """Quantized-KV fused kernel: writes this step's quantized rows +
     scales, applies zero-overwrites, and attends identically to the jnp
-    oracle (which dequantizes whole pages).  This combination — fp8/int8
-    KV with in-forward eviction writes — is the capability the reference
-    rejects outright (torch_cuda_sdpa.py:769-772)."""
+    oracle (which dequantizes whole pages).  Covers both static layouts
+    (aligned chunk-strip at ps*hkv=128, per-page at 64).  This
+    combination — fp8/int8 KV with in-forward eviction writes — is the
+    capability the reference rejects outright
+    (torch_cuda_sdpa.py:769-772)."""
     dt = jnp.int8 if qdtype == "int8" else jnp.float8_e4m3fn
     rng = np.random.default_rng(8)
     (fused, ref_fn, q, kn, vn, kc, vc, tables, kv_lens,
-     slots) = _fused_setup(rng, hkv=4, d=128)
+     slots) = _fused_setup(rng, hkv=hkv, d=128, h=8)
     kcq, vcq = _quantize_pools(kc, vc, dt)
     zslots = (jnp.asarray([int(tables[i, 1]) * 16 + 2 for i in range(3)],
                           jnp.int32) if zero else None)

@@ -186,17 +186,23 @@ def _fused_kernel_quant(layer_ref, tables_ref, lens_ref, starts_ref,
       scattered into the scale pools by the caller BEFORE this kernel, so
       every page's scales — including this step's row — are visible).
     - The scale pools travel as read-only flat [L, NP, ps*Hkv] inputs;
-      each chunk DMA also fetches the ppb pages' scale rows into
-      [1, ps*Hkv] VMEM strips (one per page — lane-dim slicing would
-      need 128-alignment Mosaic can't give for ps*Hkv=64 configs).
-    - Dequant never materializes a bf16 page: the score matmul runs per
-      page ([H, ps*Hkv]) and absorbs the K scales as a column-wise
-      multiply on the MXU partial result; probabilities absorb the V
-      scales before the PV matmul — the same factoring as the unfused
-      quant kernel (paged_attention.py _decode_kernel_quant), which the
-      reference cannot do at all (it rejects fp8 KV + eviction,
-      torch_cuda_sdpa.py:769-772).  Online-softmax statistics update per
-      page (VPU-trivial; decode is DMA-bound and the DMAs stay chunked).
+      each chunk DMA also fetches the ppb pages' scale rows.
+    - Dequant never materializes a bf16 page: scores absorb the K scales
+      as a column-wise multiply on the MXU partial result; probabilities
+      absorb the V scales before the PV matmul — the same factoring as
+      the unfused quant kernel (paged_attention.py _decode_kernel_quant),
+      which the reference cannot do at all (it rejects fp8 KV +
+      eviction, torch_cuda_sdpa.py:769-772).
+
+    Two static layouts keyed on ``aligned`` (ps·Hkv % 128):
+    - aligned (every production GQA config: 16·8 = 128): scale strips
+      land at 128-aligned offsets of a [1, cols] buffer and the chunk
+      processes as ONE [H, cols] matmul + ONE softmax update + ONE PV
+      matmul — same op count as the bf16 kernel.
+    - unaligned (ps·Hkv = 64 test shapes): per-page [1, cpp_pad]
+      buffers (Mosaic rejects sub-128 lane-dim ref slices) and per-page
+      softmax updates.  Correct but serial — measured 3.2x slower at
+      equal page count, which is why the aligned path exists.
     """
     del kc_in, vc_in
     b = pl.program_id(0)
@@ -206,6 +212,8 @@ def _fused_kernel_quant(layer_ref, tables_ref, lens_ref, starts_ref,
     h = q_ref.shape[1]
     d = q_ref.shape[2]
     cpp = ps * hkv                 # scale columns per page
+    aligned = cpp % 128 == 0
+    cols = ppb * cpp
     chunk_tokens = ppb * ps
 
     @pl.when(b == 0)
@@ -250,20 +258,42 @@ def _fused_kernel_quant(layer_ref, tables_ref, lens_ref, starts_ref,
                 kc_ref.at[lay, pg], kbuf.at[tog, j], csem.at[tog, 0, j]))
             out.append(pltpu.make_async_copy(
                 vc_ref.at[lay, pg], vbuf.at[tog, j], csem.at[tog, 1, j]))
+            if aligned:
+                ks_dst = ksbuf.at[tog, 0, pl.ds(j * cpp, cpp)]
+                vs_dst = vsbuf.at[tog, 0, pl.ds(j * cpp, cpp)]
+            else:
+                ks_dst = ksbuf.at[tog, j]
+                vs_dst = vsbuf.at[tog, j]
             out.append(pltpu.make_async_copy(
-                ks_ref.at[lay, pg], ksbuf.at[tog, j], csem.at[tog, 2, j]))
+                ks_ref.at[lay, pg], ks_dst, csem.at[tog, 2, j]))
             out.append(pltpu.make_async_copy(
-                vs_ref.at[lay, pg], vsbuf.at[tog, j], csem.at[tog, 3, j]))
+                vs_ref.at[lay, pg], vs_dst, csem.at[tog, 3, j]))
         return out
 
     for dma in chunk_copies(c0, jax.lax.rem(c0, 2)):
         dma.start()
 
     q = q_ref[0] * jnp.asarray(scale, q_ref.dtype)         # [H, d]
-    col = jax.lax.broadcasted_iota(jnp.int32, (h, cpp), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (h, cpp), 0)
+    ncol = cols if aligned else cpp
+    col = jax.lax.broadcasted_iota(jnp.int32, (h, ncol), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (h, ncol), 0)
     head_ok = (col % hkv) == (row // group)
-    tok_in_page = col // hkv
+    tok_in = col // hkv            # within-chunk (aligned) / within-page
+
+    def softmax_update(s, v, vs):
+        m_prev = m_ref[:, :1]
+        l_prev = l_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        e = jnp.exp(s - m_new)
+        l_new = l_prev * alpha + jnp.sum(e, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(                          # [H, d]
+            (e * vs).astype(v.dtype), v,                   # absorb V scales
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_ref[:, :] = acc_ref[:, :] * alpha + pv
+        m_ref[:, :] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[:, :] = jnp.broadcast_to(l_new, l_ref.shape)
 
     def body(c, _):
         tog = jax.lax.rem(c, 2)
@@ -276,8 +306,24 @@ def _fused_kernel_quant(layer_ref, tables_ref, lens_ref, starts_ref,
         for dma in chunk_copies(c, tog):
             dma.wait()
 
-        for j in range(ppb):
+        if aligned:
             # int8/fp8 values are exact in bf16 (<= 8 significand bits).
+            k = kbuf[tog].reshape(cols, d).astype(q.dtype)
+            v = vbuf[tog].reshape(cols, d).astype(q.dtype)
+            ks = ksbuf[tog]                                # [1, cols]
+            vs = vsbuf[tog]
+            s = jax.lax.dot_general(                       # [H, cols]
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * ks
+            if softcap is not None:
+                s = softcap * jnp.tanh(s / softcap)
+            pos = c * chunk_tokens + tok_in
+            tok_ok = (pos < kv_len) & (pos >= start)
+            s = jnp.where(head_ok & tok_ok, s, _NEG_INF)
+            softmax_update(s, v, vs)
+            return 0
+
+        for j in range(ppb):
             k = kbuf[tog, j].reshape(cpp, d).astype(q.dtype)
             v = vbuf[tog, j].reshape(cpp, d).astype(q.dtype)
             # Offset-0 sub-tile value slices lower fine (cf. m_ref[:, :1]);
@@ -290,24 +336,10 @@ def _fused_kernel_quant(layer_ref, tables_ref, lens_ref, starts_ref,
                 preferred_element_type=jnp.float32) * ks
             if softcap is not None:
                 s = softcap * jnp.tanh(s / softcap)
-            pos = c * chunk_tokens + j * ps + tok_in_page
+            pos = c * chunk_tokens + j * ps + tok_in
             tok_ok = (pos < kv_len) & (pos >= start)
             s = jnp.where(head_ok & tok_ok, s, _NEG_INF)
-
-            m_prev = m_ref[:, :1]
-            l_prev = l_ref[:, :1]
-            m_new = jnp.maximum(m_prev,
-                                jnp.max(s, axis=1, keepdims=True))
-            alpha = jnp.exp(m_prev - m_new)
-            e = jnp.exp(s - m_new)
-            l_new = l_prev * alpha + jnp.sum(e, axis=1, keepdims=True)
-            pv = jax.lax.dot_general(                      # [H, d]
-                (e * vs).astype(v.dtype), v,               # absorb V scales
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            acc_ref[:, :] = acc_ref[:, :] * alpha + pv
-            m_ref[:, :] = jnp.broadcast_to(m_new, m_ref.shape)
-            l_ref[:, :] = jnp.broadcast_to(l_new, l_ref.shape)
+            softmax_update(s, v, vs)
         return 0
 
     jax.lax.fori_loop(c0, n_ch, body, 0)
@@ -349,17 +381,22 @@ def _fused_quant(q, k_new, v_new, kc_all, vc_all, layer, tables, kv_lens,
     if zero_slots is not None:
         ks_pool = ks_pool.at[lay_s, zero_slots].set(0.0, mode="drop")
         vs_pool = vs_pool.at[lay_s, zero_slots].set(0.0, mode="drop")
-    # Singleton third axis: page-scale DMAs land in [1, cpp_pad] VMEM
-    # strips (broadcastable over the H sublanes of the score matrix).
-    # Lane-padded to 128: Mosaic requires DMA ref slices 128-aligned in
-    # the minor dim (hkv*ps = 64 configs would fail unpadded).
-    cpp_pad = _round_up(cpp, 128)
-    ks_flat = ks_pool.reshape(num_layers, num_pages, 1, cpp)
-    vs_flat = vs_pool.reshape(num_layers, num_pages, 1, cpp)
-    if cpp_pad != cpp:
+    # Aligned configs (cpp % 128 == 0 — every production GQA shape) DMA
+    # page-scale rows straight into 128-aligned offsets of a [1, cols]
+    # strip; unaligned ones get per-page [1, cpp_pad] buffers (with the
+    # pool view lane-padded, since Mosaic rejects sub-128 lane-dim ref
+    # slices in DMAs).
+    aligned = cpp % 128 == 0
+    if aligned:
+        ks_flat = ks_pool.reshape(num_layers, num_pages, cpp)
+        vs_flat = vs_pool.reshape(num_layers, num_pages, cpp)
+    else:
+        cpp_pad = _round_up(cpp, 128)
         pad = ((0, 0), (0, 0), (0, 0), (0, cpp_pad - cpp))
-        ks_flat = jnp.pad(ks_flat, pad)
-        vs_flat = jnp.pad(vs_flat, pad)
+        ks_flat = jnp.pad(
+            ks_pool.reshape(num_layers, num_pages, 1, cpp), pad)
+        vs_flat = jnp.pad(
+            vs_pool.reshape(num_layers, num_pages, 1, cpp), pad)
 
     h = _round_up(h_orig, 8)
     if h != h_orig:
@@ -402,8 +439,12 @@ def _fused_quant(q, k_new, v_new, kc_all, vc_all, layer, tables, kv_lens,
         scratch_shapes=[
             pltpu.VMEM((2, ppb, page_size, num_kv, d), kc_all.q.dtype),
             pltpu.VMEM((2, ppb, page_size, num_kv, d), vc_all.q.dtype),
-            pltpu.VMEM((2, ppb, 1, cpp_pad), jnp.float32),  # K scales
-            pltpu.VMEM((2, ppb, 1, cpp_pad), jnp.float32),  # V scales
+            (pltpu.VMEM((2, 1, ppb * cpp), jnp.float32) if aligned
+             else pltpu.VMEM((2, ppb, 1, _round_up(cpp, 128)),
+                             jnp.float32)),                 # K scales
+            (pltpu.VMEM((2, 1, ppb * cpp), jnp.float32) if aligned
+             else pltpu.VMEM((2, ppb, 1, _round_up(cpp, 128)),
+                             jnp.float32)),                 # V scales
             pltpu.VMEM((num_kv, d), kc_all.q.dtype),   # zeros source
             pltpu.SemaphoreType.DMA((2, 4, ppb)),      # chunk DMAs
             pltpu.SemaphoreType.DMA((4,)),             # write DMAs

@@ -189,10 +189,16 @@ class TestMambaTP:
 
         assert gen(2) == gen(1)
 
-    def test_rejects_pp_and_hybrids(self):
+    def test_rejects_dp_and_uneven_pp(self):
+        # PP is supported since round 3 (tests/parallel/test_pipeline.py
+        # TestMambaPipeline); DP replicas and layer counts that do not
+        # split evenly over stages still reject.
         cfg = transformers.MambaConfig(**CFG).to_dict()
         cfg["architectures"] = ["MambaForCausalLM"]
         cfg["eos_token_id"] = None
-        with pytest.raises(ValueError, match="pipeline/data"):
+        with pytest.raises(ValueError, match="data parallelism"):
             LLM(hf_config=cfg, dtype="float32", max_model_len=128,
-                max_num_seqs=4, seed=0, pipeline_parallel_size=2)
+                max_num_seqs=4, seed=0, data_parallel_size=2)
+        with pytest.raises(ValueError, match="num_layers"):
+            LLM(hf_config=cfg, dtype="float32", max_model_len=128,
+                max_num_seqs=4, seed=0, pipeline_parallel_size=8)

@@ -243,10 +243,9 @@ class LLMEngine:
                      "multi-chip parallelism (state-slot hybrids: "
                      "Jamba/BART/Mllama)"),
                     ((config.parallel is not None
-                      and (config.parallel.pipeline_parallel_size > 1
-                           or config.parallel.data_parallel_size > 1))
+                      and config.parallel.data_parallel_size > 1)
                      or None,
-                     "pipeline/data parallelism (Mamba supports TP)"),
+                     "data parallelism (Mamba supports TP and PP)"),
                     (sc2.preemption_mode == "swap" or None,
                      "preemption by swap")):
                 if bad is not None:
@@ -292,10 +291,16 @@ class LLMEngine:
                                          shard_caches, shard_params)
             pp = pc.pipeline_parallel_size
             if pp > 1:
-                if self.model.architecture != "llama":
+                if self.model.architecture not in ("llama", "mamba"):
                     raise ValueError("pipeline parallelism currently "
-                                     "supports llama-family models")
-                if self.model.arch.attn_type == "mla" \
+                                     "supports llama-family and Mamba "
+                                     "trunks")
+                if self.model.architecture == "mamba":
+                    if self.model.arch.num_layers % pp:
+                        raise ValueError(
+                            f"Mamba PP needs num_layers % pp == 0, got "
+                            f"{self.model.arch.num_layers} % {pp}")
+                elif self.model.arch.attn_type == "mla" \
                         or self.model.arch.first_k_dense:
                     raise ValueError("pipeline parallelism with MLA / "
                                      "dense-prefix (DeepSeek) stacks is "

@@ -285,11 +285,17 @@ class MambaModel:
 
     # ---- full forwards ---------------------------------------------------
 
-    def forward_prefill(self, params, tokens, length, slot, pools):
-        """Prompt forward: writes the final per-layer states to ``slot``
-        of (conv_pool, ssm_pool) and returns (last_hidden [1, D], pools)."""
+    def embed(self, params, tokens):
+        return params["embed"][tokens]
+
+    def forward_prefill_layers(self, params, h, length, slot, pools):
+        """Prompt forward through ``params["layers"]`` only (no embed /
+        final norm): writes the final per-layer states to ``slot`` of
+        (conv_pool, ssm_pool) and returns (hidden [T, D], pools).  Under
+        pipeline parallelism the layer stack and pools are this stage's
+        local slices and ``slot`` may be the trash slot (inactive wave
+        ticks)."""
         a = self.arch
-        h = params["embed"][tokens]
         conv_pool, ssm_pool = pools
 
         def layer_fn(h, lp):
@@ -305,15 +311,24 @@ class MambaModel:
             conv_states.astype(conv_pool.dtype))
         ssm_pool = ssm_pool.at[:, slot].set(
             ssm_states.astype(ssm_pool.dtype))
+        return h, (conv_pool, ssm_pool)
+
+    def forward_prefill(self, params, tokens, length, slot, pools):
+        """Prompt forward: writes the final per-layer states to ``slot``
+        of (conv_pool, ssm_pool) and returns (last_hidden [1, D], pools)."""
+        a = self.arch
+        h = self.embed(params, tokens)
+        h, pools = self.forward_prefill_layers(params, h, length, slot,
+                                               pools)
         h = _rms(h, params["final_norm"], a.layer_norm_eps)
         last = h[length - 1][None]
-        return last, (conv_pool, ssm_pool)
+        return last, pools
 
-    def forward_decode_step(self, params, tokens, slots, pools):
-        """One batched decode step: tokens [B], slots [B] -> (hidden
-        [B, D], pools) with per-layer state gather/scatter at ``slots``."""
+    def forward_decode_layers(self, params, h, slots, pools):
+        """One batched decode step through the (possibly stage-local)
+        layer stack: h [B, D], slots [B] -> (hidden [B, D], pools) with
+        per-layer state gather/scatter at ``slots``."""
         a = self.arch
-        h = params["embed"][tokens]
         conv_pool, ssm_pool = pools
 
         def layer_fn(carry, lp):
@@ -330,8 +345,16 @@ class MambaModel:
 
         (h, conv_pool, ssm_pool, _), _ = jax.lax.scan(
             layer_fn, (h, conv_pool, ssm_pool, 0), params["layers"])
-        h = _rms(h, params["final_norm"], a.layer_norm_eps)
         return h, (conv_pool, ssm_pool)
+
+    def forward_decode_step(self, params, tokens, slots, pools):
+        """One batched decode step: tokens [B], slots [B] -> (hidden
+        [B, D], pools) with per-layer state gather/scatter at ``slots``."""
+        a = self.arch
+        h = self.embed(params, tokens)
+        h, pools = self.forward_decode_layers(params, h, slots, pools)
+        h = _rms(h, params["final_norm"], a.layer_norm_eps)
+        return h, pools
 
     def logits(self, params, hidden):
         if self.arch.tie_word_embeddings or "lm_head" not in params:

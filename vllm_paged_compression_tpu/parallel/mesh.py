@@ -217,8 +217,10 @@ def shard_caches(caches, mesh: Mesh, pipeline_parallel: int = 1,
     if state_model:
         # Mamba state pools conv [L, slots, I, k-1] / ssm [L, slots, I,
         # S]: the feature (d_inner) axis shards over "model" to match
-        # the column-parallel mixer outputs.
-        s = NamedSharding(mesh, P(None, None, "model", None))
+        # the column-parallel mixer outputs; the layer axis shards over
+        # "pipe" when PP is on (each stage owns its layers' states).
+        layer_axis = "pipe" if pipeline_parallel > 1 else None
+        s = NamedSharding(mesh, P(layer_axis, None, "model", None))
         return jax.tree.map(lambda x: jax.device_put(x, s), caches)
     s = kv_cache_sharding(mesh, pipeline_parallel)
     k, v = caches

@@ -231,6 +231,149 @@ def pp_decode_window_body(runner, params, caches, page_scores, plan_pack,
     return new_caches, page_scores, out_pack, new_state, lp_pack
 
 
+def pp_decode_window_body_mamba(runner, params, caches, page_scores,
+                                plan_pack, state_pack, f32_pack,
+                                token_counts=None, mask_pack=None,
+                                bias_pack=None, greedy_only=False,
+                                logprobs_l=0):
+    """shard_map body over ("pipe",) for the Mamba trunk: the PP analog
+    of ModelRunner._decode_window_mamba.  Each stage holds its slice of
+    the stacked mixer layers AND of the conv/SSM state pools (leading
+    layer axis sharded over "pipe"); the hidden state hops stages via
+    ppermute exactly like the llama wave.  No block tables / eviction —
+    the per-sequence state slot is the whole plan."""
+    from ..ops.sampling import SamplingTensors, sample
+
+    model = runner.model
+    arch = model.arch
+    pp = runner.pp
+    p = runner.max_table_len
+    b = state_pack.shape[0]
+    assert b % pp == 0, (b, pp)
+    g = b // pp
+    stage = jax.lax.axis_index("pipe")
+    trash_slot = runner.cache_engine.trash_page
+
+    slots = state_pack[:, 0]
+    tok0 = state_pack[:, p + 2]
+    seeds = state_pack[:, p + 3]
+    topk = state_pack[:, p + 4]
+    temp, top_p, min_p = f32_pack[0], f32_pack[1], f32_pack[5]
+    if not greedy_only:
+        presence, frequency, repetition = (f32_pack[2], f32_pack[3],
+                                           f32_pack[4])
+    iota_b = jnp.arange(b)
+    hidden_dim = arch.hidden_size
+    dtype = model.dtype
+
+    def body(carry, xs):
+        caches, tokens, counts = carry
+        xs_plan, mask = (xs, None) if mask_pack is None else xs
+        stepctr = xs_plan[7]
+
+        h_buf = jnp.zeros((g, hidden_dim), dtype)
+        out_h = jnp.zeros((b, hidden_dim), dtype)
+
+        def tick(carry2, t):
+            h_buf, caches, out_h = carry2
+            m = t - stage
+            valid = (m >= 0) & (m < pp)
+            toks_mb = _mb_slice(tokens, m, g, pp)
+            emb = model.embed(params, toks_mb).astype(dtype)
+            h_in = jnp.where((stage == 0) & valid, emb, h_buf)
+            # Out-of-wave ticks write their states to the trash slot.
+            slots_mb = jnp.where(valid, _mb_slice(slots, m, g, pp),
+                                 trash_slot)
+            h_out, caches = model.forward_decode_layers(
+                params, h_in, slots_mb, caches)
+            h_out = h_out.astype(dtype)
+
+            h_next = jax.lax.ppermute(
+                h_out, "pipe", [(i, i + 1) for i in range(pp - 1)])
+            m_out = t - (pp - 1)
+            upd = jax.lax.dynamic_update_slice_in_dim(
+                out_h, h_out, jnp.clip(m_out, 0, pp - 1) * g, axis=0)
+            out_h = jnp.where(
+                (stage == pp - 1) & (m_out >= 0) & (m_out < pp), upd,
+                out_h)
+            return (h_next, caches, out_h), None
+
+        (h_buf, caches, out_h), _ = jax.lax.scan(
+            tick, (h_buf, caches, out_h), jnp.arange(2 * pp - 1))
+
+        from ..models.mamba import _rms
+        h_final = _rms(out_h, params["final_norm"], arch.layer_norm_eps)
+        logits = model.logits(params, h_final)
+        if not greedy_only:
+            from ..ops.sampling import apply_penalties
+            logits = apply_penalties(logits, counts, presence, frequency,
+                                     repetition)
+        if bias_pack is not None:
+            bias_ids, bias_vals = bias_pack
+            logits = logits.astype(jnp.float32).at[
+                iota_b[:, None], bias_ids].add(bias_vals)
+        if mask is not None:
+            from ..ops.sampling import apply_token_bitmask
+            logits = apply_token_bitmask(logits, mask)
+        toks = sample(logits, SamplingTensors(
+            temperature=temp, top_p=top_p, top_k=topk, seed=seeds,
+            step=stepctr, min_p=min_p),
+            greedy_only=greedy_only).astype(jnp.int32)
+        toks = _masked_psum(toks, stage == pp - 1, "pipe")
+        if counts is not None:
+            counts = counts.at[iota_b, toks].add(1)
+        ys = jnp.stack([toks, jnp.full_like(toks, -1)])   # no victims
+        if logprobs_l > 0:
+            lp = jax.nn.log_softmax(logits.astype(jnp.float32))
+            tv, ti = jax.lax.top_k(lp, logprobs_l)
+            chosen = lp[iota_b, toks]
+            lp_row = jnp.concatenate(
+                [tv, ti.astype(jnp.float32), chosen[:, None]], axis=1)
+            lp_row = _masked_psum(lp_row, stage == pp - 1, "pipe")
+            ys = (ys, lp_row)
+        return (caches, toks, counts), ys
+
+    init = (caches, tok0, token_counts)
+    xs = plan_pack if mask_pack is None else (plan_pack, mask_pack)
+    (caches, tok_end, _counts), ys = jax.lax.scan(body, init, xs)
+    lp_pack = None
+    if logprobs_l > 0:
+        ys, lp_pack = ys
+    out_pack = jnp.swapaxes(ys, 0, 1)
+    new_state = jnp.concatenate([
+        state_pack[:, :p + 2], tok_end[:, None],
+        state_pack[:, p + 3:]], axis=1)
+    return caches, page_scores, out_pack, new_state, lp_pack
+
+
+def pp_prefill_wave_mamba(runner, params, caches, h0, q_len, slot):
+    """Single-microbatch prefill wave for the Mamba trunk: stage s is the
+    wave front at tick s; inactive stages run the same mixer math with
+    their state writes steered to the trash slot.  Returns (hidden after
+    all layers on the LAST stage, caches)."""
+    pp = runner.pp
+    stage = jax.lax.axis_index("pipe")
+    trash = runner.cache_engine.trash_page
+    h_buf = h0   # meaningful on stage 0 only
+
+    def tick(carry, t):
+        h_buf, caches = carry
+        active = t == stage
+        s_eff = jnp.where(active, slot, trash)
+        h_out, caches = runner.model.forward_prefill_layers(
+            params, h_buf, q_len, s_eff, caches)
+        h_out = h_out.astype(h_buf.dtype)
+        keep = jnp.where(active, h_out, h_buf)
+        h_next = jax.lax.ppermute(
+            keep, "pipe", [(i, i + 1) for i in range(pp - 1)])
+        h_buf = jnp.where((stage == pp - 1) & (t == pp - 1), keep, h_next)
+        return (h_buf, caches), None
+
+    (h_buf, caches), _ = jax.lax.scan(tick, (h_buf, caches),
+                                      jnp.arange(pp))
+    return h_buf, caches
+
+
 def pp_prefill_wave(runner, params, caches, h0, positions, attn_fn_factory,
                     lora_idx=None):
     """Run one prompt through the staged layers: a single-microbatch wave.

@@ -537,9 +537,12 @@ class ModelRunner:
         import functools
         key = (greedy, logprobs_l)
         if key not in self._decode_window_jits:
-            body = (self._decode_window_mamba if self.is_mamba
-                    else self._decode_window_pp if self.pp > 1
-                    else self._decode_window)
+            if self.is_mamba:
+                body = (self._decode_window_mamba_pp if self.pp > 1
+                        else self._decode_window_mamba)
+            else:
+                body = (self._decode_window_pp if self.pp > 1
+                        else self._decode_window)
             self._decode_window_jits[key] = jax.jit(
                 functools.partial(body, greedy_only=greedy,
                                   logprobs_l=logprobs_l),
@@ -845,7 +848,9 @@ class ModelRunner:
         fn = self._prefill_plain_jits.get(("mamba",) + key)
         if fn is None:
             import functools
-            fn = jax.jit(functools.partial(self._prefill_mamba,
+            base = (self._prefill_mamba_pp if self.pp > 1
+                    else self._prefill_mamba)
+            fn = jax.jit(functools.partial(base,
                                            greedy_only=greedy,
                                            logprobs_l=logprobs_l),
                          donate_argnums=(1, 2))
@@ -912,6 +917,83 @@ class ModelRunner:
             body, params, caches, page_scores, *rest,
             extra_out_specs=extra)
         return out if logprobs_l > 0 else (*out, None)
+
+    def _decode_window_mamba_pp(self, params, caches, page_scores,
+                                plan_pack, state_pack, f32_pack,
+                                token_counts=None, mask_pack=None,
+                                bias_pack=None, greedy_only=False,
+                                logprobs_l=0):
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.pipeline import pp_decode_window_body_mamba
+
+        def body(params, caches, page_scores, plan_pack, state_pack,
+                 f32_pack, token_counts, mask_pack=None, bias_pack=None):
+            out = pp_decode_window_body_mamba(
+                self, params, caches, page_scores, plan_pack, state_pack,
+                f32_pack, token_counts, mask_pack=mask_pack,
+                bias_pack=bias_pack, greedy_only=greedy_only,
+                logprobs_l=logprobs_l)
+            return out if logprobs_l > 0 else out[:4]
+
+        rest = [plan_pack, state_pack, f32_pack, token_counts]
+        if mask_pack is not None or bias_pack is not None:
+            import functools
+            body = functools.partial(body, mask_pack=mask_pack,
+                                     bias_pack=bias_pack)
+        extra = (P(), P()) + ((P(),) if logprobs_l > 0 else ())
+        out = self._pp_shard_call(
+            body, params, caches, page_scores, *rest,
+            extra_out_specs=extra)
+        return out if logprobs_l > 0 else (*out, None)
+
+    def _prefill_mamba_pp(self, params, caches, page_scores, batch,
+                          greedy_only=False, logprobs_l=0):
+        from jax.sharding import PartitionSpec as P
+
+        from ..models.mamba import _rms
+        from ..parallel.pipeline import (_masked_psum,
+                                         pp_prefill_wave_mamba)
+
+        def body(params, caches, page_scores, batch):
+            arch = self.model.arch
+            h0 = self.model.embed(params, batch["tokens"]).astype(
+                self.model.dtype)
+            h, caches = pp_prefill_wave_mamba(
+                self, params, caches, h0, batch["q_len"], batch["slot"])
+            stage = jax.lax.axis_index("pipe")
+            h_final = _rms(h, params["final_norm"], arch.layer_norm_eps)
+            last = h_final[batch["q_len"] - 1][None]
+            logits = self.model.logits(params, last)
+            if "bias_ids" in batch:
+                logits = logits.astype(jnp.float32).at[
+                    jnp.zeros(1, jnp.int32)[:, None],
+                    batch["bias_ids"][None]].add(batch["bias_vals"][None])
+            if "mask_words" in batch:
+                from ..ops.sampling import apply_token_bitmask
+                logits = apply_token_bitmask(logits,
+                                             batch["mask_words"][None])
+            tokens = sample(logits, self._sampling_tensors(batch),
+                            greedy_only=greedy_only).astype(jnp.int32)
+            tokens = _masked_psum(tokens, stage == self.pp - 1, "pipe")
+            if logprobs_l > 0:
+                lp = jax.nn.log_softmax(logits.astype(jnp.float32))
+                tv, ti = jax.lax.top_k(lp, logprobs_l)
+                chosen = lp[jnp.arange(1), tokens]
+                lp_row = jnp.concatenate(
+                    [tv, ti.astype(jnp.float32), chosen[:, None]],
+                    axis=1)[0]
+                lp_row = _masked_psum(lp_row, stage == self.pp - 1,
+                                      "pipe")
+                return caches, page_scores, tokens, lp_row
+            return caches, page_scores, tokens
+
+        extra = (P(),) + ((P(),) if logprobs_l > 0 else ())
+        out = self._pp_shard_call(body, params, caches, page_scores,
+                                  batch, extra_out_specs=extra)
+        if logprobs_l > 0:
+            return out
+        return (*out, None)
 
     def _finish_prefill_pp(self, params, caches, page_scores, batch,
                            attn_fn_factory, greedy_only, logprobs_l=0):

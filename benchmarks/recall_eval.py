@@ -484,6 +484,15 @@ def main() -> None:
     ap.add_argument("--train-steps", type=int, default=4000)
     ap.add_argument("--train-batch", type=int, default=64)
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--layers", type=int, default=None,
+                    help="override num_hidden_layers (trained mode only "
+                         "- the planted circuit is 2-layer by "
+                         "construction).  The image ships NO real "
+                         "checkpoints (verified: no *.safetensors/*.gguf "
+                         "outside test artifacts), so a 4-8 layer "
+                         "TRAINED model is the closest available source "
+                         "of realistic value-norm distributions for L2 "
+                         "scoring.")
     ap.add_argument("--block-size", type=int, default=16)
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
@@ -495,6 +504,8 @@ def main() -> None:
         params = build_constructed_params(model)
         train_acc = 1.0
     else:
+        if args.layers:
+            ARCH["num_hidden_layers"] = args.layers
         model = build_model()
         params, train_acc = train(
             model, steps=args.train_steps, batch=args.train_batch,

@@ -62,7 +62,9 @@ def main() -> None:
 
     start = time.perf_counter()
     n_done = 0
+    peak_running = 0
     while engine.has_unfinished_requests():
+        peak_running = max(peak_running, engine.scheduler.num_running)
         for out in engine.step():
             if out.finished:
                 n_done += 1
@@ -75,11 +77,15 @@ def main() -> None:
           f"{total_tokens / elapsed:.2f} total tokens/s, "
           f"{output_tokens / elapsed:.2f} output tokens/s")
     if args.json_out:
+        sched = engine.scheduler
         with open(args.json_out, "w") as f:
             json.dump({"elapsed": elapsed, "num_requests": args.num_prompts,
                        "total_tok_s": total_tokens / elapsed,
                        "output_tok_s": output_tokens / elapsed,
-                       "requests_s": args.num_prompts / elapsed}, f)
+                       "requests_s": args.num_prompts / elapsed,
+                       "peak_concurrent": peak_running,
+                       "preemptions": sched.num_preemptions,
+                       "pool_pages": sched.allocator.num_blocks}, f)
 
 
 if __name__ == "__main__":

@@ -179,3 +179,48 @@ class TestEngineStopStrings:
         assert o.text == full[:cut]
         assert o.finish_reason == "stop"
         assert stop not in o.text
+
+
+class TestSpNormalization:
+    """NormalizerSpec handling: nfkc-family names apply unicodedata NFKC
+    + NMT folds; remove_extra_whitespaces collapses runs.  llama-style
+    identity models pass text through untouched."""
+
+    def _tok(self, normalizer, remove_extra_ws, extra):
+        from vllm_paged_compression_tpu.engine.sp_tokenizer import (
+            parse_model_proto, serialize_model_proto,
+            SentencePieceTokenizer)
+        pieces = [("<unk>", 0.0, 2)]
+        pieces += [(f"<0x{b:02X}>", 0.0, BYTE) for b in range(256)]
+        pieces += [(p, s, NORMAL) for p, s in extra]
+        blob = serialize_model_proto(pieces, byte_fallback=True,
+                                     normalizer=normalizer,
+                                     remove_extra_ws=remove_extra_ws)
+        return SentencePieceTokenizer(parse_model_proto(blob))
+
+    def test_nfkc_folds_compatibility_codepoints(self):
+        tok = self._tok("nmt_nfkc", True, [("▁ﬁt", -1.0), ("▁fit", -1.5)])
+        # U+FB01 LATIN SMALL LIGATURE FI -> "fi" under NFKC, so the
+        # ligature input must hit the SAME piece as plain "fit".
+        assert tok.encode("ﬁt").ids == tok.encode("fit").ids
+
+    def test_nmt_space_family_folds_to_ascii_space(self):
+        tok = self._tok("nmt_nfkc", True, [("▁a", -1.0), ("▁b", -1.0)])
+        # NBSP / ideographic space / zero-width-joiner all normalize.
+        assert tok.encode("a b").ids == tok.encode("a b").ids
+        assert tok.encode("a　b").ids == tok.encode("a b").ids
+        assert tok.encode("a‍b").ids == tok.encode("ab").ids
+
+    def test_remove_extra_whitespaces_collapses_runs(self):
+        tok = self._tok("nmt_nfkc", True, [("▁a", -1.0), ("▁b", -1.0)])
+        assert tok.encode("  a   b  ").ids == tok.encode("a b").ids
+
+    def test_identity_preserves_text(self):
+        tok = self._tok("identity", False, [("▁a", -1.0), ("▁b", -1.0)])
+        # Double space must stay two pieces under identity.
+        assert tok.encode("a  b").ids != tok.encode("a b").ids
+        assert tok.encode("ﬁ").ids != tok.encode("fi").ids
+
+    def test_nfkc_cf_casefolds(self):
+        tok = self._tok("nmt_nfkc_cf", True, [("▁abc", -1.0)])
+        assert tok.encode("ABC").ids == tok.encode("abc").ids

@@ -262,6 +262,24 @@ def test_fused_decode_quant_matches_reference(qdtype, zero, hkv):
     np.testing.assert_array_equal(np.asarray(vc1.s), np.asarray(vc2.s))
 
 
+def test_fused_decode_quant_strip_dma_fallback(monkeypatch):
+    """Aligned pools whose scale planes exceed the VMEM residency limit
+    must take the per-chunk strip-DMA path and still match the oracle."""
+    from vllm_paged_compression_tpu.ops.pallas import fused_decode as fd
+    monkeypatch.setattr(fd, "_RESIDENT_LIMIT", 0)
+    rng = np.random.default_rng(11)
+    (fused, ref_fn, q, kn, vn, kc, vc, tables, kv_lens,
+     slots) = _fused_setup(rng, hkv=8, d=128, h=8)
+    kcq, vcq = _quantize_pools(kc, vc, jnp.int8)
+    o1, kc1, vc1 = fused(q, kn, vn, kcq, vcq, 1, tables, kv_lens, slots,
+                         scale=0.125)
+    o2, kc2, vc2 = ref_fn(q, kn, vn, kcq, vcq, 1, tables, kv_lens, slots,
+                          scale=0.125)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_array_equal(np.asarray(kc1.s), np.asarray(kc2.s))
+
+
 def test_fused_decode_quant_untouched_layer_intact():
     rng = np.random.default_rng(9)
     (fused, _, q, kn, vn, kc, vc, tables, kv_lens,

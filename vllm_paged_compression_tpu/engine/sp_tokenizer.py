@@ -10,10 +10,14 @@ and implement encode (BPE merge loop / unigram Viterbi) and decode in
 Python.  Reference surface: vllm/transformers_utils/tokenizer.py
 (get_tokenizer -> sentencepiece-backed slow tokenizers).
 
-Known approximation: NFKC-style normalization via the precompiled
-charsmap is not applied (ASCII/UTF-8 text passes through unchanged,
-which covers serving traffic; exotic compatibility codepoints may
-tokenize differently than libsentencepiece).
+Normalization: the NormalizerSpec's name + flags are honored — nfkc-family
+normalizers apply unicodedata NFKC (plus casefold for *_cf) and the
+documented NMT rules (control chars stripped, unicode spaces folded to
+ASCII space, ZWJ/ZWNJ/BOM removed), and remove_extra_whitespaces
+collapses runs.  The one remaining approximation: custom PRECOMPILED
+charsmaps (normalizers trained with user-supplied rules rather than the
+stock nfkc tables) are not decoded; stock checkpoints (llama/mistral
+use "identity" or "nmt_nfkc") match.
 """
 
 from __future__ import annotations
@@ -82,6 +86,8 @@ class SpModel:
     byte_fallback: bool = False
     add_dummy_prefix: bool = True
     unk_id: int = 0
+    normalizer: str = "nmt_nfkc"     # NormalizerSpec.name
+    remove_extra_ws: bool = True     # NormalizerSpec.remove_extra_whitespaces
 
 
 def parse_model_proto(data: bytes) -> SpModel:
@@ -107,9 +113,35 @@ def parse_model_proto(data: bytes) -> SpModel:
                     m.unk_id = tv
         elif fnum == 3:  # NormalizerSpec
             for nf, nw, nv in _fields(val):
-                if nf == 3:       # add_dummy_prefix
+                if nf == 1:       # name
+                    m.normalizer = nv.decode("utf-8", "replace")
+                elif nf == 3:     # add_dummy_prefix
                     m.add_dummy_prefix = bool(nv)
+                elif nf == 4:     # remove_extra_whitespaces
+                    m.remove_extra_ws = bool(nv)
     return m
+
+
+# NMT normalization rules (sentencepiece builder.cc BuildNmtNFKCMap):
+# control characters are dropped, the unicode space family folds to
+# ASCII space, and zero-width joiners/BOM are removed.
+_NMT_TO_SPACE = {0x0009, 0x000A, 0x000D, 0x0085, 0x00A0, 0x1680, 0x2028,
+                 0x2029, 0x202F, 0x205F, 0x3000} \
+    | set(range(0x2000, 0x200B))
+_NMT_REMOVE = ({0x000B, 0x007F, 0x008F, 0x009F, 0x00AD, 0x200C, 0x200D,
+                0x200E, 0x200F, 0xFEFF, 0xFFFD}
+               | set(range(0x0001, 0x0009))
+               | set(range(0x000E, 0x0020)))
+
+
+def _nmt_fold(text: str) -> str:
+    out = []
+    for ch in text:
+        cp = ord(ch)
+        if cp in _NMT_REMOVE:
+            continue
+        out.append(" " if cp in _NMT_TO_SPACE else ch)
+    return "".join(out)
 
 
 # ---------------------------------------------------------------------------
@@ -206,6 +238,19 @@ class SentencePieceTokenizer:
     # -- internals ----------------------------------------------------------
 
     def _normalize(self, text: str) -> str:
+        name = self.model.normalizer
+        if "nfkc" in name:
+            import unicodedata
+            if name.startswith("nmt"):
+                text = _nmt_fold(text)
+            text = unicodedata.normalize("NFKC", text)
+            if name.endswith("_cf"):
+                text = text.casefold()
+        if self.model.remove_extra_ws:
+            # Collapse runs and strip edges (NormalizerSpec semantics).
+            while "  " in text:
+                text = text.replace("  ", " ")
+            text = text.strip(" ")
         text = text.replace(" ", WS)
         if self.model.add_dummy_prefix:
             text = WS + text
@@ -336,7 +381,9 @@ def _ld(fnum: int, payload: bytes) -> bytes:
 def serialize_model_proto(pieces: list[tuple[str, float, int]],
                           model_type: int = 1,
                           byte_fallback: bool = False,
-                          add_dummy_prefix: bool = True) -> bytes:
+                          add_dummy_prefix: bool = True,
+                          normalizer: str = "identity",
+                          remove_extra_ws: bool = False) -> bytes:
     out = bytearray()
     for piece, score, ptype in pieces:
         body = (_ld(1, piece.encode("utf-8"))
@@ -346,6 +393,8 @@ def serialize_model_proto(pieces: list[tuple[str, float, int]],
     trainer = (_varint((3 << 3) | 0) + _varint(model_type)
                + _varint((35 << 3) | 0) + _varint(int(byte_fallback)))
     out += _ld(2, trainer)
-    norm = _varint((3 << 3) | 0) + _varint(int(add_dummy_prefix))
+    norm = (_ld(1, normalizer.encode("utf-8"))
+            + _varint((3 << 3) | 0) + _varint(int(add_dummy_prefix))
+            + _varint((4 << 3) | 0) + _varint(int(remove_extra_ws)))
     out += _ld(3, norm)
     return bytes(out)

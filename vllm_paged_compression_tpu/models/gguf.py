@@ -347,7 +347,11 @@ def tokenizer_from_gguf_meta(meta: dict):
                 model_type=1, byte_fallback=any(t == 6 for t in types),
                 add_dummy_prefix=True,
                 unk_id=int(meta.get("tokenizer.ggml.unknown_token_id",
-                                    0)))
+                                    0)),
+                # llama-family spm ships the identity normalizer with
+                # remove_extra_whitespaces off; GGUF metadata does not
+                # carry the NormalizerSpec, so mirror that convention.
+                normalizer="identity", remove_extra_ws=False)
     return SentencePieceTokenizer(m)
 
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -111,6 +112,43 @@ def main() -> None:
     import bench
     cfg = bench.ARCHS[args.bench_model]
     results = []
+    if len(args.input_lens) > 1 \
+            and os.environ.get("VPC_SWEEP_INPROC") != "1":
+        # One subprocess per point: consecutive engine inits in one
+        # process accumulate not-yet-freed HBM and crash the TPU worker
+        # around the 5th init (reproduced twice at the 16k/32k points).
+        import subprocess
+        for il in args.input_lens:
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--bench-model", args.bench_model,
+                   "--input-lens", str(il),
+                   "--output-len", str(args.output_len),
+                   "--budget-frac", str(args.budget_frac),
+                   "--kv-dtype", args.kv_dtype,
+                   "--num-scheduler-steps",
+                   str(args.num_scheduler_steps)]
+            if args.quantization:
+                cmd += ["--quantization", args.quantization]
+            p = subprocess.run(cmd, capture_output=True, text=True,
+                               cwd=os.path.dirname(os.path.dirname(
+                                   os.path.abspath(__file__))))
+            line = [ln for ln in p.stdout.splitlines()
+                    if ln.startswith("{")]
+            if p.returncode != 0 or not line:
+                print(f"# point input_len={il} failed (rc="
+                      f"{p.returncode}):\n{p.stderr[-2000:]}",
+                      file=sys.stderr, flush=True)
+                continue
+            r = json.loads(line[-1])
+            print(json.dumps(r), flush=True)
+            results.append(r)
+        if args.json_out:
+            with open(args.json_out, "w") as f:
+                json.dump({"model": args.bench_model,
+                           "kv_dtype": args.kv_dtype,
+                           "budget_frac": args.budget_frac,
+                           "points": results}, f, indent=1)
+        return
     for il in args.input_lens:
         budget = max(int(il * args.budget_frac) // 16 * 16, 128)
         r = run_point(cfg, il, args.output_len, budget, args.kv_dtype,

@@ -262,6 +262,23 @@ def test_fused_decode_quant_matches_reference(qdtype, zero, hkv):
     np.testing.assert_array_equal(np.asarray(vc1.s), np.asarray(vc2.s))
 
 
+def test_fused_decode_quant_unaligned_pool_pages():
+    """Pool page counts that are not sublane-tile multiples (e.g. 26)
+    must work in resident mode — an unpadded [130, cpp] VMEM scale
+    plane faulted real v5e hardware (the scale views pad to 8 rows)."""
+    rng = np.random.default_rng(12)
+    (fused, ref_fn, q, kn, vn, kc, vc, tables, kv_lens,
+     slots) = _fused_setup(rng, pool=26, hkv=8, d=128, h=8)
+    kcq, vcq = _quantize_pools(kc, vc, jnp.int8)
+    o1, kc1, vc1 = fused(q, kn, vn, kcq, vcq, 1, tables, kv_lens, slots,
+                         scale=0.125)
+    o2, kc2, vc2 = ref_fn(q, kn, vn, kcq, vcq, 1, tables, kv_lens, slots,
+                          scale=0.125)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_array_equal(np.asarray(kc1.s), np.asarray(kc2.s))
+
+
 def test_fused_decode_quant_strip_dma_fallback(monkeypatch):
     """Aligned pools whose scale planes exceed the VMEM residency limit
     must take the per-chunk strip-DMA path and still match the oracle."""

@@ -425,9 +425,17 @@ def _fused_quant(q, k_new, v_new, kc_all, vc_all, layer, tables, kv_lens,
     # scoped) next to the chunk buffers — true for every realistic pool
     # (a 16 GiB chip's fp8 8B pool is ~1k pages = 1 MB of planes).
     resident = aligned and num_pages * cpp * 4 * 2 <= _RESIDENT_LIMIT
+    np_pad = _round_up(num_pages, 8)
     if aligned:
         ks_flat = ks_pool.reshape(num_layers, num_pages, cpp)
         vs_flat = vs_pool.reshape(num_layers, num_pages, cpp)
+        if resident and np_pad != num_pages:
+            # The VMEM plane's sublane (page) axis must be a tile
+            # multiple: a 130-page pool's [130, cpp] plane DMA faults
+            # the chip (reproduced on v5e; 128-page pools were fine).
+            pad = ((0, 0), (0, np_pad - num_pages), (0, 0))
+            ks_flat = jnp.pad(ks_flat, pad)
+            vs_flat = jnp.pad(vs_flat, pad)
     else:
         cpp_pad = _round_up(cpp, 128)
         pad = ((0, 0), (0, 0), (0, 0), (0, cpp_pad - cpp))
@@ -477,11 +485,11 @@ def _fused_quant(q, k_new, v_new, kc_all, vc_all, layer, tables, kv_lens,
         scratch_shapes=[
             pltpu.VMEM((2, ppb, page_size, num_kv, d), kc_all.q.dtype),
             pltpu.VMEM((2, ppb, page_size, num_kv, d), vc_all.q.dtype),
-            (pltpu.VMEM((num_pages, cpp), jnp.float32) if resident
+            (pltpu.VMEM((np_pad, cpp), jnp.float32) if resident
              else pltpu.VMEM((2, 1, ppb * cpp), jnp.float32) if aligned
              else pltpu.VMEM((2, ppb, 1, _round_up(cpp, 128)),
                              jnp.float32)),                 # K scales
-            (pltpu.VMEM((num_pages, cpp), jnp.float32) if resident
+            (pltpu.VMEM((np_pad, cpp), jnp.float32) if resident
              else pltpu.VMEM((2, 1, ppb * cpp), jnp.float32) if aligned
              else pltpu.VMEM((2, ppb, 1, _round_up(cpp, 128)),
                              jnp.float32)),                 # V scales

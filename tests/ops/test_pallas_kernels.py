@@ -264,8 +264,8 @@ def test_fused_decode_quant_matches_reference(qdtype, zero, hkv):
 
 def test_fused_decode_quant_unaligned_pool_pages():
     """Pool page counts that are not sublane-tile multiples (e.g. 26)
-    must work in resident mode — an unpadded [130, cpp] VMEM scale
-    plane faulted real v5e hardware (the scale views pad to 8 rows)."""
+    must work — a VMEM-resident [130, cpp] scale plane faulted real
+    v5e hardware before the XLA-side pre-gather design."""
     rng = np.random.default_rng(12)
     (fused, ref_fn, q, kn, vn, kc, vc, tables, kv_lens,
      slots) = _fused_setup(rng, pool=26, hkv=8, d=128, h=8)
@@ -280,10 +280,11 @@ def test_fused_decode_quant_unaligned_pool_pages():
 
 
 def test_fused_decode_quant_strip_dma_fallback(monkeypatch):
-    """Aligned pools whose scale planes exceed the VMEM residency limit
-    must take the per-chunk strip-DMA path and still match the oracle."""
+    """Aligned configs whose pre-gathered scale block would exceed the
+    VMEM limit must take the per-chunk strip-DMA path and still match
+    the oracle."""
     from vllm_paged_compression_tpu.ops.pallas import fused_decode as fd
-    monkeypatch.setattr(fd, "_RESIDENT_LIMIT", 0)
+    monkeypatch.setattr(fd, "_GATHER_LIMIT", 0)
     rng = np.random.default_rng(11)
     (fused, ref_fn, q, kn, vn, kc, vc, tables, kv_lens,
      slots) = _fused_setup(rng, hkv=8, d=128, h=8)

@@ -39,9 +39,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -2.0**30
 
-# VMEM bytes the quant kernel may spend keeping both scale planes
-# resident (tests shrink this to force the strip-DMA fallback).
-_RESIDENT_LIMIT = 8 * 1024 * 1024
+# VMEM bytes one sequence's pre-gathered scale-strip block may occupy
+# (tests shrink this to force the strip-DMA fallback).  4 MB covers a
+# 256k-token budget at ps=16/Hkv=8.
+_GATHER_LIMIT = 4 * 1024 * 1024
 
 
 def _round_up(x: int, m: int) -> int:
@@ -183,7 +184,7 @@ def _fused_kernel_quant(layer_ref, tables_ref, lens_ref, starts_ref,
                         m_ref, l_ref, acc_ref, *,
                         scale: float, page_size: int, num_kv_heads: int,
                         group: int, softcap, ppb: int, zero_writes: bool,
-                        resident: bool):
+                        smode: str):
     """Quantized-KV (int8/fp8) fused write+attend variant.
 
     Differences from _fused_kernel:
@@ -199,21 +200,24 @@ def _fused_kernel_quant(layer_ref, tables_ref, lens_ref, starts_ref,
       which the reference cannot do at all (it rejects fp8 KV +
       eviction, torch_cuda_sdpa.py:769-772).
 
-    Three static layouts:
-    - aligned + resident (every production shape): the CURRENT LAYER's
-      whole scale planes ([NP, ps·Hkv] f32, ~512 B/page) are DMA'd into
-      VMEM ONCE at grid step 0; chunks assemble their [1, cols] strip
-      from VMEM row reads.  Without this the per-page 512-byte scale
-      DMAs dominate at scale — measured 16 tok/s at a 16k-token budget
-      (65k tiny DMAs per token) vs ~flat bf16 throughput.
-    - aligned, plane too big for VMEM (>8 MB): per-page scale strips
-      DMA'd alongside the value pages into 128-aligned offsets of a
-      [1, cols] buffer; chunk processing identical.
-    - unaligned (ps·Hkv = 64 test shapes): per-page [1, cpp_pad]
+    Three static scale layouts (smode):
+    - "gather" (every production shape): the caller PRE-GATHERS each
+      sequence's per-chunk scale strips by block table on the XLA side
+      ([B, n_ch, 1, cols] f32) and they stream in as a normal BlockSpec
+      input — zero in-kernel scale DMAs or gathers.  The two rejected
+      designs both showed per-page costs dwarfing the halved KV bytes:
+      per-page 512-byte scale DMAs ran 65k tiny DMAs/token at a
+      16k-token budget (16 tok/s), and VMEM-resident planes with
+      per-chunk dynamic row reads + lane concats cost ~2.4 us/page/layer
+      (50 tok/s at a 2k budget vs bf16's 99).
+    - "strip" (aligned, pre-gathered block too big for VMEM): per-page
+      scale strips DMA'd alongside the value pages into 128-aligned
+      offsets of a [1, cols] buffer; chunk processing identical.
+    - "page" (ps·Hkv % 128 != 0 test shapes): per-page [1, cpp_pad]
       buffers (Mosaic rejects sub-128 lane-dim ref slices) and per-page
       softmax updates.  Correct but serial — measured 3.2x slower at
       equal page count.
-    Either aligned form runs the chunk as ONE [H, cols] matmul + ONE
+    "gather"/"strip" run the chunk as ONE [H, cols] matmul + ONE
     softmax update + ONE PV matmul — same op count as the bf16 kernel.
     """
     del kc_in, vc_in
@@ -231,17 +235,6 @@ def _fused_kernel_quant(layer_ref, tables_ref, lens_ref, starts_ref,
     @pl.when(b == 0)
     def _():
         zbuf[:] = jnp.zeros_like(zbuf)
-        if resident:
-            # Pull this layer's full scale planes into VMEM once; every
-            # grid step (batch row) reads them in place.
-            ksc = pltpu.make_async_copy(ks_ref.at[lay], ksbuf,
-                                        csem.at[0, 2, 0])
-            vsc = pltpu.make_async_copy(vs_ref.at[lay], vsbuf,
-                                        csem.at[0, 3, 0])
-            ksc.start()
-            vsc.start()
-            ksc.wait()
-            vsc.wait()
 
     slot = slots_ref[b]
     pg_w = slot // ps
@@ -281,7 +274,7 @@ def _fused_kernel_quant(layer_ref, tables_ref, lens_ref, starts_ref,
                 kc_ref.at[lay, pg], kbuf.at[tog, j], csem.at[tog, 0, j]))
             out.append(pltpu.make_async_copy(
                 vc_ref.at[lay, pg], vbuf.at[tog, j], csem.at[tog, 1, j]))
-            if resident:
+            if smode == "gather":
                 continue
             if aligned:
                 ks_dst = ksbuf.at[tog, 0, pl.ds(j * cpp, cpp)]
@@ -335,14 +328,11 @@ def _fused_kernel_quant(layer_ref, tables_ref, lens_ref, starts_ref,
             # int8/fp8 values are exact in bf16 (<= 8 significand bits).
             k = kbuf[tog].reshape(cols, d).astype(q.dtype)
             v = vbuf[tog].reshape(cols, d).astype(q.dtype)
-            if resident:
-                # Assemble the chunk's scale strip from the VMEM-resident
-                # planes (128-aligned lane concat of the pages' rows).
-                pgs = [tables_ref[b, c * ppb + j] for j in range(ppb)]
-                ks = jnp.concatenate(
-                    [ksbuf[pl.ds(pg, 1), :] for pg in pgs], axis=1)
-                vs = jnp.concatenate(
-                    [vsbuf[pl.ds(pg, 1), :] for pg in pgs], axis=1)
+            if smode == "gather":
+                # Pre-gathered strips stream in via the BlockSpec: the
+                # chunk's [1, cols] row at a (cheap) major-dim index.
+                ks = ks_ref[0, c]
+                vs = vs_ref[0, c]
             else:
                 ks = ksbuf[tog]                            # [1, cols]
                 vs = vsbuf[tog]
@@ -415,35 +405,6 @@ def _fused_quant(q, k_new, v_new, kc_all, vc_all, layer, tables, kv_lens,
     if zero_slots is not None:
         ks_pool = ks_pool.at[lay_s, zero_slots].set(0.0, mode="drop")
         vs_pool = vs_pool.at[lay_s, zero_slots].set(0.0, mode="drop")
-    # Aligned configs (cpp % 128 == 0 — every production GQA shape) DMA
-    # page-scale rows straight into 128-aligned offsets of a [1, cols]
-    # strip; unaligned ones get per-page [1, cpp_pad] buffers (with the
-    # pool view lane-padded, since Mosaic rejects sub-128 lane-dim ref
-    # slices in DMAs).
-    aligned = cpp % 128 == 0
-    # Resident mode: both scale planes fit comfortably in VMEM (~16 MB
-    # scoped) next to the chunk buffers — true for every realistic pool
-    # (a 16 GiB chip's fp8 8B pool is ~1k pages = 1 MB of planes).
-    resident = aligned and num_pages * cpp * 4 * 2 <= _RESIDENT_LIMIT
-    np_pad = _round_up(num_pages, 8)
-    if aligned:
-        ks_flat = ks_pool.reshape(num_layers, num_pages, cpp)
-        vs_flat = vs_pool.reshape(num_layers, num_pages, cpp)
-        if resident and np_pad != num_pages:
-            # The VMEM plane's sublane (page) axis must be a tile
-            # multiple: a 130-page pool's [130, cpp] plane DMA faults
-            # the chip (reproduced on v5e; 128-page pools were fine).
-            pad = ((0, 0), (0, np_pad - num_pages), (0, 0))
-            ks_flat = jnp.pad(ks_flat, pad)
-            vs_flat = jnp.pad(vs_flat, pad)
-    else:
-        cpp_pad = _round_up(cpp, 128)
-        pad = ((0, 0), (0, 0), (0, 0), (0, cpp_pad - cpp))
-        ks_flat = jnp.pad(
-            ks_pool.reshape(num_layers, num_pages, 1, cpp), pad)
-        vs_flat = jnp.pad(
-            vs_pool.reshape(num_layers, num_pages, 1, cpp), pad)
-
     h = _round_up(h_orig, 8)
     if h != h_orig:
         q = jnp.pad(q, ((0, 0), (0, h - h_orig), (0, 0)))
@@ -454,6 +415,31 @@ def _fused_quant(q, k_new, v_new, kc_all, vc_all, layer, tables, kv_lens,
     pad_w = n_ch * ppb - p
     if pad_w:
         tables = jnp.pad(tables, ((0, 0), (0, pad_w)), mode="edge")
+
+    # Scale delivery mode (kernel docstring): "gather" pre-assembles each
+    # sequence's per-chunk scale strips by table on the XLA side and
+    # streams them as a BlockSpec input; "strip" DMAs per-page rows into
+    # a [1, cols] buffer in-kernel; "page" is the unaligned fallback.
+    aligned = cpp % 128 == 0
+    cols = ppb * cpp
+    smode = ("gather" if aligned and n_ch * cols * 4 <= _GATHER_LIMIT
+             else "strip" if aligned else "page")
+    if smode == "gather":
+        def strip(pool):   # [L, NP*ps, Hkv] -> [B, n_ch, 1, cols]
+            plane = pool[lay_s].reshape(num_pages, cpp)
+            return plane[tables].reshape(b, n_ch, 1, cols)
+        ks_flat = strip(ks_pool)
+        vs_flat = strip(vs_pool)
+    elif smode == "strip":
+        ks_flat = ks_pool.reshape(num_layers, num_pages, cpp)
+        vs_flat = vs_pool.reshape(num_layers, num_pages, cpp)
+    else:
+        cpp_pad = _round_up(cpp, 128)
+        pad = ((0, 0), (0, 0), (0, 0), (0, cpp_pad - cpp))
+        ks_flat = jnp.pad(
+            ks_pool.reshape(num_layers, num_pages, 1, cpp), pad)
+        vs_flat = jnp.pad(
+            vs_pool.reshape(num_layers, num_pages, 1, cpp), pad)
 
     zero_writes = zero_slots is not None
     if zero_slots is None:
@@ -474,8 +460,14 @@ def _fused_quant(q, k_new, v_new, kc_all, vc_all, layer, tables, kv_lens,
             pl.BlockSpec((1, num_kv, d), q_map),       # vq_new
             pl.BlockSpec(memory_space=pltpu.ANY),      # kc.q
             pl.BlockSpec(memory_space=pltpu.ANY),      # vc.q
-            pl.BlockSpec(memory_space=pltpu.ANY),      # ks flat
-            pl.BlockSpec(memory_space=pltpu.ANY),      # vs flat
+            (pl.BlockSpec((1, n_ch, 1, cols),
+                          lambda b_, *r: (b_, 0, 0, 0))
+             if smode == "gather"
+             else pl.BlockSpec(memory_space=pltpu.ANY)),   # K scales
+            (pl.BlockSpec((1, n_ch, 1, cols),
+                          lambda b_, *r: (b_, 0, 0, 0))
+             if smode == "gather"
+             else pl.BlockSpec(memory_space=pltpu.ANY)),   # V scales
         ],
         out_specs=[
             pl.BlockSpec((1, h, d), q_map),            # out
@@ -485,14 +477,16 @@ def _fused_quant(q, k_new, v_new, kc_all, vc_all, layer, tables, kv_lens,
         scratch_shapes=[
             pltpu.VMEM((2, ppb, page_size, num_kv, d), kc_all.q.dtype),
             pltpu.VMEM((2, ppb, page_size, num_kv, d), vc_all.q.dtype),
-            (pltpu.VMEM((np_pad, cpp), jnp.float32) if resident
-             else pltpu.VMEM((2, 1, ppb * cpp), jnp.float32) if aligned
+            (pltpu.VMEM((8, 128), jnp.float32) if smode == "gather"
+             else pltpu.VMEM((2, 1, cols), jnp.float32)
+             if smode == "strip"
              else pltpu.VMEM((2, ppb, 1, _round_up(cpp, 128)),
-                             jnp.float32)),                 # K scales
-            (pltpu.VMEM((np_pad, cpp), jnp.float32) if resident
-             else pltpu.VMEM((2, 1, ppb * cpp), jnp.float32) if aligned
+                             jnp.float32)),                 # K scale buf
+            (pltpu.VMEM((8, 128), jnp.float32) if smode == "gather"
+             else pltpu.VMEM((2, 1, cols), jnp.float32)
+             if smode == "strip"
              else pltpu.VMEM((2, ppb, 1, _round_up(cpp, 128)),
-                             jnp.float32)),                 # V scales
+                             jnp.float32)),                 # V scale buf
             pltpu.VMEM((num_kv, d), kc_all.q.dtype),   # zeros source
             pltpu.SemaphoreType.DMA((2, 4, ppb)),      # chunk DMAs
             pltpu.SemaphoreType.DMA((4,)),             # write DMAs
@@ -504,7 +498,7 @@ def _fused_quant(q, k_new, v_new, kc_all, vc_all, layer, tables, kv_lens,
     kern = functools.partial(
         _fused_kernel_quant, scale=scale, page_size=page_size,
         num_kv_heads=num_kv, group=group, softcap=softcap, ppb=ppb,
-        zero_writes=zero_writes, resident=resident)
+        zero_writes=zero_writes, smode=smode)
     kv_bytes = ((2 * p * page_size * num_kv * d
                  * jnp.dtype(kc_all.q.dtype).itemsize
                  + 2 * p * cpp * 4) * b)

@@ -217,9 +217,10 @@ def test_fused_decode_layout_variants(d, hkv):
     np.testing.assert_array_equal(np.asarray(vc1), np.asarray(vc2))
 
 
-def _quantize_pools(kc, vc, qdtype):
+def _quantize_pools(kc, vc, qdtype, sdtype=jnp.float32):
     """Quantize dense test pools into QuantKV row-by-row (same math as the
-    online path: per-(token, head) scales over head_dim)."""
+    online path: per-(token, head) scales over head_dim).  ``sdtype``
+    mirrors the cache engine's scale-pool dtype (bf16 in production)."""
     from vllm_paged_compression_tpu.ops.quant import (QuantKV,
                                                       quantize_kv_rows)
     L, pool, ps, hkv, d = kc.shape
@@ -227,7 +228,7 @@ def _quantize_pools(kc, vc, qdtype):
     def one(c):
         q, s = quantize_kv_rows(c.reshape(-1, hkv, d), qdtype)
         return QuantKV(q=q.reshape(L, pool, ps, hkv, d),
-                       s=s.reshape(L, pool, ps, hkv))
+                       s=s.reshape(L, pool, ps, hkv).astype(sdtype))
     return one(kc), one(vc)
 
 
@@ -265,11 +266,12 @@ def test_fused_decode_quant_matches_reference(qdtype, zero, hkv):
 def test_fused_decode_quant_unaligned_pool_pages():
     """Pool page counts that are not sublane-tile multiples (e.g. 26)
     must work — a VMEM-resident [130, cpp] scale plane faulted real
-    v5e hardware before the XLA-side pre-gather design."""
+    v5e hardware before the XLA-side pre-gather design.  Also covers
+    the production bf16 scale-pool dtype."""
     rng = np.random.default_rng(12)
     (fused, ref_fn, q, kn, vn, kc, vc, tables, kv_lens,
      slots) = _fused_setup(rng, pool=26, hkv=8, d=128, h=8)
-    kcq, vcq = _quantize_pools(kc, vc, jnp.int8)
+    kcq, vcq = _quantize_pools(kc, vc, jnp.int8, jnp.bfloat16)
     o1, kc1, vc1 = fused(q, kn, vn, kcq, vcq, 1, tables, kv_lens, slots,
                          scale=0.125)
     o2, kc2, vc2 = ref_fn(q, kn, vn, kcq, vcq, 1, tables, kv_lens, slots,

@@ -422,6 +422,7 @@ def _fused_quant(q, k_new, v_new, kc_all, vc_all, layer, tables, kv_lens,
     # a [1, cols] buffer in-kernel; "page" is the unaligned fallback.
     aligned = cpp % 128 == 0
     cols = ppb * cpp
+    sdt = kc_all.s.dtype
     smode = ("gather" if aligned and n_ch * cols * 4 <= _GATHER_LIMIT
              else "strip" if aligned else "page")
     if smode == "gather":
@@ -477,16 +478,16 @@ def _fused_quant(q, k_new, v_new, kc_all, vc_all, layer, tables, kv_lens,
         scratch_shapes=[
             pltpu.VMEM((2, ppb, page_size, num_kv, d), kc_all.q.dtype),
             pltpu.VMEM((2, ppb, page_size, num_kv, d), vc_all.q.dtype),
-            (pltpu.VMEM((8, 128), jnp.float32) if smode == "gather"
-             else pltpu.VMEM((2, 1, cols), jnp.float32)
+            (pltpu.VMEM((8, 128), sdt) if smode == "gather"
+             else pltpu.VMEM((2, 1, cols), sdt)
              if smode == "strip"
              else pltpu.VMEM((2, ppb, 1, _round_up(cpp, 128)),
-                             jnp.float32)),                 # K scale buf
-            (pltpu.VMEM((8, 128), jnp.float32) if smode == "gather"
-             else pltpu.VMEM((2, 1, cols), jnp.float32)
+                             sdt)),                         # K scale buf
+            (pltpu.VMEM((8, 128), sdt) if smode == "gather"
+             else pltpu.VMEM((2, 1, cols), sdt)
              if smode == "strip"
              else pltpu.VMEM((2, ppb, 1, _round_up(cpp, 128)),
-                             jnp.float32)),                 # V scale buf
+                             sdt)),                         # V scale buf
             pltpu.VMEM((num_kv, d), kc_all.q.dtype),   # zeros source
             pltpu.SemaphoreType.DMA((2, 4, ppb)),      # chunk DMAs
             pltpu.SemaphoreType.DMA((4,)),             # write DMAs

@@ -78,7 +78,7 @@ class EngineArgs:
         g.add_argument("--seed", type=int, default=0)
         g.add_argument("--max-model-len", type=int, default=8192)
         g.add_argument("--quantization", "-q", type=str, default=None,
-                       choices=["int8"])
+                       choices=["int8", "int4"])
 
         g = parser.add_argument_group("cache")
         g.add_argument("--block-size", type=int, default=16,

@@ -63,10 +63,25 @@ def main() -> None:
     # Warm: prefill + 2 decode windows compile everything.
     for _ in range(3):
         eng.step()
-    jax.profiler.start_trace(args.trace_dir)
-    for _ in range(args.windows):
-        eng.step()
-    jax.profiler.stop_trace()
+    if args.windows == 0:
+        # Prefill profile: finish the warm request, trace a fresh
+        # request's prefill step only.
+        while eng.has_unfinished_requests():
+            eng.step()
+        eng.add_request(request_id="p2",
+                        prompt_token_ids=rng.integers(
+                            1, 32000, size=args.input_len).tolist(),
+                        sampling_params=SamplingParams(
+                            temperature=0.0, max_tokens=4,
+                            ignore_eos=True))
+        jax.profiler.start_trace(args.trace_dir)
+        eng.step()          # the prefill
+        jax.profiler.stop_trace()
+    else:
+        jax.profiler.start_trace(args.trace_dir)
+        for _ in range(args.windows):
+            eng.step()
+        jax.profiler.stop_trace()
     seq = eng.scheduler.running[0] if eng.scheduler.running else None
     print(f"# traced {args.windows} windows x {num_steps} steps "
           f"(kv={args.kv_dtype}, budget={args.budget})")

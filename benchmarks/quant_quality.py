@@ -83,10 +83,43 @@ def main() -> None:
     base = [forward_logits(model, params, p) for p in prompts]
 
     leaves = ("wqkv", "wo", "w_gate_up", "w_down", "lm_head", "embed")
+
+    def quantize_lowmem(params, bits):
+        """quantize_params_tree semantics, but stacked [L, K, N] leaves
+        quantize one layer slice at a time — the whole-tree f32 temps
+        OOM a 16 GiB chip next to the live bf16 baseline params."""
+        from vllm_paged_compression_tpu.ops.quant import quantize_weight
+        from vllm_paged_compression_tpu.ops.pallas.int4_matmul import (
+            quantize_weight_int4)
+
+        def one(k, v):
+            if k == "embed":
+                return quantize_weight(v, axis=-1)
+            if bits == 4:
+                if v.ndim == 3:
+                    import jax
+                    per = [quantize_weight_int4(v[i])
+                           for i in range(v.shape[0])]
+                    return jax.tree.map(lambda *xs: jnp.stack(xs), *per)
+                return quantize_weight_int4(v)
+            if v.ndim == 3:
+                per = [quantize_weight(v[i], axis=-2)
+                       for i in range(v.shape[0])]
+                import jax
+                return jax.tree.map(lambda *xs: jnp.stack(xs), *per)
+            return quantize_weight(v, axis=-2)
+
+        def walk(node):
+            if isinstance(node, dict):
+                return {k: (one(k, v) if k in leaves
+                            and not isinstance(v, dict) else walk(v))
+                        for k, v in node.items()}
+            return node
+        return walk(params)
+
     results = []
     for q in args.quants:
-        qp = quantize_params_tree(params, leaves, model_dtype=jnp.bfloat16,
-                                  bits=4 if q == "int4" else 8)
+        qp = quantize_lowmem(params, 4 if q == "int4" else 8)
         agree, kls, dtop = [], [], []
         for p, bl in zip(prompts, base):
             ql = forward_logits(model, qp, p)

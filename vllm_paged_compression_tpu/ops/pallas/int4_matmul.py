@@ -137,18 +137,25 @@ def int4_matmul_ref(x: jnp.ndarray, w4: QuantizedWeight4,
 
 
 def _int4_body(x_lo, x_hi, p, s_row, z_row, o_ref, acc_ref, *,
-               n_k: int, gs: int):
+               n_k: int, gs: int, dequant_weights: bool = False):
     """Shared kernel body (plain and stacked wrappers strip the leading
     layer axis before calling).
 
-    Group-factored dequant: within a group the scale/zero are constant,
-    so  x @ ((q - z) * s) = (x @ q) * s - (Σ_k x) * (z * s).  The MXU
-    multiplies the RAW 4-bit values (exact in bf16) and the VPU applies
-    scale/zero to the [bm, bn] PARTIAL SUMS — O(M·N) elementwise work per
-    group instead of O(K·N).  The per-element path is only the 2-op
-    unpack + bf16 cast (uint8 zero-extends, no sign mask); the naive
-    per-element dequant was VPU-bound at ~100 GB/s effective, this form
-    measures ~470 GB/s on v5e at the 8B decode shapes.
+    Two dequant factorings, chosen by M (static):
+
+    - decode (M < 128), ``dequant_weights=False``: within a group the
+      scale/zero are constant, so x @ ((q - z) * s) = (x @ q) * s -
+      (Σ_k x) * (z * s).  The MXU multiplies the RAW 4-bit values
+      (exact in bf16) and the VPU applies scale/zero to the [bm, bn]
+      PARTIAL SUMS — O(M·N) work per group instead of O(K·N).  The
+      per-element path is only the 2-op unpack + bf16 cast; the naive
+      per-element dequant was VPU-bound at ~100 GB/s effective, this
+      form measures ~470 GB/s on v5e at the 8B decode shapes.
+    - prefill (M >= 128), ``dequant_weights=True``: the partial-sum
+      factoring costs O(M·N·G) VPU — ~1 ms/layer at M=1024 on the 8B
+      gate_up, pinning prefill at ~60% MFU (xplane, PROFILE_r03).
+      Dequantizing the weight TILE once per k-step is O(K·N) and
+      amortizes over all M rows (crossover at M ≈ 3·group/4 ≈ 96).
 
     ``gs`` groups are processed per k-step (bk = gs·group): fewer, larger
     DMAs (the packed tile row chunk is bn bytes; grid-step overhead
@@ -166,6 +173,29 @@ def _int4_body(x_lo, x_hi, p, s_row, z_row, o_ref, acc_ref, *,
     lo = (p & 0xF).astype(jnp.bfloat16)            # [bk, bn]
     hi = (p >> 4).astype(jnp.bfloat16)
     acc = acc_ref[:]
+    if dequant_weights:
+        for g in range(gs):
+            r_lo = (k * gs + g) % 8
+            r_hi = ((k + n_k) * gs + g) % 8
+            s_lo = s_row(0, r_lo).astype(jnp.bfloat16)   # [1, bn]
+            z_lo = z_row(0, r_lo).astype(jnp.bfloat16)
+            s_hi = s_row(1, r_hi).astype(jnp.bfloat16)
+            z_hi = z_row(1, r_hi).astype(jnp.bfloat16)
+            w_lo = (lo[g * GROUP:(g + 1) * GROUP, :] - z_lo) * s_lo
+            w_hi = (hi[g * GROUP:(g + 1) * GROUP, :] - z_hi) * s_hi
+            xl = x_lo[:, g * GROUP:(g + 1) * GROUP].astype(jnp.bfloat16)
+            xh = x_hi[:, g * GROUP:(g + 1) * GROUP].astype(jnp.bfloat16)
+            acc = (acc
+                   + jnp.dot(xl, w_lo, preferred_element_type=jnp.float32)
+                   + jnp.dot(xh, w_hi,
+                             preferred_element_type=jnp.float32))
+        acc_ref[:] = acc
+
+        @pl.when(k == n_k - 1)
+        def _():
+            o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+        return
+
     for g in range(gs):
         # Scale/zero 8-row tiles (f32 min sublane tile); ``s_row(which,
         # row)`` reads one row ref-side (pl.ds — value-level
@@ -195,7 +225,8 @@ def _int4_body(x_lo, x_hi, p, s_row, z_row, o_ref, acc_ref, *,
 
 
 def _int4_kernel(x_lo_ref, x_hi_ref, qp_ref, s_lo_ref, z_lo_ref,
-                 s_hi_ref, z_hi_ref, o_ref, acc_ref, *, n_k: int, gs: int):
+                 s_hi_ref, z_hi_ref, o_ref, acc_ref, *, n_k: int,
+                 gs: int, dequant_weights: bool = False):
     def s_row(which, r):
         return (s_hi_ref if which else s_lo_ref)[pl.ds(r, 1), :]
 
@@ -203,7 +234,8 @@ def _int4_kernel(x_lo_ref, x_hi_ref, qp_ref, s_lo_ref, z_lo_ref,
         return (z_hi_ref if which else z_lo_ref)[pl.ds(r, 1), :]
 
     _int4_body(x_lo_ref[:], x_hi_ref[:], qp_ref[:], s_row, z_row,
-               o_ref, acc_ref, n_k=n_k, gs=gs)
+               o_ref, acc_ref, n_k=n_k, gs=gs,
+               dequant_weights=dequant_weights)
 
 
 def _pick_gs(n_groups_half: int) -> int:
@@ -268,7 +300,8 @@ def int4_matmul_pallas(x: jnp.ndarray, w4: QuantizedWeight4,
     n_k = Kh // bk
 
     grid = (n_m, n_n, n_k)
-    kernel = functools.partial(_int4_kernel, n_k=n_k, gs=gs)
+    kernel = functools.partial(_int4_kernel, n_k=n_k, gs=gs,
+                               dequant_weights=bm >= 128)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -313,9 +346,9 @@ def _round_up(v: int, m: int) -> int:
 
 def _int4_kernel_stacked(li_ref, x_lo_ref, x_hi_ref, qp_ref, s_lo_ref,
                          z_lo_ref, s_hi_ref, z_hi_ref, o_ref, acc_ref, *,
-                         n_k: int, gs: int):
-    # Same group-factored body as _int4_kernel; the layer index only
-    # steers the DMAs (consumed by the BlockSpec index maps).
+                         n_k: int, gs: int, dequant_weights: bool = False):
+    # Same bodies as _int4_kernel; the layer index only steers the DMAs
+    # (consumed by the BlockSpec index maps).
     def s_row(which, r):
         return (s_hi_ref if which else s_lo_ref)[0, pl.ds(r, 1), :]
 
@@ -323,7 +356,8 @@ def _int4_kernel_stacked(li_ref, x_lo_ref, x_hi_ref, qp_ref, s_lo_ref,
         return (z_hi_ref if which else z_lo_ref)[0, pl.ds(r, 1), :]
 
     _int4_body(x_lo_ref[:], x_hi_ref[:], qp_ref[0], s_row, z_row,
-               o_ref, acc_ref, n_k=n_k, gs=gs)
+               o_ref, acc_ref, n_k=n_k, gs=gs,
+               dequant_weights=dequant_weights)
 
 
 @functools.partial(jax.jit, static_argnames=("group", "bn", "bm"))
@@ -349,7 +383,8 @@ def int4_matmul_stacked(x: jnp.ndarray, w4: QuantizedWeight4,
     bn = min(bn, bn_fit)
     n_k = Kh // bk
     grid = (pl.cdiv(M, bm), pl.cdiv(N, bn), n_k)
-    kernel = functools.partial(_int4_kernel_stacked, n_k=n_k, gs=gs)
+    kernel = functools.partial(_int4_kernel_stacked, n_k=n_k, gs=gs,
+                               dequant_weights=bm >= 128)
     li = jnp.asarray(layer, jnp.int32).reshape(1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

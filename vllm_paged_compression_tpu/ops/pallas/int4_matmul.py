@@ -169,6 +169,8 @@ def _int4_body(x_lo, x_hi, p, s_row, z_row, o_ref, acc_ref, *,
 
     # & 0xFF matches _unpack: uint8 zero-extends anyway, but a legacy
     # int8-packed array would sign-extend and corrupt the high nibble.
+    # (8-bit unpack was tried: Mosaic lowers neither u8->bf16 casts nor
+    # u8 shifts — the int32 hop is required.)
     p = p.astype(jnp.int32) & 0xFF
     lo = (p & 0xF).astype(jnp.bfloat16)            # [bk, bn]
     hi = (p >> 4).astype(jnp.bfloat16)
@@ -289,6 +291,7 @@ def int4_matmul_pallas(x: jnp.ndarray, w4: QuantizedWeight4,
     Kh, N = w4.qp.shape
     assert Kh * 2 == K, (K, Kh)
     assert Kh % group == 0, (Kh, group)
+    assert w4.qp.dtype == jnp.uint8, w4.qp.dtype
     if bm is None:
         # bf16 outputs need >= 16 sublanes per tile.
         bm = min(_round_up(M, 16), 256)
@@ -376,6 +379,7 @@ def int4_matmul_stacked(x: jnp.ndarray, w4: QuantizedWeight4,
     M, K = x.shape
     L, Kh, N = w4.qp.shape
     assert Kh * 2 == K and Kh % group == 0, (K, Kh, group)
+    assert w4.qp.dtype == jnp.uint8, w4.qp.dtype
     if bm is None:
         bm = min(_round_up(M, 16), 256)
     gs, bn_fit = _pick_tiles(Kh // group, N, bm, group)

@@ -89,8 +89,12 @@ def _prefill_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref,
         col = ik * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
         if ctx_cap:
             local = col - ctx_cap
-            mask = jnp.where(col < ctx_cap, col < ctx_len,
-                             (local <= row) & (local < kept_len))
+            # Boolean algebra, not jnp.where: Mosaic fails to legalize
+            # select_n over i1 vectors on real TPU (caught by the
+            # real-device run of the kernel suite).
+            is_ctx = col < ctx_cap
+            mask = ((is_ctx & (col < ctx_len))
+                    | (~is_ctx & (local <= row) & (local < kept_len)))
         else:
             mask = (col <= row) & (col < kept_len) & (col > row - winf)
         s = jnp.where(mask, s, _NEG_INF)

@@ -400,8 +400,14 @@ def _fused_quant(q, k_new, v_new, kc_all, vc_all, layer, tables, kv_lens,
     lay_s = jnp.asarray(layer, jnp.int32)
     ks_pool = kc_all.s.reshape(num_layers, num_pages * page_size, num_kv)
     vs_pool = vc_all.s.reshape(num_layers, num_pages * page_size, num_kv)
-    ks_pool = ks_pool.at[lay_s, slots].set(ks_rows, mode="drop")
-    vs_pool = vs_pool.at[lay_s, slots].set(vs_rows, mode="drop")
+    # Cast at the write site: scale pools may be bf16 (the chip-winning
+    # delivery mode) while quantize_kv_rows returns f32 — an implicit
+    # f32->bf16 scatter cast is a FutureWarning today, an error in
+    # future JAX.
+    ks_pool = ks_pool.at[lay_s, slots].set(
+        ks_rows.astype(ks_pool.dtype), mode="drop")
+    vs_pool = vs_pool.at[lay_s, slots].set(
+        vs_rows.astype(vs_pool.dtype), mode="drop")
     if zero_slots is not None:
         ks_pool = ks_pool.at[lay_s, zero_slots].set(0.0, mode="drop")
         vs_pool = vs_pool.at[lay_s, zero_slots].set(0.0, mode="drop")

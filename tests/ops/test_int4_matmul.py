@@ -166,3 +166,118 @@ class TestStackedKernel:
                 w4.qp[li], w4.s[li], w4.z[li])))
         np.testing.assert_allclose(np.asarray(scanned(x, w4)),
                                    np.asarray(h), rtol=2e-2, atol=8e-3)
+
+
+class TestPackedInt4:
+    """PackedInt4: the bf16 interleaved scale/offset stream (round 4).
+
+    Layout contract and kernel parity for both gs=8 and gs=4; numerics
+    modeled by dequantize_packed (bf16 s/zs, w = q*s - zs)."""
+
+    def _mk(self, K, N, L=None, seed=8):
+        from vllm_paged_compression_tpu.ops.pallas.int4_matmul import (
+            pack_int4_scales)
+        rng = np.random.default_rng(seed)
+        shape = (K, N) if L is None else (L, K, N)
+        w = rng.standard_normal(shape, dtype=np.float32) * 0.02
+        w4 = quantize_weight_int4(w)
+        return w, w4, pack_int4_scales(w4)
+
+    @pytest.mark.parametrize("k,gs", [(2048, 8), (1024, 4)])
+    def test_pack_layout_and_gs(self, k, gs):
+        from vllm_paged_compression_tpu.ops.pallas.int4_matmul import (
+            PackedInt4, packed_gs)
+        _, w4, p4 = self._mk(k, 256)
+        assert isinstance(p4, PackedInt4)
+        assert packed_gs(p4) == gs
+        n_half = k // 2 // GROUP
+        assert p4.sz.shape == ((n_half // gs) * 32, 256)
+        assert p4.sz.dtype == jnp.bfloat16
+        # row g of tile t is s[gs*t+g]; row 16+g is the hi-half scale
+        sz = np.asarray(p4.sz, np.float32)
+        s = np.asarray(w4.s, np.float32)
+        zs = s * np.asarray(w4.z, np.float32)
+        for t in range(n_half // gs):
+            for g in range(gs):
+                np.testing.assert_allclose(
+                    sz[32 * t + g], s[gs * t + g], rtol=1e-2)
+                np.testing.assert_allclose(
+                    sz[32 * t + 8 + g], zs[gs * t + g], rtol=1e-2,
+                    atol=1e-6)
+                np.testing.assert_allclose(
+                    sz[32 * t + 16 + g], s[n_half + gs * t + g],
+                    rtol=1e-2)
+                np.testing.assert_allclose(
+                    sz[32 * t + 24 + g], zs[n_half + gs * t + g],
+                    rtol=1e-2, atol=1e-6)
+
+    def test_small_or_odd_shapes_stay_unpacked(self):
+        from vllm_paged_compression_tpu.ops.pallas.int4_matmul import (
+            pack_int4_scales)
+        # K=256 -> group shrinks? no: group 128, n_half=1 -> gs=1 -> skip
+        w4 = quantize_weight_int4(np.zeros((256, 128), np.float32))
+        assert pack_int4_scales(w4) is w4
+
+    @pytest.mark.parametrize("m,k,n", [(1, 2048, 256), (16, 2048, 384),
+                                       (1, 1024, 256), (256, 2048, 256)])
+    def test_packed_kernel_matches_packed_oracle(self, m, k, n):
+        from vllm_paged_compression_tpu.ops.pallas.int4_matmul import (
+            int4_matmul_packed, int4_matmul_packed_ref)
+        rng = np.random.default_rng(9)
+        _, w4, p4 = self._mk(k, n)
+        x = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+        got = int4_matmul_packed(x, p4)
+        ref = int4_matmul_packed_ref(x, p4)
+        # atol covers the prefill factoring's extra bf16 rounding (the
+        # kernel rounds w = q*s - zs to bf16 per term; the oracle rounds
+        # once after the f32 subtraction).
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   rtol=3e-2, atol=2.5e-2)
+
+    def test_bf16_scales_close_to_f32_scales(self):
+        """The packed form's bf16 rounding stays well under int4
+        quantization noise."""
+        from vllm_paged_compression_tpu.ops.pallas.int4_matmul import (
+            dequantize_packed)
+        w, w4, p4 = self._mk(2048, 256)
+        wd_f32 = np.asarray(dequantize_int4(w4, dtype=jnp.float32))
+        wd_b = np.asarray(dequantize_packed(p4, dtype=jnp.float32))
+        s = np.repeat(np.asarray(w4.s), GROUP, axis=0)
+        # bf16 rounding of s/zs shifts each element by < one quant step
+        assert np.all(np.abs(wd_b - wd_f32) <= s + 1e-6)
+
+    def test_stacked_packed_view_dispatch(self):
+        from vllm_paged_compression_tpu.ops.pallas.int4_matmul import (
+            PackedInt4, StackedInt4View, int4_matmul_packed_ref,
+            int4_matmul_view)
+        rng = np.random.default_rng(10)
+        _, w4, p4 = self._mk(2048, 256, L=3)
+        assert isinstance(p4, PackedInt4)
+        x = jnp.asarray(rng.standard_normal((1, 2048)), jnp.bfloat16)
+        for li in range(3):
+            got = int4_matmul_view(x, StackedInt4View(p4, jnp.int32(li)))
+            ref = int4_matmul_packed_ref(
+                x, PackedInt4(qp=p4.qp[li], sz=p4.sz[li]))
+            np.testing.assert_allclose(np.asarray(got, np.float32),
+                                       np.asarray(ref, np.float32),
+                                       rtol=3e-2, atol=8e-3)
+
+    def test_quant_matmul_dispatches_packed(self):
+        _, w4, p4 = self._mk(2048, 256)
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.standard_normal((2, 3, 2048)), jnp.bfloat16)
+        y = matmul(x, p4)
+        assert y.shape == (2, 3, 256)
+
+    def test_quantize_params_tree_packs_eligible(self):
+        from vllm_paged_compression_tpu.ops.pallas.int4_matmul import (
+            PackedInt4)
+        from vllm_paged_compression_tpu.ops.quant import (
+            quantize_params_tree)
+        params = {"layers": {"w_big": np.zeros((2, 2048, 256), np.float32),
+                             "w_tiny": np.zeros((2, 64, 64), np.float32)},
+                  "other": np.ones((4,), np.float32)}
+        out = quantize_params_tree(params, ("w_big", "w_tiny"), bits=4)
+        assert isinstance(out["layers"]["w_big"], PackedInt4)
+        assert isinstance(out["layers"]["w_tiny"], QuantizedWeight4)

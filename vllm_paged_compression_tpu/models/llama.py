@@ -45,9 +45,9 @@ def _split_int4_stack(stack):
     of the layer's weights each step.  They are closed over instead and
     indexed in-kernel via scalar prefetch (StackedInt4View) — the kernel
     reads the stack in place at ~413 GB/s effective (v5e, 8B shapes)."""
-    from ..ops.pallas.int4_matmul import QuantizedWeight4
+    from ..ops.pallas.int4_matmul import PackedInt4, QuantizedWeight4
     big = {k: v for k, v in stack.items()
-           if isinstance(v, QuantizedWeight4)}
+           if isinstance(v, (QuantizedWeight4, PackedInt4))}
     if not big:
         return stack, None
     return {k: v for k, v in stack.items() if k not in big}, big
@@ -2381,7 +2381,8 @@ class LlamaModel:
         """Random weights directly in packed int4 (synthetic benchmarking;
         layout per ops.pallas.int4_matmul.QuantizedWeight4).  The embed
         table stays per-row int8 (consumed by gather, not matmul)."""
-        from ..ops.pallas.int4_matmul import GROUP, QuantizedWeight4
+        from ..ops.pallas.int4_matmul import (GROUP, QuantizedWeight4,
+                                              pack_int4_scales)
         from ..ops.quant import QuantizedWeight
         a = self.arch
         key_box = [jax.random.PRNGKey(seed)]
@@ -2393,13 +2394,19 @@ class LlamaModel:
         def qw4(*shape):
             k_in, n_out = shape[-2], shape[-1]
             packed = shape[:-2] + (k_in // 2, n_out)
-            gshape = shape[:-2] + (k_in // GROUP, n_out)
+            # Tiny (test-sized) models shrink the group the same way
+            # quantize_weight_int4 does, so the scale array is never
+            # empty and group_of stays well-defined.
+            group = GROUP
+            while k_in % group:
+                group //= 2
+            gshape = shape[:-2] + (k_in // group, n_out)
             key_box[0], sub = jax.random.split(key_box[0])
-            return QuantizedWeight4(
+            return pack_int4_scales(QuantizedWeight4(
                 qp=jax.random.randint(sub, packed, 0, 256,
                                       jnp.int32).astype(jnp.uint8),
                 s=jnp.full(gshape, 0.02 / 15, jnp.float32),
-                z=jnp.full(gshape, 8.0, jnp.float32))
+                z=jnp.full(gshape, 8.0, jnp.float32)))
 
         qkv_out = (a.num_heads + 2 * a.num_kv_heads) * a.head_dim
         layers = {

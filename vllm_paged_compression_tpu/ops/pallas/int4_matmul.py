@@ -101,6 +101,113 @@ def quantize_weight_int4(w, group: Optional[int] = None
                             z=zero.astype(jnp.float32))
 
 
+class PackedInt4(NamedTuple):
+    """Kernel-native int4 weight with a packed bf16 scale/offset stream.
+
+    The f32 s/z pair of QuantizedWeight4 costs 1/8 of the packed-weight
+    bytes per decode step (0.44 GB/token on the 8B — ~10% of all decode
+    HBM traffic, PROFILE_r03).  This form halves it: scales and the
+    pre-combined offsets zs = z*s are stored together as bf16 in
+    32-row tiles, one tile per kernel k-step, covering BOTH nibble
+    halves —
+
+        sz[..., 32*k +      g, :] = s [..., gs*k + g,            :]
+        sz[..., 32*k +  8 + g, :] = zs[..., gs*k + g,            :]
+        sz[..., 32*k + 16 + g, :] = s [..., n_half + gs*k + g, :]
+        sz[..., 32*k + 24 + g, :] = zs[..., n_half + gs*k + g, :]
+
+    (g < gs; n_half = n_groups/2 is where the high-nibble groups
+    start).  The kernel reads ONE (32, bn) tile per k-step with STATIC
+    row indices.  This shape dodges two measured failure modes:
+    - the round-2 bf16-scale attempt died on Mosaic's 8-aligned
+      dynamic-sublane-read constraint for sub-f32 dtypes; this layout
+      never issues a dynamic sublane read at all;
+    - passing the same scale array as two custom-call operands (lo+hi
+      maps) makes XLA materialize a per-call defensive copy of the
+      WHOLE stack — 58.7 MB per down-proj call, ~3.7 GB/token of pure
+      copy traffic on the 8B (xplane, round 4).  Pair-interleaving
+      lo/hi tiles needs only one operand.
+    Eligible when group == 128 and gs >= 4 (gs = groups per k-step,
+    see _pick_gs); at gs == 8 the stream halves vs f32 s/z.
+
+    qp: uint8 [..., K//2, N] (same packing as QuantizedWeight4)
+    sz: bf16 [..., (n_half // gs) * 32, N]
+    """
+
+    qp: jnp.ndarray
+    sz: jnp.ndarray
+
+
+def packed_gs(p4: PackedInt4) -> int:
+    """Groups per k-step baked into the sz layout."""
+    n_half = p4.qp.shape[-2] // GROUP
+    return 32 * n_half // p4.sz.shape[-2]
+
+
+def pack_int4_scales(w4: QuantizedWeight4):
+    """QuantizedWeight4 -> PackedInt4 when the kernel-eligible layout
+    applies; returns ``w4`` unchanged otherwise (small/odd shapes keep
+    the f32 path).  One-time transform at weight build — never inside a
+    step function (it would re-stream s/z every token)."""
+    Kh, N = w4.qp.shape[-2:]
+    if (w4.s.shape[-2] == 0 or group_of(w4) != GROUP or Kh % GROUP
+            or N % 128):
+        return w4
+    gs = _pick_gs(Kh // GROUP)
+    if gs < 4:
+        return w4
+    s = jnp.asarray(w4.s, jnp.float32)
+    zs = jnp.asarray(w4.z, jnp.float32) * s
+    lead = s.shape[:-2]
+    n_groups, _ = s.shape[-2:]
+    n_half = n_groups // 2
+    n_k = n_half // gs
+
+    def blocks(a, base):
+        b = a[..., base:base + n_half, :].reshape(*lead, n_k, gs, N)
+        if gs < 8:
+            b = jnp.pad(b, [(0, 0)] * (len(lead) + 1)
+                        + [(0, 8 - gs), (0, 0)])
+        return b
+
+    szt = jnp.concatenate([blocks(s, 0), blocks(zs, 0),
+                           blocks(s, n_half), blocks(zs, n_half)],
+                          axis=-2)                 # [..., n_k, 32, N]
+    return PackedInt4(qp=w4.qp,
+                      sz=szt.reshape(*lead, n_k * 32, N
+                                     ).astype(jnp.bfloat16))
+
+
+def dequantize_packed(p4: PackedInt4, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """[..., K, N] dense dequantization of the packed form — the oracle
+    models the kernel's numerics exactly: bf16 s/zs, w = q*s - zs."""
+    lo, hi = _unpack(p4.qp)
+    q = jnp.concatenate([lo, hi], axis=-2)         # [..., K, N]
+    K, N = q.shape[-2:]
+    lead = q.shape[:-2]
+    n_groups = K // GROUP
+    n_half = n_groups // 2
+    gs = 32 * n_half // p4.sz.shape[-2]
+    n_k = n_half // gs
+    szt = p4.sz.reshape(*lead, n_k, 32, N).astype(jnp.float32)
+
+    def rows(base):
+        b = szt[..., base:base + gs, :]            # [..., n_k, gs, N]
+        return b.reshape(*lead, n_half, 1, N)
+
+    s = jnp.concatenate([rows(0), rows(16)], axis=-3)
+    zs = jnp.concatenate([rows(8), rows(24)], axis=-3)
+    qg = q.reshape(*lead, n_groups, GROUP, N).astype(jnp.float32)
+    return (qg * s - zs).reshape(*lead, K, N).astype(dtype)
+
+
+def int4_matmul_packed_ref(x: jnp.ndarray, p4: PackedInt4) -> jnp.ndarray:
+    w = dequantize_packed(p4, jnp.bfloat16)
+    y = jnp.dot(x.astype(jnp.bfloat16), w,
+                preferred_element_type=jnp.float32)
+    return y.astype(x.dtype)
+
+
 def _unpack(qp: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """packed [K//2, N] -> (lo, hi) int32 in [0, 15].  uint8 storage is
     canonical; `& 0xFF` keeps legacy int8 arrays correct too."""
@@ -209,6 +316,71 @@ def _int4_body(x_lo, x_hi, p, s_row, z_row, o_ref, acc_ref, *,
         zs_lo = z_row(0, r_lo) * s_lo
         s_hi = s_row(1, r_hi)
         zs_hi = z_row(1, r_hi) * s_hi
+        xl = x_lo[:, g * GROUP:(g + 1) * GROUP].astype(jnp.bfloat16)
+        xh = x_hi[:, g * GROUP:(g + 1) * GROUP].astype(jnp.bfloat16)
+        qlo = lo[g * GROUP:(g + 1) * GROUP, :]
+        qhi = hi[g * GROUP:(g + 1) * GROUP, :]
+        y_lo = jnp.dot(xl, qlo, preferred_element_type=jnp.float32)
+        y_hi = jnp.dot(xh, qhi, preferred_element_type=jnp.float32)
+        xs_lo = jnp.sum(xl.astype(jnp.float32), axis=1, keepdims=True)
+        xs_hi = jnp.sum(xh.astype(jnp.float32), axis=1, keepdims=True)
+        acc = acc + (y_lo * s_lo - xs_lo * zs_lo
+                     + y_hi * s_hi - xs_hi * zs_hi)
+    acc_ref[:] = acc
+
+    @pl.when(k == n_k - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _int4_body_packed(x_lo, x_hi, p, sz, o_ref, acc_ref, *,
+                      n_k: int, gs: int, dequant_weights: bool = False):
+    """Kernel body for the PackedInt4 form.  Identical math to
+    _int4_body, but the scale/offset stream arrives as ONE bf16
+    (32, bn) tile per k-step: rows [0, gs) = s_lo, [8, 8+gs) = zs_lo,
+    [16, 16+gs) = s_hi, [24, 24+gs) = zs_hi — all statically indexed,
+    single operand (a duplicated operand costs XLA a defensive
+    whole-stack copy per call; see PackedInt4)."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    p = p.astype(jnp.int32)
+    lo = (p & 0xF).astype(jnp.bfloat16)            # [bk, bn]
+    hi = (p >> 4).astype(jnp.bfloat16)
+    acc = acc_ref[:]
+    if dequant_weights:
+        # Prefill factoring: dequantize the weight TILE once per k-step
+        # (O(K·N), amortized over all M rows); w = q*s - zs in bf16.
+        for g in range(gs):
+            s_lo = sz[g:g + 1, :]
+            zs_lo = sz[8 + g:9 + g, :]
+            s_hi = sz[16 + g:17 + g, :]
+            zs_hi = sz[24 + g:25 + g, :]
+            w_lo = lo[g * GROUP:(g + 1) * GROUP, :] * s_lo - zs_lo
+            w_hi = hi[g * GROUP:(g + 1) * GROUP, :] * s_hi - zs_hi
+            xl = x_lo[:, g * GROUP:(g + 1) * GROUP].astype(jnp.bfloat16)
+            xh = x_hi[:, g * GROUP:(g + 1) * GROUP].astype(jnp.bfloat16)
+            acc = (acc
+                   + jnp.dot(xl, w_lo, preferred_element_type=jnp.float32)
+                   + jnp.dot(xh, w_hi,
+                             preferred_element_type=jnp.float32))
+        acc_ref[:] = acc
+
+        @pl.when(k == n_k - 1)
+        def _():
+            o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+        return
+
+    # Decode factoring: MXU on raw nibbles, scale/offset on the [bm, bn]
+    # partial sums — x @ (q*s - zs) = (x @ q)*s - (Σ_k x)*zs per group.
+    for g in range(gs):
+        s_lo = sz[g:g + 1, :].astype(jnp.float32)
+        zs_lo = sz[8 + g:9 + g, :].astype(jnp.float32)
+        s_hi = sz[16 + g:17 + g, :].astype(jnp.float32)
+        zs_hi = sz[24 + g:25 + g, :].astype(jnp.float32)
         xl = x_lo[:, g * GROUP:(g + 1) * GROUP].astype(jnp.bfloat16)
         xh = x_hi[:, g * GROUP:(g + 1) * GROUP].astype(jnp.bfloat16)
         qlo = lo[g * GROUP:(g + 1) * GROUP, :]
@@ -347,6 +519,130 @@ def _round_up(v: int, m: int) -> int:
     return (v + m - 1) // m * m
 
 
+def _pick_bn_packed(gs: int, N: int, bm: int, group: int) -> int:
+    """bn for the packed path — gs is baked into the sz layout, so only
+    bn shrinks to fit the scoped-VMEM budget (same accounting as
+    _pick_tiles plus the sz tiles, which are noise)."""
+    bn = min(2048, N)
+    bk = group * gs
+    budget = 13 * 1024 * 1024
+    while bn > 256:
+        vmem = (2 * bk * bn + 4 * bk * bn + 4 * bm * bk * 2
+                + 4 * bm * bn + 4 * bm * bn + 2 * 2 * 16 * bn * 2)
+        if vmem <= budget:
+            break
+        bn //= 2
+    return bn
+
+
+def _int4_kernel_packed(x_lo_ref, x_hi_ref, qp_ref, sz_ref,
+                        o_ref, acc_ref, *, n_k: int, gs: int,
+                        dequant_weights: bool = False):
+    _int4_body_packed(x_lo_ref[:], x_hi_ref[:], qp_ref[:], sz_ref[:],
+                      o_ref, acc_ref, n_k=n_k, gs=gs,
+                      dequant_weights=dequant_weights)
+
+
+@functools.partial(jax.jit, static_argnames=("bn", "bm"))
+def int4_matmul_packed(x: jnp.ndarray, p4: PackedInt4, bn: int = 2048,
+                       bm: Optional[int] = None) -> jnp.ndarray:
+    """y = x @ dequant(p4) — PackedInt4 form (bf16 sz stream)."""
+    M, K = x.shape
+    Kh, N = p4.qp.shape
+    assert Kh * 2 == K, (K, Kh)
+    assert p4.qp.dtype == jnp.uint8, p4.qp.dtype
+    gs = packed_gs(p4)
+    if bm is None:
+        bm = min(_round_up(M, 16), 256)
+    bn = min(bn, _pick_bn_packed(gs, N, bm, GROUP))
+    bk = GROUP * gs
+    n_k = Kh // bk
+    grid = (pl.cdiv(M, bm), pl.cdiv(N, bn), n_k)
+    kernel = functools.partial(_int4_kernel_packed, n_k=n_k, gs=gs,
+                               dequant_weights=bm >= 128)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda m, n, k: (m, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, bk), lambda m, n, k, _h=n_k: (m, k + _h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda m, n, k: (k, n),
+                         memory_space=pltpu.VMEM),
+            # One 32-row sz tile per k-step (both halves), statically
+            # indexed — single operand by design (see PackedInt4).
+            pl.BlockSpec((32, bn), lambda m, n, k: (k, n),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda m, n, k: (m, n),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=Kh * N + M * K * 2 + M * N * 2,
+            transcendentals=0),
+        interpret=jax.default_backend() == "cpu",
+    )(x, x, p4.qp, p4.sz)
+
+
+def _int4_kernel_packed_stacked(li_ref, x_lo_ref, x_hi_ref, qp_ref,
+                                sz_ref, o_ref, acc_ref, *,
+                                n_k: int, gs: int,
+                                dequant_weights: bool = False):
+    _int4_body_packed(x_lo_ref[:], x_hi_ref[:], qp_ref[0], sz_ref[0],
+                      o_ref, acc_ref, n_k=n_k, gs=gs,
+                      dequant_weights=dequant_weights)
+
+
+@functools.partial(jax.jit, static_argnames=("bn", "bm"))
+def int4_matmul_stacked_packed(x: jnp.ndarray, p4: PackedInt4, layer,
+                               bn: int = 2048,
+                               bm: Optional[int] = None) -> jnp.ndarray:
+    """Layer-stacked PackedInt4 matmul (scalar-prefetch layer index, same
+    zero-copy contract as int4_matmul_stacked)."""
+    M, K = x.shape
+    L, Kh, N = p4.qp.shape
+    assert Kh * 2 == K, (K, Kh)
+    assert p4.qp.dtype == jnp.uint8, p4.qp.dtype
+    gs = packed_gs(p4)
+    if bm is None:
+        bm = min(_round_up(M, 16), 256)
+    bn = min(bn, _pick_bn_packed(gs, N, bm, GROUP))
+    bk = GROUP * gs
+    n_k = Kh // bk
+    grid = (pl.cdiv(M, bm), pl.cdiv(N, bn), n_k)
+    kernel = functools.partial(_int4_kernel_packed_stacked, n_k=n_k,
+                               gs=gs, dequant_weights=bm >= 128)
+    li = jnp.asarray(layer, jnp.int32).reshape(1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda m, n, k, li: (m, k)),
+            pl.BlockSpec((bm, bk),
+                         lambda m, n, k, li, _h=n_k: (m, k + _h)),
+            pl.BlockSpec((1, bk, bn),
+                         lambda m, n, k, li: (li[0], k, n)),
+            pl.BlockSpec((1, 32, bn),
+                         lambda m, n, k, li: (li[0], k, n)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda m, n, k, li: (m, n)),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=Kh * N + M * K * 2 + M * N * 2,
+            transcendentals=0),
+        interpret=jax.default_backend() == "cpu",
+    )(li, x, x, p4.qp, p4.sz)
+
+
 def _int4_kernel_stacked(li_ref, x_lo_ref, x_hi_ref, qp_ref, s_lo_ref,
                          z_lo_ref, s_hi_ref, z_hi_ref, o_ref, acc_ref, *,
                          n_k: int, gs: int, dequant_weights: bool = False):
@@ -440,19 +736,25 @@ class StackedInt4View:
         self.layer = layer
 
 
-def int4_matmul(x: jnp.ndarray, w4: QuantizedWeight4) -> jnp.ndarray:
+def int4_matmul(x: jnp.ndarray, w4) -> jnp.ndarray:
     """Dispatcher used by ops.quant.matmul: Pallas kernel when shapes are
-    tile-friendly, jnp oracle otherwise (tiny test models)."""
+    tile-friendly, jnp oracle otherwise (tiny test models).  Accepts
+    QuantizedWeight4 or PackedInt4 (pack_int4_scales only produces the
+    latter for kernel-eligible shapes, so PackedInt4 always hits the
+    kernel on TPU)."""
     orig_shape = x.shape
     if x.ndim > 2:
         x = x.reshape(-1, x.shape[-1])
     M, K = x.shape
     N = w4.qp.shape[1]
-    group = group_of(w4)
-    if group != GROUP or K // 2 % GROUP or N % 128:
-        y = int4_matmul_ref(x, w4, group)
+    if isinstance(w4, PackedInt4):
+        y = int4_matmul_packed(x, w4)
     else:
-        y = int4_matmul_pallas(x, w4, group)
+        group = group_of(w4)
+        if group != GROUP or K // 2 % GROUP or N % 128:
+            y = int4_matmul_ref(x, w4, group)
+        else:
+            y = int4_matmul_pallas(x, w4, group)
     return y.reshape(*orig_shape[:-1], N)
 
 
@@ -461,16 +763,20 @@ def int4_matmul_view(x: jnp.ndarray, view: StackedInt4View) -> jnp.ndarray:
     kernel when tile-friendly, per-layer slice + oracle otherwise."""
     w4 = view.w4
     L, Kh, N = w4.qp.shape
-    group = 2 * Kh // w4.s.shape[-2]
     orig_shape = x.shape
     if x.ndim > 2:
         x = x.reshape(-1, x.shape[-1])
-    if group == GROUP and Kh % GROUP == 0 and N % 128 == 0:
-        y = int4_matmul_stacked(x, w4, view.layer)
+    if isinstance(w4, PackedInt4):
+        y = int4_matmul_stacked_packed(x, w4, view.layer)
     else:
-        sliced = QuantizedWeight4(
-            qp=jax.lax.dynamic_index_in_dim(w4.qp, view.layer, 0, False),
-            s=jax.lax.dynamic_index_in_dim(w4.s, view.layer, 0, False),
-            z=jax.lax.dynamic_index_in_dim(w4.z, view.layer, 0, False))
-        y = int4_matmul(x, sliced)
+        group = 2 * Kh // w4.s.shape[-2]
+        if group == GROUP and Kh % GROUP == 0 and N % 128 == 0:
+            y = int4_matmul_stacked(x, w4, view.layer)
+        else:
+            sliced = QuantizedWeight4(
+                qp=jax.lax.dynamic_index_in_dim(w4.qp, view.layer, 0,
+                                                False),
+                s=jax.lax.dynamic_index_in_dim(w4.s, view.layer, 0, False),
+                z=jax.lax.dynamic_index_in_dim(w4.z, view.layer, 0, False))
+            y = int4_matmul(x, sliced)
     return y.reshape(*orig_shape[:-1], N)

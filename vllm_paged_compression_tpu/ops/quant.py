@@ -54,9 +54,10 @@ def matmul(x: jnp.ndarray,
         y = jnp.dot(x, w.q.astype(x.dtype),
                     preferred_element_type=jnp.float32)
         return (y * w.s).astype(x.dtype)
-    from .pallas.int4_matmul import (QuantizedWeight4, StackedInt4View,
-                                     int4_matmul, int4_matmul_view)
-    if isinstance(w, QuantizedWeight4):
+    from .pallas.int4_matmul import (PackedInt4, QuantizedWeight4,
+                                     StackedInt4View, int4_matmul,
+                                     int4_matmul_view)
+    if isinstance(w, (QuantizedWeight4, PackedInt4)):
         return int4_matmul(x, w)
     if isinstance(w, StackedInt4View):
         return int4_matmul_view(x, w)
@@ -120,8 +121,9 @@ def quantize_params_tree(params, leaf_names: tuple[str, ...],
         if k == "embed":
             return quantize_weight(v, axis=-1)
         if bits == 4:
-            from .pallas.int4_matmul import quantize_weight_int4
-            return quantize_weight_int4(v, group=group)
+            from .pallas.int4_matmul import (pack_int4_scales,
+                                             quantize_weight_int4)
+            return pack_int4_scales(quantize_weight_int4(v, group=group))
         return quantize_weight(v, axis=-2)
 
     def walk(node):

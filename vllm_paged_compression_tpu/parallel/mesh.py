@@ -163,7 +163,14 @@ def param_shardings(mesh: Mesh, architecture: str, params: dict,
         return P(*((spec[0],) + (None,) * (ndim - len(spec)) + spec[1:]))
 
     def walk(spec_node, param_node):
-        from ..ops.pallas.int4_matmul import QuantizedWeight4
+        from ..ops.pallas.int4_matmul import PackedInt4, QuantizedWeight4
+        if isinstance(param_node, PackedInt4):
+            # Same rationale as QuantizedWeight4 below: in-features stays
+            # unsharded; qp and the sz stream share the out-axis spec.
+            spec = fit(spec_node, param_node.qp.ndim)
+            spec = P(*(spec[:-2] + (None,) + spec[-1:]))
+            sh = NamedSharding(mesh, spec)
+            return PackedInt4(qp=sh, sz=sh)
         if isinstance(param_node, QuantizedWeight4):
             # Packed int4: the nibble pairing couples rows j and j + K/2,
             # so the in-features axis must stay unsharded (GSPMD would

@@ -4,11 +4,16 @@ with containers on one machine; shm_broadcast.py test_shm_broadcast.py
 covers the intra-node ring — here the cross-host tier is jax.distributed
 + multihost_utils, SURVEY §5 "Distributed communication backend").
 
-The worker below is what each pod host would run: per-host request
-ingestion -> deterministic global merge -> host-0 scheduling ->
-plan broadcast -> one SPMD step over the GLOBAL mesh.  The test spawns
-two such processes and requires every cross-host assertion to pass in
-both.
+Two drills, both exposed as `run_drill` so the driver dryrun
+(__graft_entry__.dryrun_multichip) exercises them by default:
+
+- positive: per-host request ingestion -> deterministic global merge ->
+  host-0 scheduling -> plan broadcast -> one SPMD step over the GLOBAL
+  mesh; every cross-host assertion must pass on both hosts.
+- negative: a follower whose ingestion DIVERGES (tampered stream) must
+  be *caught* by assert_same_across_hosts on every host — symmetric
+  digest allgather, no deadlock — and then converge by adopting host
+  0's authoritative stream via broadcast_plan.
 """
 
 import os
@@ -19,8 +24,9 @@ import textwrap
 import pytest
 
 _PORT = 29871
+_PORT_NEG = 29873
 
-_WORKER = textwrap.dedent("""
+_PREAMBLE = textwrap.dedent("""
     import os, sys
     pid = int(sys.argv[1])
     os.environ["JAX_PLATFORMS"] = "cpu"
@@ -32,7 +38,9 @@ _WORKER = textwrap.dedent("""
     mh.initialize("localhost:@PORT@", num_processes=2, process_id=pid)
     assert mh.process_count() == 2
     assert len(jax.devices()) == 8, len(jax.devices())
+""")
 
+_WORKER = _PREAMBLE + textwrap.dedent("""
     # ---- per-host request ingestion -> identical global stream -------
     local = [(f"h{pid}-r{i}", list(range(1, 8 + pid + i)))
              for i in range(2 + pid)]   # hosts ingest DIFFERENT requests
@@ -92,15 +100,39 @@ _WORKER = textwrap.dedent("""
     print(f"WORKER{pid}_OK", flush=True)
 """)
 
+_WORKER_NEG = _PREAMBLE + textwrap.dedent("""
+    # Both hosts merge the same stream, then host 1's copy is tampered
+    # (simulating a frontend that missed a sync or reordered arrivals).
+    local = [(f"h{pid}-r{i}", list(range(1, 6 + i))) for i in range(2)]
+    stream = mh.sync_requests(local)
+    if pid == 1:
+        stream = stream[::-1]
+    caught = False
+    try:
+        mh.assert_same_across_hosts(stream, "request stream")
+    except AssertionError as e:
+        caught = True
+        assert "request stream" in str(e)
+    # EVERY host must detect the divergence (the digest allgather is
+    # symmetric) — and detection must not deadlock the slice.
+    assert caught, f"host {pid}: divergence not caught"
+    print(f"DIVERGENCE_CAUGHT{pid}", flush=True)
+    # Recovery: adopt host 0's authoritative stream and re-verify.
+    stream = mh.broadcast_plan(stream)
+    mh.assert_same_across_hosts(stream, "recovered stream")
+    print(f"WORKER{pid}_OK", flush=True)
+""")
 
-@pytest.mark.skipif(os.environ.get("VPC_TEST_REAL_DEVICE") == "1",
-                    reason="multi-process CPU drill")
-def test_two_host_control_plane(tmp_path):
+
+def run_drill(tmp_path, negative: bool = False, timeout: int = 300):
+    """Spawn the 2-host drill (used by pytest AND the driver dryrun)."""
     repo = os.path.dirname(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))))
-    script = tmp_path / "worker.py"
-    script.write_text(_WORKER.replace("@REPO@", repo)
-                      .replace("@PORT@", str(_PORT)))
+    script = tmp_path / ("worker_neg.py" if negative else "worker.py")
+    worker = _WORKER_NEG if negative else _WORKER
+    port = _PORT_NEG if negative else _PORT
+    script.write_text(worker.replace("@REPO@", repo)
+                      .replace("@PORT@", str(port)))
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
     procs = [subprocess.Popen([sys.executable, str(script), str(i)],
@@ -111,7 +143,7 @@ def test_two_host_control_plane(tmp_path):
     outs = []
     for i, p in enumerate(procs):
         try:
-            out, _ = p.communicate(timeout=300)
+            out, _ = p.communicate(timeout=timeout)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -120,3 +152,18 @@ def test_two_host_control_plane(tmp_path):
         assert p.returncode == 0, f"host {i} failed:\n{out}"
     for i, out in enumerate(outs):
         assert f"WORKER{i}_OK" in out, out
+        if negative:
+            assert f"DIVERGENCE_CAUGHT{i}" in out, out
+    return outs
+
+
+@pytest.mark.skipif(os.environ.get("VPC_TEST_REAL_DEVICE") == "1",
+                    reason="multi-process CPU drill")
+def test_two_host_control_plane(tmp_path):
+    run_drill(tmp_path, negative=False)
+
+
+@pytest.mark.skipif(os.environ.get("VPC_TEST_REAL_DEVICE") == "1",
+                    reason="multi-process CPU drill")
+def test_divergent_ingestion_detected(tmp_path):
+    run_drill(tmp_path, negative=True)

@@ -113,3 +113,76 @@ def test_prefix_cache_with_chunked_prefill():
     got = _gen(_llm(enable_prefix_caching=True, enable_chunked_prefill=True,
                     max_num_batched_tokens=48), [p1, p2])
     assert got == want
+
+
+class TestParallelSamplingSharing:
+    """n>1 parallel sampling shares prompt KV through the prefix cache
+    (reference mechanism: CoW fork, vllm/core/block_manager.py +
+    block/prefix_caching_block.py; here siblings defer one pass on the
+    prefilling owner, then adopt its registered pages)."""
+
+    def test_n4_single_prompt_prefill_and_refcount_release(self):
+        from vllm_paged_compression_tpu.entrypoints.llm import LLM
+        from vllm_paged_compression_tpu.sampling_params import (
+            SamplingParams)
+        cfg = {
+            "architectures": ["LlamaForCausalLM"],
+            "vocab_size": 128, "hidden_size": 64,
+            "intermediate_size": 128, "num_hidden_layers": 2,
+            "num_attention_heads": 4, "num_key_value_heads": 2,
+            "max_position_embeddings": 512, "rope_theta": 10000.0,
+            "rms_norm_eps": 1e-5, "tie_word_embeddings": True,
+            "eos_token_id": None,
+        }
+        llm = LLM(hf_config=cfg, dtype="float32", block_size=16,
+                  max_model_len=256, num_device_blocks=64, seed=0,
+                  max_num_seqs=8, enable_prefix_caching=True)
+        eng = llm.engine
+        spans = []
+        orig = eng.runner.run_prefill
+
+        def spy(params, caches, scores, sp):
+            spans.append((sp.chunk_start, sp.chunk_end))
+            return orig(params, caches, scores, sp)
+
+        eng.runner.run_prefill = spy
+        prompt = list(range(1, 41))     # 40 tokens = 2 full pages + tail
+        outs = llm.generate(
+            prompt_token_ids=[prompt],
+            sampling_params=SamplingParams(temperature=0.7, n=4, seed=3,
+                                           max_tokens=4))
+        assert len(outs[0].outputs) == 4
+        # Exactly ONE full prompt prefill; the three siblings recompute
+        # only the tail partial page (page-granular sharing).
+        assert spans.count((0, 40)) == 1, spans
+        assert spans.count((32, 40)) == 3, spans
+        assert len(spans) == 4, spans
+        # All references released: shared pages parked, none leaked.
+        alloc = eng.scheduler.allocator
+        assert not alloc._refs, alloc._refs
+        assert alloc.num_free_blocks == 64
+        assert alloc.hit_rate() > 0
+
+    def test_different_prompts_not_deferred(self):
+        """Deferral only triggers for identical prompts: two distinct
+        prompts admit in the same pass."""
+        from vllm_paged_compression_tpu.config import (CacheConfig,
+                                                       SchedulerConfig)
+        from vllm_paged_compression_tpu.core.scheduler import Scheduler
+        from vllm_paged_compression_tpu.core.sequence import Sequence
+        from vllm_paged_compression_tpu.sampling_params import (
+            SamplingParams)
+        sched = Scheduler(SchedulerConfig(max_num_seqs=8,
+                                          max_num_batched_tokens=512,
+                                          max_model_len=128),
+                          CacheConfig(block_size=4,
+                                      enable_prefix_caching=True), 64)
+        sp = SamplingParams(max_tokens=2, temperature=0.0)
+        a = Sequence("a", list(range(1, 20)), sp)
+        b = Sequence("b", list(range(1, 20)), sp)      # identical to a
+        c = Sequence("c", list(range(50, 70)), sp)     # different
+        for s in (a, b, c):
+            sched.add_seq(s)
+        out = sched.schedule()
+        ids = [p.seq.request_id for p in out.prefills]
+        assert "a" in ids and "c" in ids and "b" not in ids, ids

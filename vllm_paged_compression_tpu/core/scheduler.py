@@ -109,6 +109,15 @@ class Scheduler:
         else:
             self.allocator = BlockAllocator(num_blocks)
         self.prefix_caching = cache_config.enable_prefix_caching
+        # Parallel-sampling prompt sharing (reference mechanism: CoW
+        # fork, vllm/core/block_manager.py + block/prefix_caching_block.
+        # py; here the prefix cache IS the sharing substrate): maps a
+        # prompt's full-page hash-chain tail -> the sequence currently
+        # prefilling it.  Identical prompts arriving while the owner is
+        # mid-prefill are deferred one pass instead of re-prefilling,
+        # then admit against the registered pages (one prefill per
+        # prompt, tail page + last token only for siblings).
+        self._prefill_chain_owner: dict = {}
         self.waiting: deque[Sequence] = deque()
         self.running: list[Sequence] = []
         # Preemption-by-swap tier (reference swapped queue,
@@ -243,6 +252,18 @@ class Scheduler:
                 if self.prefix_caching:
                     from .prefix_cache import hash_chain
                     hashes = hash_chain(seq.prompt_token_ids, bs)
+                    chain_key = hashes[-1] if hashes else None
+                    owner = (self._prefill_chain_owner.get(chain_key)
+                             if chain_key is not None else None)
+                    if owner is not None and owner is not seq:
+                        if (owner.block_table is not None
+                                and not owner.prefix_registered
+                                and not owner.is_finished()):
+                            # Identical prompt mid-prefill: defer one
+                            # pass; admit next pass via the cache
+                            # (bounded — the owner is actively running).
+                            continue
+                        del self._prefill_chain_owner[chain_key]
                     # Keep at least the last prompt token uncached so the
                     # first-token logits are computed.
                     usable = min(len(self.allocator.lookup(hashes)),
@@ -258,6 +279,11 @@ class Scheduler:
                 table.allocate_prompt(stored, prefix_pages=cached_pages)
                 seq.block_table = table
                 seq.prefill_pos = len(cached_pages) * bs
+                if (self.prefix_caching and hashes
+                        and len(cached_pages) < (prompt_len - 1) // bs):
+                    # This seq computes fresh prompt pages: make it the
+                    # owner identical later arrivals defer on.
+                    self._prefill_chain_owner.setdefault(hashes[-1], seq)
             else:
                 stored = seq.block_table.num_kv_slots
 
@@ -298,6 +324,9 @@ class Scheduler:
             return
         hashes = hash_chain(seq.prompt_token_ids, self.block_size)
         self.allocator.register(hashes, table.pages[:len(hashes)])
+        seq.prefix_registered = True
+        if hashes and self._prefill_chain_owner.get(hashes[-1]) is seq:
+            del self._prefill_chain_owner[hashes[-1]]
 
     # ---- decode window planning ----------------------------------------
 

@@ -63,6 +63,10 @@ class Sequence:
         # completed prefill chunks); prompt positions below this are not
         # recomputed.
         self.prefill_pos = 0
+        # Prompt pages published to the prefix cache (register_prefix);
+        # siblings deferred on this sequence (parallel sampling) admit
+        # once it flips.
+        self.prefix_registered = False
         # LoRA adapter device slot (0 = no adapter).
         self.lora_slot = 0
         # Multimodal: pixel tensor [3, H, W] and the contiguous

@@ -144,16 +144,19 @@ def packed_gs(p4: PackedInt4) -> int:
     return 32 * n_half // p4.sz.shape[-2]
 
 
-def pack_int4_scales(w4: QuantizedWeight4):
+def pack_int4_scales(w4: QuantizedWeight4, gs: Optional[int] = None):
     """QuantizedWeight4 -> PackedInt4 when the kernel-eligible layout
     applies; returns ``w4`` unchanged otherwise (small/odd shapes keep
     the f32 path).  One-time transform at weight build — never inside a
-    step function (it would re-stream s/z every token)."""
+    step function (it would re-stream s/z every token).  ``gs``
+    overrides the groups-per-k-step baked into the layout (tuning)."""
     Kh, N = w4.qp.shape[-2:]
     if (w4.s.shape[-2] == 0 or group_of(w4) != GROUP or Kh % GROUP
             or N % 128):
         return w4
-    gs = _pick_gs(Kh // GROUP)
+    if gs is None:
+        gs = _pick_gs(Kh // GROUP)
+    assert (Kh // GROUP) % gs == 0, (Kh, gs)
     if gs < 4:
         return w4
     s = jnp.asarray(w4.s, jnp.float32)
@@ -519,11 +522,12 @@ def _round_up(v: int, m: int) -> int:
     return (v + m - 1) // m * m
 
 
-def _pick_bn_packed(gs: int, N: int, bm: int, group: int) -> int:
+def _pick_bn_packed(gs: int, N: int, bm: int, group: int,
+                    bn0: int = 2048) -> int:
     """bn for the packed path — gs is baked into the sz layout, so only
     bn shrinks to fit the scoped-VMEM budget (same accounting as
     _pick_tiles plus the sz tiles, which are noise)."""
-    bn = min(2048, N)
+    bn = min(bn0, N)
     bk = group * gs
     budget = 13 * 1024 * 1024
     while bn > 256:
@@ -553,8 +557,11 @@ def int4_matmul_packed(x: jnp.ndarray, p4: PackedInt4, bn: int = 2048,
     assert p4.qp.dtype == jnp.uint8, p4.qp.dtype
     gs = packed_gs(p4)
     if bm is None:
-        bm = min(_round_up(M, 16), 256)
-    bn = min(bn, _pick_bn_packed(gs, N, bm, GROUP))
+        # Decode (M tiny): 8-row tiles halve the MXU padding waste of a
+        # 16-row tile; the f32 accumulator tile is legal at 8 sublanes
+        # and Mosaic handles the 8-row bf16 output block.
+        bm = min(_round_up(M, 8), 256)
+    bn = _pick_bn_packed(gs, N, bm, GROUP, bn0=bn)
     bk = GROUP * gs
     n_k = Kh // bk
     grid = (pl.cdiv(M, bm), pl.cdiv(N, bn), n_k)
@@ -608,8 +615,11 @@ def int4_matmul_stacked_packed(x: jnp.ndarray, p4: PackedInt4, layer,
     assert p4.qp.dtype == jnp.uint8, p4.qp.dtype
     gs = packed_gs(p4)
     if bm is None:
-        bm = min(_round_up(M, 16), 256)
-    bn = min(bn, _pick_bn_packed(gs, N, bm, GROUP))
+        # Decode (M tiny): 8-row tiles halve the MXU padding waste of a
+        # 16-row tile; the f32 accumulator tile is legal at 8 sublanes
+        # and Mosaic handles the 8-row bf16 output block.
+        bm = min(_round_up(M, 8), 256)
+    bn = _pick_bn_packed(gs, N, bm, GROUP, bn0=bn)
     bk = GROUP * gs
     n_k = Kh // bk
     grid = (pl.cdiv(M, bm), pl.cdiv(N, bn), n_k)

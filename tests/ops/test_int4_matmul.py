@@ -174,20 +174,22 @@ class TestPackedInt4:
     Layout contract and kernel parity for both gs=8 and gs=4; numerics
     modeled by dequantize_packed (bf16 s/zs, w = q*s - zs)."""
 
-    def _mk(self, K, N, L=None, seed=8):
+    def _mk(self, K, N, L=None, seed=8, gs=None):
         from vllm_paged_compression_tpu.ops.pallas.int4_matmul import (
             pack_int4_scales)
         rng = np.random.default_rng(seed)
         shape = (K, N) if L is None else (L, K, N)
         w = rng.standard_normal(shape, dtype=np.float32) * 0.02
         w4 = quantize_weight_int4(w)
-        return w, w4, pack_int4_scales(w4)
+        return w, w4, pack_int4_scales(w4, gs=gs)
 
-    @pytest.mark.parametrize("k,gs", [(2048, 8), (1024, 4)])
+    @pytest.mark.parametrize("k,gs", [(2048, 8), (2048, 4), (1024, 4)])
     def test_pack_layout_and_gs(self, k, gs):
         from vllm_paged_compression_tpu.ops.pallas.int4_matmul import (
             PackedInt4, packed_gs)
-        _, w4, p4 = self._mk(k, 256)
+        # N <= 4096 auto-picks gs=4 (full-minor-axis DMA tiles); pin gs
+        # explicitly so the layout contract is checked at both values.
+        _, w4, p4 = self._mk(k, 256, gs=gs if k == 2048 else None)
         assert isinstance(p4, PackedInt4)
         assert packed_gs(p4) == gs
         n_half = k // 2 // GROUP

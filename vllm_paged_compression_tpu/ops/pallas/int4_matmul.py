@@ -156,6 +156,12 @@ def pack_int4_scales(w4: QuantizedWeight4, gs: Optional[int] = None):
         return w4
     if gs is None:
         gs = _pick_gs(Kh // GROUP)
+        # Full-minor-axis tiles (bn == N) make every DMA row fully
+        # contiguous; at N <= 4096 that fits scoped VMEM only with
+        # bk = 512, so trade gs 8 -> 4 (scale stream doubles back to
+        # f32-equivalent for these leaves — ~1% of their bytes).
+        if gs == 8 and N <= 4096 and (Kh // GROUP) % 4 == 0:
+            gs = 4
     assert (Kh // GROUP) % gs == 0, (Kh, gs)
     if gs < 4:
         return w4
@@ -548,7 +554,7 @@ def _int4_kernel_packed(x_lo_ref, x_hi_ref, qp_ref, sz_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("bn", "bm"))
-def int4_matmul_packed(x: jnp.ndarray, p4: PackedInt4, bn: int = 2048,
+def int4_matmul_packed(x: jnp.ndarray, p4: PackedInt4, bn: int = 4096,
                        bm: Optional[int] = None) -> jnp.ndarray:
     """y = x @ dequant(p4) — PackedInt4 form (bf16 sz stream)."""
     M, K = x.shape
@@ -605,7 +611,7 @@ def _int4_kernel_packed_stacked(li_ref, x_lo_ref, x_hi_ref, qp_ref,
 
 @functools.partial(jax.jit, static_argnames=("bn", "bm"))
 def int4_matmul_stacked_packed(x: jnp.ndarray, p4: PackedInt4, layer,
-                               bn: int = 2048,
+                               bn: int = 4096,
                                bm: Optional[int] = None) -> jnp.ndarray:
     """Layer-stacked PackedInt4 matmul (scalar-prefetch layer index, same
     zero-copy contract as int4_matmul_stacked)."""

@@ -49,6 +49,32 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _widen_bf16(x: jnp.ndarray) -> jnp.ndarray:
+    """Cast a quantized KV value tile to bf16.
+
+    int8 -> bf16 is a native VPU convert (free).  fp8 e4m3 -> bf16 has
+    no v5e hardware path — XLA's convert is software-emulated and was
+    measured at 4x the int8 cost (39.2 vs 9.8 us/layer, PROFILE_r03).
+    Since bf16's 8-bit exponent / 7-bit mantissa strictly contain
+    e4m3's 4/3, the widening is EXACT integer surgery:
+
+        bits16 = sign << 8  |  ((e:m) << 4) + (127-7) << 7
+
+    (the mantissa shift and exponent-bias add never carry: m<<4 <= 112
+    < 128).  e==0 inputs (zero and denorms, |v| < 2^-6 of the 448-max
+    scale — beneath int8's own step) map to signed zero with one
+    select; e4m3fn NaN (0x7F) widens to a finite 480, clamping instead
+    of poisoning the softmax.  All ops are VPU int32 (u8 shifts have no
+    Mosaic lowering; the int32 hop matches the int4 kernel's unpack)."""
+    if x.dtype != jnp.float8_e4m3fn:
+        return x.astype(jnp.bfloat16)
+    b = pltpu.bitcast(x, jnp.uint8).astype(jnp.int32)
+    sign = (b & 0x80) << 8
+    em = b & 0x7F
+    bits = jnp.where(em < 8, sign, sign | ((em << 4) + (120 << 7)))
+    return pltpu.bitcast(bits.astype(jnp.uint16), jnp.bfloat16)
+
+
 def _fused_kernel(layer_ref, tables_ref, lens_ref, starts_ref, slots_ref,
                   zslots_ref,
                   q_ref, knew_ref, vnew_ref, kc_in, vc_in,
@@ -326,8 +352,8 @@ def _fused_kernel_quant(layer_ref, tables_ref, lens_ref, starts_ref,
 
         if aligned:
             # int8/fp8 values are exact in bf16 (<= 8 significand bits).
-            k = kbuf[tog].reshape(cols, d).astype(q.dtype)
-            v = vbuf[tog].reshape(cols, d).astype(q.dtype)
+            k = _widen_bf16(kbuf[tog].reshape(cols, d)).astype(q.dtype)
+            v = _widen_bf16(vbuf[tog].reshape(cols, d)).astype(q.dtype)
             if smode == "gather":
                 # Pre-gathered strips stream in via the BlockSpec: the
                 # chunk's [1, cols] row at a (cheap) major-dim index.
@@ -348,8 +374,8 @@ def _fused_kernel_quant(layer_ref, tables_ref, lens_ref, starts_ref,
             return 0
 
         for j in range(ppb):
-            k = kbuf[tog, j].reshape(cpp, d).astype(q.dtype)
-            v = vbuf[tog, j].reshape(cpp, d).astype(q.dtype)
+            k = _widen_bf16(kbuf[tog, j].reshape(cpp, d)).astype(q.dtype)
+            v = _widen_bf16(vbuf[tog, j].reshape(cpp, d)).astype(q.dtype)
             # Offset-0 sub-tile value slices lower fine (cf. m_ref[:, :1]);
             # the buffers are lane-padded to 128 because Mosaic rejects
             # sub-128 lane-dim REF slices in the DMA otherwise.

@@ -156,12 +156,6 @@ def pack_int4_scales(w4: QuantizedWeight4, gs: Optional[int] = None):
         return w4
     if gs is None:
         gs = _pick_gs(Kh // GROUP)
-        # Full-minor-axis tiles (bn == N) make every DMA row fully
-        # contiguous; at N <= 4096 that fits scoped VMEM only with
-        # bk = 512, so trade gs 8 -> 4 (scale stream doubles back to
-        # f32-equivalent for these leaves — ~1% of their bytes).
-        if gs == 8 and N <= 4096 and (Kh // GROUP) % 4 == 0:
-            gs = 4
     assert (Kh // GROUP) % gs == 0, (Kh, gs)
     if gs < 4:
         return w4
@@ -356,20 +350,23 @@ def _int4_body_packed(x_lo, x_hi, p, sz, o_ref, acc_ref, *,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    p = p.astype(jnp.int32)
-    lo = (p & 0xF).astype(jnp.bfloat16)            # [bk, bn]
-    hi = (p >> 4).astype(jnp.bfloat16)
     acc = acc_ref[:]
     if dequant_weights:
         # Prefill factoring: dequantize the weight TILE once per k-step
         # (O(K·N), amortized over all M rows); w = q*s - zs in bf16.
+        # Unpack PER GROUP: live lo/hi intermediates are [GROUP, bn]
+        # instead of [bk, bn], an 8x VMEM saving that lets the packed
+        # tile grow to (1024, 4096) — fully contiguous 4 MB DMA rows.
         for g in range(gs):
+            pg = p[g * GROUP:(g + 1) * GROUP, :].astype(jnp.int32)
+            lo = (pg & 0xF).astype(jnp.bfloat16)   # [GROUP, bn]
+            hi = (pg >> 4).astype(jnp.bfloat16)
             s_lo = sz[g:g + 1, :]
             zs_lo = sz[8 + g:9 + g, :]
             s_hi = sz[16 + g:17 + g, :]
             zs_hi = sz[24 + g:25 + g, :]
-            w_lo = lo[g * GROUP:(g + 1) * GROUP, :] * s_lo - zs_lo
-            w_hi = hi[g * GROUP:(g + 1) * GROUP, :] * s_hi - zs_hi
+            w_lo = lo * s_lo - zs_lo
+            w_hi = hi * s_hi - zs_hi
             xl = x_lo[:, g * GROUP:(g + 1) * GROUP].astype(jnp.bfloat16)
             xh = x_hi[:, g * GROUP:(g + 1) * GROUP].astype(jnp.bfloat16)
             acc = (acc
@@ -385,15 +382,17 @@ def _int4_body_packed(x_lo, x_hi, p, sz, o_ref, acc_ref, *,
 
     # Decode factoring: MXU on raw nibbles, scale/offset on the [bm, bn]
     # partial sums — x @ (q*s - zs) = (x @ q)*s - (Σ_k x)*zs per group.
+    # Per-group unpack, same VMEM rationale as above.
     for g in range(gs):
+        pg = p[g * GROUP:(g + 1) * GROUP, :].astype(jnp.int32)
+        qlo = (pg & 0xF).astype(jnp.bfloat16)      # [GROUP, bn]
+        qhi = (pg >> 4).astype(jnp.bfloat16)
         s_lo = sz[g:g + 1, :].astype(jnp.float32)
         zs_lo = sz[8 + g:9 + g, :].astype(jnp.float32)
         s_hi = sz[16 + g:17 + g, :].astype(jnp.float32)
         zs_hi = sz[24 + g:25 + g, :].astype(jnp.float32)
         xl = x_lo[:, g * GROUP:(g + 1) * GROUP].astype(jnp.bfloat16)
         xh = x_hi[:, g * GROUP:(g + 1) * GROUP].astype(jnp.bfloat16)
-        qlo = lo[g * GROUP:(g + 1) * GROUP, :]
-        qhi = hi[g * GROUP:(g + 1) * GROUP, :]
         y_lo = jnp.dot(xl, qlo, preferred_element_type=jnp.float32)
         y_hi = jnp.dot(xh, qhi, preferred_element_type=jnp.float32)
         xs_lo = jnp.sum(xl.astype(jnp.float32), axis=1, keepdims=True)
@@ -537,8 +536,10 @@ def _pick_bn_packed(gs: int, N: int, bm: int, group: int,
     bk = group * gs
     budget = 13 * 1024 * 1024
     while bn > 256:
-        vmem = (2 * bk * bn + 4 * bk * bn + 4 * bm * bk * 2
-                + 4 * bm * bn + 4 * bm * bn + 2 * 2 * 16 * bn * 2)
+        # Per-group unpack keeps lo/hi live at [GROUP, bn] (x2 halves,
+        # x2 for scheduling slack) instead of [bk, bn].
+        vmem = (2 * bk * bn + 8 * GROUP * bn * 2 + 4 * bm * bk * 2
+                + 4 * bm * bn + 4 * bm * bn + 2 * 2 * 32 * bn * 2)
         if vmem <= budget:
             break
         bn //= 2

@@ -60,28 +60,61 @@ def main() -> None:
                 1, 32000, size=args.input_len).tolist(),
             sampling_params=sp)
 
+    done_tokens = 0
+    peak_running = 0
+
+    def produced() -> int:
+        return done_tokens + sum(s.num_output_tokens
+                                 for s in engine.scheduler.running)
+
     start = time.perf_counter()
     n_done = 0
-    peak_running = 0
+    marks: list[tuple[int, float]] = []   # (output tokens, time)
     while engine.has_unfinished_requests():
         peak_running = max(peak_running, engine.scheduler.num_running)
         for out in engine.step():
             if out.finished:
                 n_done += 1
+                done_tokens += len(out.outputs[0].token_ids)
+        marks.append((produced(), time.perf_counter()))
     elapsed = time.perf_counter() - start
 
     total_tokens = args.num_prompts * (args.input_len + args.output_len)
     output_tokens = args.num_prompts * args.output_len
+    # Stall-aware steady-state rate (same methodology as bench.py): the
+    # chip tunnel suffers transient multi-second stalls unrelated to the
+    # program, and the first marks carry jit compiles.  Drop the first
+    # 10% of output tokens, split the rest into ~8 contiguous segments,
+    # and report the MEDIAN segment rate alongside the whole-run rate
+    # (never instead of it).
+    seg_tok_s = output_tokens / elapsed
+    cut = next((i for i, (n, _) in enumerate(marks)
+                if n >= output_tokens // 10), 0)
+    steady = marks[cut:]
+    n_seg = min(8, max(len(steady) - 1, 1))
+    step_m = (len(steady) - 1) // n_seg if n_seg else 0
+    if step_m >= 1:
+        rates = []
+        for s in range(n_seg):
+            a = steady[s * step_m]
+            b = steady[min((s + 1) * step_m, len(steady) - 1)]
+            if b[1] > a[1] and b[0] > a[0]:
+                rates.append((b[0] - a[0]) / (b[1] - a[1]))
+        if rates:
+            rates.sort()
+            seg_tok_s = rates[len(rates) // 2]
     # Reference output format (benchmark_throughput.py main print).
     print(f"Throughput: {args.num_prompts / elapsed:.2f} requests/s, "
           f"{total_tokens / elapsed:.2f} total tokens/s, "
-          f"{output_tokens / elapsed:.2f} output tokens/s")
+          f"{output_tokens / elapsed:.2f} output tokens/s "
+          f"({seg_tok_s:.2f} segment-median output tok/s)")
     if args.json_out:
         sched = engine.scheduler
         with open(args.json_out, "w") as f:
             json.dump({"elapsed": elapsed, "num_requests": args.num_prompts,
                        "total_tok_s": total_tokens / elapsed,
                        "output_tok_s": output_tokens / elapsed,
+                       "output_tok_s_seg": seg_tok_s,
                        "requests_s": args.num_prompts / elapsed,
                        "peak_concurrent": peak_running,
                        "preemptions": sched.num_preemptions,

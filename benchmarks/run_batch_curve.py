@@ -70,6 +70,13 @@ def main() -> None:
                        "quant": args.quantization,
                        "input_len": args.input_len,
                        "output_len": args.output_len,
+                       "methodology": (
+                           "single run per point; output_tok_s_seg is "
+                           "the stall-aware segment-median (drop first "
+                           "10% of tokens, median of ~8 contiguous "
+                           "segment rates — bench.py methodology); "
+                           "output_tok_s is the whole-run rate incl. "
+                           "compile/stalls"),
                        "points": results}, f, indent=1)
 
 

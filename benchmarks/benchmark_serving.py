@@ -64,7 +64,6 @@ async def run(args):
     t0 = time.perf_counter()
     for i in range(args.num_prompts):
         prompt = rng.integers(1, 32000, size=args.input_len).tolist()
-        token_times_last[0] = time.perf_counter()
         tasks.append(asyncio.create_task(one_request(
             args.host, args.port, prompt, args.output_len, metrics)))
         if args.request_rate != float("inf"):
@@ -76,21 +75,36 @@ async def run(args):
     e2es = np.array([m["e2e"] for m in metrics])
     itls = np.concatenate([m["itl"] for m in metrics if m["itl"]]) \
         if any(m["itl"] for m in metrics) else np.array([0.0])
+    # TPOT = decode-time per output token after the first (reference
+    # benchmark_serving.py metric set: TTFT / TPOT / ITL percentiles).
+    tpots = np.array([(m["e2e"] - m["ttft"]) / max(args.output_len - 1, 1)
+                      for m in metrics])
     total_out = args.num_prompts * args.output_len
+
+    def pct(a):
+        return {"mean": float(a.mean()),
+                "p50": float(np.percentile(a, 50)),
+                "p99": float(np.percentile(a, 99))}
+
     print("============ Serving Benchmark Result ============")
     print(f"Successful requests:           {len(metrics)}")
     print(f"Benchmark duration (s):        {dur:.2f}")
     print(f"Request throughput (req/s):    {len(metrics) / dur:.2f}")
     print(f"Output token throughput (tok/s): {total_out / dur:.2f}")
-    print(f"Mean TTFT (ms):                {ttfts.mean() * 1e3:.2f}")
-    print(f"P99 TTFT (ms):                 {np.percentile(ttfts, 99) * 1e3:.2f}")
-    print(f"Mean ITL (ms):                 {itls.mean() * 1e3:.2f}")
+    for name, arr in (("TTFT", ttfts), ("TPOT", tpots), ("ITL", itls)):
+        s = pct(arr)
+        print(f"Mean {name} (ms):                {s['mean'] * 1e3:.2f}")
+        print(f"P50  {name} (ms):                {s['p50'] * 1e3:.2f}")
+        print(f"P99  {name} (ms):                {s['p99'] * 1e3:.2f}")
     print(f"Mean E2E latency (ms):         {e2es.mean() * 1e3:.2f}")
     if args.json_out:
         with open(args.json_out, "w") as f:
             json.dump({"duration": dur, "num": len(metrics),
-                       "ttft_mean": float(ttfts.mean()),
-                       "itl_mean": float(itls.mean()),
+                       "request_rate": args.request_rate,
+                       "input_len": args.input_len,
+                       "output_len": args.output_len,
+                       "ttft_s": pct(ttfts), "tpot_s": pct(tpots),
+                       "itl_s": pct(itls), "e2e_s": pct(e2es),
                        "output_tok_s": total_out / dur}, f)
 
 

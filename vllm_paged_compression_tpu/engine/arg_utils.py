@@ -58,6 +58,7 @@ class EngineArgs:
     typical_acceptance_sampler_posterior_threshold: float = 0.09
     typical_acceptance_sampler_posterior_alpha: float = 0.3
     # paged eviction (fork surface)
+    hf_config_json: Optional[str] = None
     enable_paged_eviction: bool = False
     disable_evict_prefill: bool = False
     cache_prune_type: str = "budget"
@@ -79,6 +80,10 @@ class EngineArgs:
         g.add_argument("--max-model-len", type=int, default=8192)
         g.add_argument("--quantization", "-q", type=str, default=None,
                        choices=["int8", "int4"])
+        g.add_argument("--hf-config-json", type=str, default=None,
+                       help="inline JSON architecture config for "
+                            "synthetic-weight serving/benchmarks (used "
+                            "when --model is empty)")
 
         g = parser.add_argument_group("cache")
         g.add_argument("--block-size", type=int, default=16,
@@ -181,8 +186,13 @@ class EngineArgs:
                 cache_budget=self.cache_budget,
                 topk_blocks=self.topk_blocks,
                 selection=self.evict_selection)
+        hf_config = None
+        if self.hf_config_json and not self.model:
+            import json
+            hf_config = json.loads(self.hf_config_json)
         cfg = EngineConfig(
             model=ModelConfig(model=self.model, tokenizer=self.tokenizer,
+                              hf_config=hf_config,
                               dtype=self.dtype, seed=self.seed,
                               max_model_len=self.max_model_len,
                               weight_dtype=self.quantization),

@@ -53,12 +53,21 @@ class TestPagedEvictConfig:
 
 
 class TestEngineConfig:
-    def test_chunked_prefill_conflicts_with_eviction(self):
+    def test_chunked_prefill_with_eviction_allowed_single_stage(self):
+        # Round 4 superset: the combination the fork/upstream reject
+        # (arg_utils.py:1185) is now defined — except under PP, where
+        # the final-chunk prune wave is not built.
         cfg = EngineConfig(
             cache=CacheConfig(paged_evict=PagedEvictConfig()),
             scheduler=SchedulerConfig(enable_chunked_prefill=True))
-        with pytest.raises(ValueError):
-            cfg.verify()
+        cfg.verify()
+        from vllm_paged_compression_tpu.config import ParallelConfig
+        cfg2 = EngineConfig(
+            cache=CacheConfig(paged_evict=PagedEvictConfig()),
+            scheduler=SchedulerConfig(enable_chunked_prefill=True),
+            parallel=ParallelConfig(pipeline_parallel_size=2))
+        with pytest.raises(ValueError, match="pipeline"):
+            cfg2.verify()
 
     def test_hash_stable_and_sensitive(self):
         a = EngineConfig()

@@ -271,11 +271,17 @@ class EngineConfig:
                                  "with paged eviction")
         self.scheduler.max_model_len = min(self.scheduler.max_model_len,
                                            self.model.max_model_len)
-        if self.cache.evict_enabled and self.scheduler.enable_chunked_prefill:
-            # The reference asserts this combination away
-            # (torch_cuda_sdpa.py:877, arg_utils.py:1185).
+        if (self.cache.evict_enabled
+                and self.scheduler.enable_chunked_prefill
+                and self.parallel.pipeline_parallel_size > 1):
+            # Chunked prefill x eviction is supported single-stage (a
+            # genuine superset — the reference asserts the combination
+            # away, torch_cuda_sdpa.py:877, arg_utils.py:1185: chunks
+            # write full pages, the final chunk prunes).  The staged PP
+            # wave for the final-chunk prune program is not built yet.
             raise ValueError(
-                "chunked prefill is not supported with paged eviction")
+                "chunked prefill with paged eviction is not supported "
+                "under pipeline parallelism")
         if self.cache.evict_enabled and self.cache.enable_prefix_caching:
             # Eviction rewrites/frees page contents, which would poison
             # content-addressed reuse (the reference never combines them

@@ -83,6 +83,18 @@ class BlockTable:
         self.num_kv_slots -= self.block_size
         return page
 
+    def shrink_to(self, num_stored_tokens: int) -> None:
+        """Free every page beyond ceil(stored/bs) and reset the physical
+        slot count — the block-accounting half of the final-chunk prune
+        (chunked prefill x eviction: chunks write full pages, the last
+        chunk compacts the keep set into the leading pages)."""
+        keep = cdiv(num_stored_tokens, self.block_size)
+        assert keep <= len(self.pages), (keep, len(self.pages))
+        if keep < len(self.pages):
+            self._allocator.free(self.pages[keep:])
+            self.pages = self.pages[:keep]
+        self.num_kv_slots = num_stored_tokens
+
     # ---- release --------------------------------------------------------
 
     def free(self) -> None:

@@ -44,6 +44,11 @@ class ScheduledPrefill:
     chunk_start: int = 0     # first prompt position computed this call
     chunk_end: int = 0       # one past the last position (0 => prompt_len)
     is_last: bool = True     # sample a token after this chunk
+    # Chunked prefill x eviction (a genuine superset — both the fork and
+    # upstream reject the combination, arg_utils.py:1185): chunks write
+    # full pages; the FINAL chunk scores the whole prompt, compacts the
+    # keep set into the leading pages, and the engine shrinks the table.
+    prune_on_last: bool = False
 
     def __post_init__(self):
         if self.chunk_end == 0:
@@ -243,10 +248,13 @@ class Scheduler:
                 # ---- admission: size + allocate the whole (stored) prompt.
                 if not chunked and prompt_len > budget_tokens:
                     break
-                if self.evict is not None and self.evict.enabled:
+                if (self.evict is not None and self.evict.enabled
+                        and not chunked):
                     blocks, stored = num_required_blocks_after_prune(
                         prompt_len, self.evict, self.block_size)
                 else:
+                    # Chunked x eviction allocates the FULL prompt
+                    # transiently; the final-chunk prune shrinks it.
                     blocks, stored = (-(-prompt_len // bs), prompt_len)
                 cached_pages: list[int] = []
                 if self.prefix_caching:
@@ -303,7 +311,9 @@ class Scheduler:
             seq.prefill_pos = end
             out.prefills.append(ScheduledPrefill(
                 seq, prompt_len, stored, chunk_start=start, chunk_end=end,
-                is_last=is_last))
+                is_last=is_last,
+                prune_on_last=bool(chunked and self.evict is not None
+                                   and self.evict.enabled)))
             if is_last:
                 seq.status = SequenceStatus.RUNNING
                 admitted.append(seq)
@@ -312,6 +322,15 @@ class Scheduler:
         for seq in admitted:
             self.waiting.remove(seq)
             self.running.append(seq)
+
+    def shrink_after_prefill_prune(self, seq: Sequence) -> None:
+        """Post-final-chunk accounting for chunked prefill x eviction:
+        the device program has compacted each layer's keep set into the
+        leading pages; free the rest and adopt the pruned KV length."""
+        assert self.evict is not None and self.evict.enabled
+        _, stored = num_required_blocks_after_prune(
+            seq.num_prompt_tokens, self.evict, self.block_size)
+        seq.block_table.shrink_to(stored)
 
     def register_prefix(self, seq: Sequence) -> None:
         """Publish the prompt's full pages for content-addressed reuse

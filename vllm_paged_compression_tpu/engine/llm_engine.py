@@ -762,6 +762,10 @@ class LLMEngine:
                                             self.page_scores, sp)
                 if not sp.is_last:
                     continue  # mid-prompt chunk: no token sampled yet
+                if sp.prune_on_last:
+                    # Chunked prefill x eviction: the device compacted
+                    # the keep set; free the tail pages now.
+                    self.scheduler.shrink_after_prefill_prune(sp.seq)
                 self.scheduler.register_prefix(sp.seq)
                 sp.seq.append_token(int(tok))
                 if lp_row is not None:

@@ -32,6 +32,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import EngineConfig
+from ..core.paging import (
+    num_required_blocks_after_prune as _blocks_after_prune)
 from ..core.scheduler import ScheduledPrefill, SeqWindowPlan
 from ..ops.attention import (context_prefill_attention,
                              paged_decode_attention, prefill_attention,
@@ -131,9 +133,13 @@ class ModelRunner:
         self.attn_softcap = getattr(model.arch, "attn_logit_softcap", None)
 
         sched = config.scheduler
-        if self.evict is not None and self.evict.frees_pages:
+        if (self.evict is not None and self.evict.frees_pages
+                and not sched.enable_chunked_prefill):
             self.max_table_len = self.evict.cache_budget // self.block_size + 2
         else:
+            # Chunked prefill x eviction holds the FULL prompt's pages
+            # transiently until the final-chunk prune, so table buckets
+            # must span max_model_len even under eviction.
             self.max_table_len = cdiv(sched.max_model_len, self.block_size)
         self.decode_buckets = _pow2_buckets(1, sched.max_num_seqs)
         if self.pp > 1:
@@ -274,6 +280,7 @@ class ModelRunner:
         self._prefill_plain_jits: dict = {}
         self._prefill_prune_jits: dict = {}
         self._prefill_ctx_jits = {}
+        self._prefill_ctx_prune_jits = {}
         self._spec_verify_jit = jax.jit(
             self._spec_verify_pp if self.pp > 1 else self._spec_verify,
             donate_argnums=(1, 2))
@@ -1400,6 +1407,100 @@ class ModelRunner:
                     jnp.zeros(2 * logprobs_l + 1, jnp.float32))
         return new_caches, page_scores, tokens
 
+    def _prefill_ctx_prune(self, params, caches, page_scores, batch,
+                           greedy_only=False, logprobs_l=0):
+        """FINAL chunk of a chunked prefill under paged eviction — the
+        superset program both the fork and upstream reject
+        (arg_utils.py:1185, torch_cuda_sdpa.py:877).  Earlier chunks
+        wrote full pages (_prefill_context); this chunk (a) writes its
+        own rows, (b) gathers the WHOLE prompt back from the pages,
+        (c) scores it and compacts each layer's keep set into the
+        leading pages (attend-then-evict ordering: the chunk's queries
+        attend the full context, storage is pruned), after which the
+        scheduler shrinks the block table."""
+        from ..ops.quant import QuantKV, dequantize_kv
+
+        ev = self.evict
+        assert ev is not None
+        score_based = ev.evict_method in ("local", "global",
+                                          "inverse_key_l2")
+        s_pad = batch["prune_pages"].shape[0] * self.block_size
+
+        def attn_fn(q, k, v, layer_cache):
+            kc, vc = layer_cache
+            kc, vc = write_kv_pages(kc, vc, k, v, batch["write_pages"])
+            # Whole prompt (ctx pages + the chunk just written).
+            k_all = index_cache_pages(kc, batch["full_tables"])
+            v_all = index_cache_pages(vc, batch["full_tables"])
+            if isinstance(k_all, QuantKV):
+                k_all = dequantize_kv(k_all).astype(q.dtype)
+                v_all = dequantize_kv(v_all).astype(q.dtype)
+            fp, ps = k_all.shape[0], k_all.shape[1]
+            k_full = k_all.reshape(fp * ps, *k_all.shape[2:])
+            v_full = v_all.reshape(fp * ps, *v_all.shape[2:])
+            if score_based:
+                scores = token_scores(k_full, v_full, ev.evict_method)
+            else:
+                scores = jnp.zeros(k_full.shape[:2], jnp.float32)
+            keep_idx = prompt_keep_indices(
+                scores, batch["prompt_len"], self.block_size,
+                ev.cache_budget, ev.evict_method, s_pad)
+            k_kept, v_kept = gather_pruned_kv(k_full, v_full, keep_idx)
+            # Chunk attention over the pre-prune context (static-shape
+            # ctx gather, same as _prefill_context; the compaction
+            # scatter below orders after these reads functionally).
+            k_ctx = index_cache_pages(kc, batch["ctx_tables"])
+            v_ctx = index_cache_pages(vc, batch["ctx_tables"])
+            if isinstance(k_ctx, QuantKV):
+                k_ctx = dequantize_kv(k_ctx).astype(q.dtype)
+                v_ctx = dequantize_kv(v_ctx).astype(q.dtype)
+            cp = k_ctx.shape[0]
+            k_ctx = k_ctx.reshape(cp * ps, *k_ctx.shape[2:])
+            v_ctx = v_ctx.reshape(cp * ps, *v_ctx.shape[2:])
+            out = self._ctx_attn(q, k_ctx, v_ctx, k, v, self.scale,
+                                 batch["q_len"], batch["ctx_len"])
+            kc, vc = write_kv_pages(kc, vc, k_kept, v_kept,
+                                    batch["prune_pages"])
+            return out, (kc, vc)
+
+        lk = (self._lora_kwargs(params, batch["lora_idx"])
+              if self.lora_enabled else {})
+        hidden, new_caches = self.model.forward_hidden(
+            params, batch["tokens"], batch["positions"], attn_fn, caches,
+            **lk)
+        last = hidden[batch["q_len"] - 1][None]
+        logits = self.model.logits(params, last)
+        if "bias_ids" in batch:
+            logits = logits.astype(jnp.float32).at[
+                jnp.zeros(1, jnp.int32)[:, None],
+                batch["bias_ids"][None]].add(batch["bias_vals"][None])
+        if "mask_words" in batch:
+            from ..ops.sampling import apply_token_bitmask
+            logits = apply_token_bitmask(logits,
+                                         batch["mask_words"][None])
+        tokens = sample(logits, self._sampling_tensors(batch),
+                        greedy_only=greedy_only)
+        if logprobs_l > 0:
+            lp = jax.nn.log_softmax(logits.astype(jnp.float32))
+            tv, ti = jax.lax.top_k(lp, logprobs_l)
+            chosen = lp[jnp.arange(1), tokens]
+            lp_row = jnp.concatenate(
+                [tv, ti.astype(jnp.float32), chosen[:, None]],
+                axis=1)[0]
+            return new_caches, page_scores, tokens, lp_row
+        return new_caches, page_scores, tokens
+
+    def _prefill_ctx_prune_jit(self, greedy: bool, logprobs_l: int):
+        import functools
+        key = (greedy, logprobs_l)
+        if key not in self._prefill_ctx_prune_jits:
+            self._prefill_ctx_prune_jits[key] = jax.jit(
+                functools.partial(self._prefill_ctx_prune,
+                                  greedy_only=greedy,
+                                  logprobs_l=logprobs_l),
+                donate_argnums=(1, 2))
+        return self._prefill_ctx_prune_jits[key]
+
     def _spec_verify(self, params, caches, page_scores, batch):
         """Batched greedy verification of ngram proposals: B sequences x
         (k+1) query rows in one forward.  Row j of a sequence sees the
@@ -1905,7 +2006,7 @@ class ModelRunner:
                     sp: ScheduledPrefill):
         if self.is_mamba:
             return self._run_prefill_mamba(params, caches, page_scores, sp)
-        if sp.chunk_start > 0 or not sp.is_last:
+        if sp.chunk_start > 0 or not sp.is_last or sp.prune_on_last:
             return self._run_prefill_chunk(params, caches, page_scores, sp)
         seq = sp.seq
         bs = self.block_size
@@ -2029,8 +2130,31 @@ class ModelRunner:
                                                          bias[1][0])
         logprobs_l = (min(seq.params.logprobs or 0, 32)
                       if sp.is_last else 0)
-        fn = self._prefill_ctx_jit(seq.params.greedy, sp.is_last,
-                                   logprobs_l)
+        if sp.is_last and sp.prune_on_last:
+            # Chunked prefill x eviction: the final chunk also scores
+            # the whole prompt and compacts the keep set (the engine
+            # shrinks the table right after this call).
+            prompt_len = sp.prompt_len
+            full_pages_used = cdiv(prompt_len, bs)
+            fp_pad = next_bucket(max(full_pages_used, 1),
+                                 self._ctx_page_buckets)
+            full_tables = np.full(fp_pad, trash_page, np.int32)
+            full_tables[:full_pages_used] = pages[:full_pages_used]
+            s_pad = min(((self.stored_cap + 127) // 128) * 128,
+                        fp_pad * bs)
+            s_pad = -(-s_pad // bs) * bs
+            _, stored = _blocks_after_prune(prompt_len, self.evict, bs)
+            prune_pages = np.full(s_pad // bs, trash_page, np.int32)
+            n_keep = cdiv(stored, bs)
+            prune_pages[:n_keep] = pages[:n_keep]
+            batch["full_tables"] = full_tables
+            batch["prune_pages"] = prune_pages
+            batch["prompt_len"] = np.int32(prompt_len)
+            fn = self._prefill_ctx_prune_jit(seq.params.greedy,
+                                             logprobs_l)
+        else:
+            fn = self._prefill_ctx_jit(seq.params.greedy, sp.is_last,
+                                       logprobs_l)
         out = fn(params, caches, page_scores, batch)
         if logprobs_l > 0:
             caches, page_scores, tok, lp_row = out

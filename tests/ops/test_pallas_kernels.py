@@ -408,3 +408,44 @@ def test_fused_decode_window_starts_match_reference(d, hkv):
                       scale=d ** -0.5)
     np.testing.assert_allclose(np.asarray(o3), np.asarray(o4),
                                rtol=RTOL, atol=ATOL)
+
+
+def test_widen_bf16_matches_xla_convert_all_bytes():
+    """The integer e4m3->bf16 widening (fused_decode._widen_bf16) must
+    agree with XLA's convert for every one of the 256 byte patterns,
+    except the two documented deviations: denorms flush to signed zero
+    (|v| < 2^-6 — beneath the quantizer's own step) and e4m3fn NaN
+    (0x7F/0xFF) clamps to finite +-480 instead of propagating."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from vllm_paged_compression_tpu.ops.pallas.fused_decode import (
+        _widen_bf16)
+    from jax.experimental import pallas as pl
+
+    def run_widen(x):
+        # pltpu.bitcast only lowers inside a kernel; interpret mode
+        # evaluates it on CPU exactly as Mosaic does on chip.
+        return pl.pallas_call(
+            lambda x_ref, o_ref: o_ref.__setitem__(
+                slice(None), _widen_bf16(x_ref[:])),
+            out_shape=jax.ShapeDtypeStruct(x.shape, jnp.bfloat16),
+            interpret=True)(x)
+
+    b = np.arange(256, dtype=np.uint8)
+    x = jax.lax.bitcast_convert_type(jnp.asarray(b.reshape(16, 16)),
+                                     jnp.float8_e4m3fn)
+    got = np.asarray(run_widen(x), np.float32).reshape(-1)
+    ref = np.asarray(x.astype(jnp.bfloat16), np.float32).reshape(-1)
+    em = b & 0x7F
+    denorm = em < 8            # e == 0: zero + denorms
+    nan = em == 0x7F           # e4m3fn NaN
+    normal = ~denorm & ~nan
+    np.testing.assert_array_equal(got[normal], ref[normal])
+    assert np.all(got[denorm] == 0.0)
+    assert np.all(np.abs(got[nan]) == 480.0)
+    # int8 passthrough stays the native convert
+    i = jnp.asarray(np.arange(-128, 128, dtype=np.int8).reshape(16, 16))
+    np.testing.assert_array_equal(
+        np.asarray(_widen_bf16(i), np.float32),
+        np.asarray(i.astype(jnp.bfloat16), np.float32))

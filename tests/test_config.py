@@ -41,9 +41,14 @@ class TestPagedEvictConfig:
         with pytest.raises(ValueError):
             PagedEvictConfig(evict_method="h2o").verify(block_size=16)
 
-    def test_percentage_unimplemented(self):
-        with pytest.raises(NotImplementedError):
+    def test_percentage_now_defined(self):
+        # Round 4: the percentage type is implemented (per-request
+        # budgets, tests/engine/test_percentage_prune.py); the default
+        # 1024 is invalid as a percent.
+        with pytest.raises(ValueError, match="1, 100"):
             PagedEvictConfig(cache_prune_type="percentage").verify(16)
+        PagedEvictConfig(cache_prune_type="percentage",
+                         cache_budget=50).verify(16)
 
     def test_frees_pages(self):
         assert PagedEvictConfig(evict_method="streamingLLM").frees_pages

@@ -75,6 +75,11 @@ class PagedEvictConfig:
 
     enabled: bool = True
     disable_evict_prefill: bool = False
+    # "budget": cache_budget is a token count.  "percentage":
+    # cache_budget is a PERCENT (1-100) of each sequence's prompt
+    # length, resolved per request at admission (SURVEY §0 superset
+    # opportunity — the reference asserts this type away,
+    # vllm/config.py:969, but its README configs name it).
     cache_prune_type: str = "budget"
     evict_method: str = "streamingLLM"
     cache_budget: int = 1024
@@ -88,10 +93,11 @@ class PagedEvictConfig:
     def verify(self, block_size: int) -> None:
         if self.cache_prune_type not in CACHE_PRUNE_TYPES:
             raise ValueError(f"cache_prune_type must be one of {CACHE_PRUNE_TYPES}")
-        if self.cache_prune_type != "budget":
-            raise NotImplementedError(
-                "Only budget-based pruning is implemented (matches the "
-                "reference's asserted surface, vllm/config.py:969)")
+        if self.cache_prune_type == "percentage":
+            if not 1 <= self.cache_budget <= 100:
+                raise ValueError(
+                    "percentage prune type needs cache_budget in "
+                    f"[1, 100], got {self.cache_budget}")
         if self.evict_method not in EVICT_METHODS:
             raise ValueError(
                 f"evict_method {self.evict_method!r} not in {EVICT_METHODS}")
@@ -101,15 +107,18 @@ class PagedEvictConfig:
         # core with small block sizes.
         # Reference kvcache_prunner.py:15 requires budget >= 3 blocks so the
         # sink block, >=1 middle block, and the tail block all fit.
-        if self.cache_budget < 3 * block_size:
-            raise ValueError(
-                f"cache_budget ({self.cache_budget}) must be at least 3x the "
-                f"block size ({block_size})")
-        if self.cache_budget % block_size != 0:
-            # Keeps logical and physical lengths congruent mod block_size so
-            # decode boundary checks line up with full physical pages.  All
-            # reference sweep configs satisfy this (scripts/diff_methods_full.sh).
-            raise ValueError("cache_budget must be a multiple of block_size")
+        if self.cache_prune_type == "budget":
+            if self.cache_budget < 3 * block_size:
+                raise ValueError(
+                    f"cache_budget ({self.cache_budget}) must be at least "
+                    f"3x the block size ({block_size})")
+            if self.cache_budget % block_size != 0:
+                # Keeps logical and physical lengths congruent mod
+                # block_size so decode boundary checks line up with full
+                # physical pages.  All reference sweep configs satisfy
+                # this (scripts/diff_methods_full.sh).
+                raise ValueError(
+                    "cache_budget must be a multiple of block_size")
         if self.evict_method == "local" and self.topk_blocks <= 1:
             raise ValueError("local eviction requires topk_blocks > 1 "
                              "(reference vllm/config.py:977-981)")
@@ -298,3 +307,21 @@ class EngineConfig:
         return hashlib.sha256(
             json.dumps(enc(self), sort_keys=True, default=str).encode()
         ).hexdigest()[:16]
+
+
+def resolve_evict_budget(evict: "PagedEvictConfig", prompt_len: int,
+                         block_size: int,
+                         max_model_len: int = 0) -> int:
+    """Per-sequence token budget.
+
+    budget mode: the configured token count.  percentage mode:
+    cache_budget% of the prompt length, rounded DOWN to whole pages and
+    floored at 3 pages (the structural minimum: sink + >=1 middle +
+    tail).  ``max_model_len`` > 0 returns the static upper bound
+    instead (shape sizing)."""
+    if evict.cache_prune_type != "percentage":
+        return evict.cache_budget
+    base = max_model_len if max_model_len > 0 else prompt_len
+    b = base * evict.cache_budget // 100
+    b -= b % block_size
+    return max(b, 3 * block_size)

@@ -56,29 +56,35 @@ def prompt_slices(q_len: int, block_size: int,
     return PromptSlices(q_len, first_end, middle_end)
 
 
-def middle_keep_tokens(evict: PagedEvictConfig, block_size: int) -> int:
+def middle_keep_tokens(evict: PagedEvictConfig, block_size: int,
+                       budget: int = None) -> int:
     """Middle tokens retained when pruning fires: budget minus the sink block
-    and one tail block (kvcache_prunner.py:94, page_evict_kv_util.py:25-28)."""
-    keep = evict.cache_budget - evict.initial_blocks * block_size - block_size
+    and one tail block (kvcache_prunner.py:94, page_evict_kv_util.py:25-28).
+    ``budget`` overrides evict.cache_budget (percentage prune type
+    resolves a per-sequence token budget)."""
+    b = evict.cache_budget if budget is None else budget
+    keep = b - evict.initial_blocks * block_size - block_size
     return max(keep, 0)
 
 
 def pruned_prompt_len(q_len: int, evict: PagedEvictConfig,
-                      block_size: int) -> int:
+                      block_size: int, budget: int = None) -> int:
     """Length of the stored prompt KV after prefill pruning.
 
     == q_len when the prompt fits in the budget; otherwise
     sink + min(middle, middle_keep) + tail (kvcache_prunner.py:284-326).
     """
-    if not evict.enabled or q_len <= evict.cache_budget:
+    b = evict.cache_budget if budget is None else budget
+    if not evict.enabled or q_len <= b:
         return q_len
     s = prompt_slices(q_len, block_size, evict.initial_blocks)
-    keep = min(s.num_middle, middle_keep_tokens(evict, block_size))
+    keep = min(s.num_middle, middle_keep_tokens(evict, block_size, b))
     return s.first_end + keep + s.num_last
 
 
 def num_required_blocks_after_prune(q_len: int, evict: PagedEvictConfig,
-                                    block_size: int) -> tuple[int, int]:
+                                    block_size: int, budget: int = None
+                                    ) -> tuple[int, int]:
     """(num_blocks, num_tokens) the block manager must reserve for a prompt.
 
     Mirrors get_num_required_blocks_after_prune_promt
@@ -86,12 +92,12 @@ def num_required_blocks_after_prune(q_len: int, evict: PagedEvictConfig,
     the budget check here but ``<=`` in the pruner; for q_len == budget both
     agree because middle_keep == num_middle at that point.
     """
-    n = pruned_prompt_len(q_len, evict, block_size)
+    n = pruned_prompt_len(q_len, evict, block_size, budget)
     return cdiv(n, block_size), n
 
 
 def decode_evicts_now(logical_len: int, evict: PagedEvictConfig,
-                      block_size: int) -> bool:
+                      block_size: int, budget: int = None) -> bool:
     """Whether a decode step whose post-append logical length is
     ``logical_len`` triggers a block eviction.
 
@@ -102,4 +108,5 @@ def decode_evicts_now(logical_len: int, evict: PagedEvictConfig,
     """
     if not evict.enabled or not evict.frees_pages:
         return False
-    return logical_len > evict.cache_budget and logical_len % block_size == 0
+    b = evict.cache_budget if budget is None else budget
+    return logical_len > b and logical_len % block_size == 0

@@ -150,6 +150,10 @@ class Scheduler:
             raise ValueError(
                 f"prompt ({seq.num_prompt_tokens} tokens) exceeds "
                 f"max_model_len ({max_len})")
+        if self.evict is not None and self.evict.enabled:
+            from ..config import resolve_evict_budget
+            seq.evict_budget = resolve_evict_budget(
+                self.evict, seq.num_prompt_tokens, self.block_size)
         self.waiting.append(seq)
 
     def abort(self, request_id: str) -> bool:
@@ -251,7 +255,8 @@ class Scheduler:
                 if (self.evict is not None and self.evict.enabled
                         and not chunked):
                     blocks, stored = num_required_blocks_after_prune(
-                        prompt_len, self.evict, self.block_size)
+                        prompt_len, self.evict, self.block_size,
+                        seq.evict_budget)
                 else:
                     # Chunked x eviction allocates the FULL prompt
                     # transiently; the final-chunk prune shrinks it.
@@ -329,7 +334,8 @@ class Scheduler:
         leading pages; free the rest and adopt the pruned KV length."""
         assert self.evict is not None and self.evict.enabled
         _, stored = num_required_blocks_after_prune(
-            seq.num_prompt_tokens, self.evict, self.block_size)
+            seq.num_prompt_tokens, self.evict, self.block_size,
+            seq.evict_budget)
         seq.block_table.shrink_to(stored)
 
     def register_prefix(self, seq: Sequence) -> None:
@@ -435,7 +441,8 @@ class Scheduler:
                 fill = slot // bs if st["kv"] % bs == 0 else -1
                 evict_fires = (
                     self.evict is not None
-                    and decode_evicts_now(logical_post, self.evict, bs))
+                    and decode_evicts_now(logical_post, self.evict, bs,
+                                          seq.evict_budget))
                 victim = -1
                 if evict_fires:
                     victim = self._host_victim(len(st["pages"]))
@@ -444,7 +451,8 @@ class Scheduler:
                     # planned field — only middle-page order).
                     st["pages"].pop(victim if victim > 0 else 1)
                     st["kv"] -= bs
-                zero = self._zero_slot(st["pages"], logical_post)
+                zero = self._zero_slot(st["pages"], logical_post,
+                                       seq.evict_budget)
                 # M-RoPE (Qwen2-VL): decode rope positions shift by the
                 # per-sequence delta (image spans compress the position
                 # space); zero for every other family.
@@ -494,14 +502,16 @@ class Scheduler:
             return rng.randint(1, max(hi - 1, 1))
         return -1
 
-    def _zero_slot(self, pages: list[int], logical_post: int) -> int:
+    def _zero_slot(self, pages: list[int], logical_post: int,
+                   budget: int = None) -> int:
         """Slot-zeroing side writes (streamingLLM-1 between boundaries,
         torch_cuda_sdpa.py:1395-1401; inverse_key_l2 every step past budget,
         :1444-1454)."""
         ev = self.evict
         if ev is None or not ev.enabled:
             return -1
-        if logical_post <= ev.cache_budget or len(pages) <= 2:
+        b = ev.cache_budget if budget is None else budget
+        if logical_post <= b or len(pages) <= 2:
             return -1
         bs = self.block_size
         if ev.evict_method == "streamingLLM-1":

@@ -67,6 +67,9 @@ class Sequence:
         # siblings deferred on this sequence (parallel sampling) admit
         # once it flips.
         self.prefix_registered = False
+        # Per-sequence eviction token budget (percentage prune type);
+        # None = use the engine-wide PagedEvictConfig.cache_budget.
+        self.evict_budget = None
         # LoRA adapter device slot (0 = no adapter).
         self.lora_slot = 0
         # Multimodal: pixel tensor [3, H, W] and the contiguous

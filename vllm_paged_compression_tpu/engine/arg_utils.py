@@ -175,7 +175,8 @@ class EngineArgs:
     def create_engine_config(self) -> EngineConfig:
         evict = None
         if self.enable_paged_eviction:
-            if self.cache_budget < 128:
+            if (self.cache_prune_type == "budget"
+                    and self.cache_budget < 128):
                 raise ValueError("cache_budget must be >= 128 "
                                  "(reference vllm/config.py:971)")
             evict = PagedEvictConfig(

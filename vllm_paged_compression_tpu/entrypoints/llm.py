@@ -23,6 +23,7 @@ class LLM:
                  enable_paged_eviction: bool = False,
                  evict_method: str = "streamingLLM",
                  cache_budget: int = 1024, topk_blocks: int = -1,
+                 cache_prune_type: str = "budget",
                  disable_evict_prefill: bool = False,
                  evict_selection: str = "l2",
                  kv_cache_dtype: str = "auto",
@@ -49,6 +50,7 @@ class LLM:
             evict = PagedEvictConfig(
                 enabled=True, evict_method=evict_method,
                 cache_budget=cache_budget, topk_blocks=topk_blocks,
+                cache_prune_type=cache_prune_type,
                 disable_evict_prefill=disable_evict_prefill,
                 selection=evict_selection)
         lora_cfg = None

@@ -62,7 +62,9 @@ def max_pages_per_seq(cache_config: CacheConfig, max_model_len: int) -> int:
     bs = cache_config.block_size
     ev = cache_config.paged_evict
     if ev is not None and ev.enabled and ev.frees_pages:
-        return ev.cache_budget // bs + 2
+        from ..config import resolve_evict_budget
+        return resolve_evict_budget(ev, 0, bs,
+                                    max_model_len=max_model_len) // bs + 2
     return -(-max_model_len // bs)
 
 

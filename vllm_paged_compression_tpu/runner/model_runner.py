@@ -135,7 +135,10 @@ class ModelRunner:
         sched = config.scheduler
         if (self.evict is not None and self.evict.frees_pages
                 and not sched.enable_chunked_prefill):
-            self.max_table_len = self.evict.cache_budget // self.block_size + 2
+            from ..config import resolve_evict_budget
+            _bmax = resolve_evict_budget(self.evict, 0, self.block_size,
+                                         max_model_len=sched.max_model_len)
+            self.max_table_len = _bmax // self.block_size + 2
         else:
             # Chunked prefill x eviction holds the FULL prompt's pages
             # transiently until the final-chunk prune, so table buckets
@@ -154,7 +157,10 @@ class ModelRunner:
         self._ctx_page_buckets = _pow2_buckets(1, self.max_table_len)
         # Static cap on stored (pruned) prompt length.
         if self.evict is not None:
-            self.stored_cap = self.evict.cache_budget + self.block_size
+            from ..config import resolve_evict_budget
+            self.stored_cap = resolve_evict_budget(
+                self.evict, 0, self.block_size,
+                max_model_len=sched.max_model_len) + self.block_size
         else:
             self.stored_cap = sched.max_model_len
 
@@ -1096,7 +1102,7 @@ class ModelRunner:
                         scores = jnp.zeros(k.shape[:2], jnp.float32)
                     keep_idx = prompt_keep_indices(
                         scores, batch["q_len"], self.block_size,
-                        ev.cache_budget, ev.evict_method, s_pad)
+                        batch["evict_budget"], ev.evict_method, s_pad)
                     k_kept, v_kept = gather_pruned_kv(k, v, keep_idx)
                     wp = jnp.where(active, batch["write_pages"], trash_page)
                     kc = jax.tree.map(lambda x: x[layer], kc_all)
@@ -1331,8 +1337,8 @@ class ModelRunner:
             else:
                 scores = jnp.zeros(k.shape[:2], jnp.float32)
             keep_idx = prompt_keep_indices(
-                scores, batch["q_len"], self.block_size, ev.cache_budget,
-                ev.evict_method, s_pad)
+                scores, batch["q_len"], self.block_size,
+                batch["evict_budget"], ev.evict_method, s_pad)
             k_kept, v_kept = gather_pruned_kv(k, v, keep_idx)
             kc, vc = layer_cache
             kc, vc = write_kv_pages(kc, vc, k_kept, v_kept,
@@ -1444,7 +1450,7 @@ class ModelRunner:
                 scores = jnp.zeros(k_full.shape[:2], jnp.float32)
             keep_idx = prompt_keep_indices(
                 scores, batch["prompt_len"], self.block_size,
-                ev.cache_budget, ev.evict_method, s_pad)
+                batch["evict_budget"], ev.evict_method, s_pad)
             k_kept, v_kept = gather_pruned_kv(k_full, v_full, keep_idx)
             # Chunk attention over the pre-prune context (static-shape
             # ctx gather, same as _prefill_context; the compaction
@@ -2045,6 +2051,12 @@ class ModelRunner:
             "q_len": np.int32(q_len), "stored_len": np.int32(stored),
             "write_pages": write_pages, "fill_pages": fill_pages,
         }
+        if do_prune:
+            # Per-sequence token budget (percentage prune type resolves
+            # it from the prompt length; budget mode: the config value).
+            batch["evict_budget"] = np.int32(
+                seq.evict_budget if seq.evict_budget is not None
+                else self.evict.cache_budget)
         batch.update(self._seq_sampling_arrays([seq], 1))
         if self.lora_enabled:
             batch["lora_idx"] = np.int32(seq.lora_slot)
@@ -2143,13 +2155,17 @@ class ModelRunner:
             s_pad = min(((self.stored_cap + 127) // 128) * 128,
                         fp_pad * bs)
             s_pad = -(-s_pad // bs) * bs
-            _, stored = _blocks_after_prune(prompt_len, self.evict, bs)
+            _, stored = _blocks_after_prune(prompt_len, self.evict, bs,
+                                            seq.evict_budget)
             prune_pages = np.full(s_pad // bs, trash_page, np.int32)
             n_keep = cdiv(stored, bs)
             prune_pages[:n_keep] = pages[:n_keep]
             batch["full_tables"] = full_tables
             batch["prune_pages"] = prune_pages
             batch["prompt_len"] = np.int32(prompt_len)
+            batch["evict_budget"] = np.int32(
+                seq.evict_budget if seq.evict_budget is not None
+                else self.evict.cache_budget)
             fn = self._prefill_ctx_prune_jit(seq.params.greedy,
                                              logprobs_l)
         else:

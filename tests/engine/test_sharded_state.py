@@ -1,0 +1,104 @@
+"""Sharded-state export/reload (reference Worker.save_sharded_state,
+vllm/worker/worker.py:166-176 + ShardedStateLoader): the engine dumps
+its RESIDENT params — already quantized/packed — and a later boot with
+model=<dir> restores them without dequant/re-quant, producing identical
+outputs."""
+
+import numpy as np
+
+CFG = {
+    "architectures": ["LlamaForCausalLM"],
+    "vocab_size": 128, "hidden_size": 256, "intermediate_size": 512,
+    "num_hidden_layers": 2, "num_attention_heads": 4,
+    "num_key_value_heads": 2, "max_position_embeddings": 512,
+    "rope_theta": 10000.0, "rms_norm_eps": 1e-5,
+    "tie_word_embeddings": True, "eos_token_id": None,
+}
+
+
+def _llm(**kw):
+    from vllm_paged_compression_tpu.entrypoints.llm import LLM
+    return LLM(dtype="float32", block_size=16, max_model_len=256,
+               num_device_blocks=64, seed=0, max_num_seqs=4, **kw)
+
+
+def test_roundtrip_int4_identical_outputs(tmp_path):
+    from vllm_paged_compression_tpu.sampling_params import SamplingParams
+    sp = SamplingParams(temperature=0.0, max_tokens=12)
+    prompt = [[1, 17, 33, 5, 99, 2, 8, 61]]
+
+    llm = _llm(hf_config=CFG, quantization="int4")
+    ref = llm.generate(prompt_token_ids=prompt, sampling_params=sp)
+    ref_toks = ref[0].outputs[0].token_ids
+    saved_type = type(llm.engine.params["layers"]["wqkv"])
+    out_dir = str(tmp_path / "state")
+    llm.save_sharded_state(out_dir, max_size=256 * 1024)  # force shards
+    del llm
+
+    import os
+    import json
+    man = json.load(open(os.path.join(out_dir,
+                                      "vpc_sharded_state.json")))
+    assert len(man["shards"]) > 1          # max_size actually splits
+    assert man["weight_dtype"] == "int4"
+    assert os.path.isfile(os.path.join(out_dir, "config.json"))
+
+    llm2 = _llm(model=out_dir)
+    # quant wrappers restored with their exact types, not re-quantized
+    lp = llm2.engine.params["layers"]["wqkv"]
+    assert type(lp) is saved_type
+    got = llm2.generate(prompt_token_ids=prompt, sampling_params=sp)
+    assert got[0].outputs[0].token_ids == ref_toks
+
+
+def test_roundtrip_plain_weights(tmp_path):
+    from vllm_paged_compression_tpu.sampling_params import SamplingParams
+    sp = SamplingParams(temperature=0.0, max_tokens=8)
+    prompt = [[3, 9, 27, 81]]
+    llm = _llm(hf_config=CFG)
+    ref = llm.generate(prompt_token_ids=prompt, sampling_params=sp)
+    out_dir = str(tmp_path / "state")
+    llm.save_sharded_state(out_dir)
+    del llm
+    llm2 = _llm(model=out_dir)
+    got = llm2.generate(prompt_token_ids=prompt, sampling_params=sp)
+    assert (got[0].outputs[0].token_ids == ref[0].outputs[0].token_ids)
+
+
+def test_flatten_rebuild_typed_tree(tmp_path):
+    """Unit roundtrip of a tree containing every wrapper type incl.
+    PackedInt4 (the kernel-eligible form) and a list node."""
+    import jax.numpy as jnp
+    import numpy as np
+    from vllm_paged_compression_tpu.models.weights import (
+        load_sharded_state, save_sharded_state)
+    from vllm_paged_compression_tpu.ops.pallas.int4_matmul import (
+        PackedInt4, QuantizedWeight4, pack_int4_scales,
+        quantize_weight_int4)
+    from vllm_paged_compression_tpu.ops.quant import QuantizedWeight
+    rng = np.random.default_rng(0)
+    w4 = quantize_weight_int4(
+        rng.standard_normal((2048, 256)).astype(np.float32) * 0.02)
+    p4 = pack_int4_scales(w4)
+    assert isinstance(p4, PackedInt4)
+    tree = {
+        "layers": {"a": p4,
+                   "b": QuantizedWeight4(qp=w4.qp, s=w4.s, z=w4.z),
+                   "c": QuantizedWeight(q=jnp.ones((4, 4), jnp.int8),
+                                        s=jnp.ones((4,), jnp.float32))},
+        "experts": [jnp.zeros((2, 2), jnp.bfloat16),
+                    jnp.ones((2, 2), jnp.bfloat16)],
+        "norm": jnp.full((8,), 0.5, jnp.float32),
+    }
+    d = str(tmp_path / "t")
+    save_sharded_state(tree, d, weight_dtype="int4")
+    got, wd = load_sharded_state(d)
+    assert wd == "int4"
+    assert isinstance(got["layers"]["a"], PackedInt4)
+    assert isinstance(got["layers"]["b"], QuantizedWeight4)
+    assert isinstance(got["layers"]["c"], QuantizedWeight)
+    assert isinstance(got["experts"], list) and len(got["experts"]) == 2
+    np.testing.assert_array_equal(np.asarray(got["layers"]["a"].sz),
+                                  np.asarray(p4.sz))
+    np.testing.assert_array_equal(np.asarray(got["norm"]),
+                                  np.asarray(tree["norm"]))

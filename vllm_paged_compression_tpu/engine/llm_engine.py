@@ -19,7 +19,9 @@ from ..config import EngineConfig
 from ..core.scheduler import Scheduler, SchedulerOutput
 from ..core.sequence import Sequence, SequenceStatus, FINISH_REASON
 from ..models.registry import build_model
-from ..models.weights import load_hf_config, load_state_dict
+from ..models.weights import (is_sharded_state_dir as
+                              _is_sharded_state_dir, load_hf_config,
+                              load_state_dict)
 from ..outputs import CompletionOutput, RequestMetrics, RequestOutput
 from ..runner.cache_engine import CacheEngine
 from ..runner.model_runner import ModelRunner
@@ -78,6 +80,7 @@ class LLMEngine:
         else:
             hf_cfg = load_hf_config(mc.model)
         self.model = build_model(hf_cfg, dtype=dtype)
+        self._hf_config = hf_cfg
         self.eos_token_id = hf_cfg.get("eos_token_id")
         if isinstance(self.eos_token_id, list):
             self.eos_token_id = self.eos_token_id[0]
@@ -101,6 +104,16 @@ class LLMEngine:
         elif gguf_tensors is not None:
             self.params = self.model.load_hf_state_dict(
                 gguf_tensors, as_numpy=as_numpy)
+        elif mc.model and _is_sharded_state_dir(mc.model):
+            # Engine-native sharded state (save_sharded_state): params
+            # land already quantized/packed — no dequant/re-quant pass
+            # (reference ShardedStateLoader fast path).
+            from ..models.weights import load_sharded_state
+            logger.info("Loading sharded engine state from %s", mc.model)
+            self.params, saved_wd = load_sharded_state(mc.model)
+            if saved_wd:
+                mc.weight_dtype = saved_wd
+                self._pre_quantized = True
         elif mc.model:
             logger.info("Loading weights from %s", mc.model)
             tensors = load_state_dict(mc.model)
@@ -675,6 +688,21 @@ class LLMEngine:
         jax.profiler.stop_trace()
         self._profiling = False
         logger.info("jax.profiler trace stopped")
+
+    def save_sharded_state(self, path: str,
+                           max_size: int = 4 * 1024 ** 3) -> None:
+        """Dump the engine-resident (quantized/packed) params so a later
+        boot with model=<path> skips checkpoint dequant + re-quant
+        (reference Worker.save_sharded_state, worker.py:166-176)."""
+        import json as _json
+        import os as _os
+        from ..models.weights import save_sharded_state
+        save_sharded_state(self.params, path,
+                           weight_dtype=self.config.model.weight_dtype,
+                           max_size=max_size)
+        # config.json rides along so model=<path> boots standalone.
+        with open(_os.path.join(path, "config.json"), "w") as f:
+            _json.dump(self._hf_config, f, indent=1)
 
     def abort_request(self, request_id: str) -> bool:
         # The in-flight window writes into pages the abort will free:

@@ -102,6 +102,13 @@ class LLM:
                 pipeline_parallel_size=pipeline_parallel_size))
         self.engine = LLMEngine(config, params=params)
 
+    def save_sharded_state(self, path: str,
+                           max_size: int = 4 * 1024 ** 3) -> None:
+        """Reference LLM.llm_engine...save_sharded_state parity: dump
+        the engine-resident (quantized) weights for fast reload via
+        LLM(model=<path>)."""
+        self.engine.save_sharded_state(path, max_size=max_size)
+
     def generate(
         self,
         prompts: Optional[Union[str, Seq[str]]] = None,

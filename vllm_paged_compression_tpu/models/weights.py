@@ -166,3 +166,124 @@ def torch_state_dict_to_numpy(state_dict) -> dict[str, np.ndarray]:
     for name, tensor in state_dict.items():
         out[name] = tensor.detach().to("cpu").float().numpy()
     return out
+
+
+# ---- sharded-state save/load (reference: Worker.save_sharded_state,
+# vllm/worker/worker.py:166-176 + model_loader ShardedStateLoader): dump
+# the ENGINE-RESIDENT params tree — already quantized/packed — so a
+# later boot skips checkpoint dequant + re-quantization entirely.
+
+_SHARDED_MANIFEST = "vpc_sharded_state.json"
+
+
+def _flatten_params(tree, prefix=""):
+    """Yield (name, host_array, typed_nodes) leaves; typed_nodes collects
+    {prefix: wrapper_class_name} for NamedTuple quant wrappers and list
+    nodes so load reconstructs the exact tree without guessing."""
+    typed: dict[str, str] = {}
+
+    def walk(node, pfx):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                yield from walk(v, f"{pfx}{k}/")
+        elif isinstance(node, (list, tuple)) and not hasattr(node,
+                                                            "_fields"):
+            typed[pfx.rstrip("/")] = "list"
+            for i, v in enumerate(node):
+                yield from walk(v, f"{pfx}{i}/")
+        elif hasattr(node, "_fields"):          # quant wrappers
+            typed[pfx.rstrip("/")] = type(node).__name__
+            for k in node._fields:
+                yield from walk(getattr(node, k), f"{pfx}{k}/")
+        elif node is None:
+            return
+        else:
+            yield pfx[:-1], np.asarray(node)
+
+    return walk(tree, prefix), typed
+
+
+def save_sharded_state(params, path: str, weight_dtype=None,
+                       max_size: int = 4 * 1024 ** 3) -> None:
+    """Write the engine's params tree under ``path`` as safetensors
+    shards + a manifest.  ``max_size`` splits shards (bytes)."""
+    import json as _json
+    import os
+
+    from safetensors.numpy import save_file
+
+    os.makedirs(path, exist_ok=True)
+    it, typed = _flatten_params(params)
+    shard: dict = {}
+    shard_bytes = 0
+    shards = []
+
+    def flush():
+        nonlocal shard, shard_bytes
+        if not shard:
+            return
+        fname = f"sharded-{len(shards):05d}.safetensors"
+        save_file(shard, os.path.join(path, fname))
+        shards.append(fname)
+        shard = {}
+        shard_bytes = 0
+
+    for name, arr in it:
+        if shard_bytes + arr.nbytes > max_size and shard:
+            flush()
+        shard[name] = arr
+        shard_bytes += arr.nbytes
+    flush()
+    with open(os.path.join(path, _SHARDED_MANIFEST), "w") as f:
+        _json.dump({"format": 1, "shards": shards,
+                    "typed_nodes": typed,
+                    "weight_dtype": weight_dtype}, f, indent=1)
+
+
+def is_sharded_state_dir(path: str) -> bool:
+    import os
+    return os.path.isfile(os.path.join(path, _SHARDED_MANIFEST))
+
+
+def load_sharded_state(path: str):
+    """-> (params_tree of jnp arrays, weight_dtype)."""
+    import json as _json
+    import os
+
+    import jax.numpy as jnp
+
+    with open(os.path.join(path, _SHARDED_MANIFEST)) as f:
+        man = _json.load(f)
+    from safetensors import safe_open
+    leaves: dict[str, np.ndarray] = {}
+    for fname in man["shards"]:
+        with safe_open(os.path.join(path, fname), framework="numpy") as f:
+            for name in f.keys():
+                leaves[name] = f.get_tensor(name)
+    root: dict = {}
+    for name, arr in leaves.items():
+        node = root
+        parts = name.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(arr)
+    typed = man.get("typed_nodes", {})
+
+    def rebuild(node, pfx):
+        if not isinstance(node, dict):
+            return node
+        built = {k: rebuild(v, f"{pfx}{k}/") for k, v in node.items()}
+        t = typed.get(pfx.rstrip("/"))
+        if t == "list":
+            return [built[str(i)] for i in range(len(built))]
+        if t and t != "list":
+            from ..ops.quant import QuantizedWeight
+            from ..ops.pallas.int4_matmul import (PackedInt4,
+                                                  QuantizedWeight4)
+            cls = {"QuantizedWeight4": QuantizedWeight4,
+                   "PackedInt4": PackedInt4,
+                   "QuantizedWeight": QuantizedWeight}[t]
+            return cls(**built)
+        return built
+
+    return rebuild(root, ""), man.get("weight_dtype")

@@ -62,8 +62,10 @@ def middle_keep_tokens(evict: PagedEvictConfig, block_size: int,
     and one tail block (kvcache_prunner.py:94, page_evict_kv_util.py:25-28).
     ``budget`` overrides evict.cache_budget (percentage prune type
     resolves a per-sequence token budget)."""
-    b = evict.cache_budget if budget is None else budget
-    keep = b - evict.initial_blocks * block_size - block_size
+    if budget is None:
+        from ..config import resolve_evict_budget
+        budget = resolve_evict_budget(evict, 0, block_size)
+    keep = budget - evict.initial_blocks * block_size - block_size
     return max(keep, 0)
 
 
@@ -74,11 +76,16 @@ def pruned_prompt_len(q_len: int, evict: PagedEvictConfig,
     == q_len when the prompt fits in the budget; otherwise
     sink + min(middle, middle_keep) + tail (kvcache_prunner.py:284-326).
     """
-    b = evict.cache_budget if budget is None else budget
-    if not evict.enabled or q_len <= b:
+    if budget is None:
+        # Percentage mode resolves from the prompt length itself —
+        # never treat a percent as a token count.
+        from ..config import resolve_evict_budget
+        budget = resolve_evict_budget(evict, q_len, block_size)
+    if not evict.enabled or q_len <= budget:
         return q_len
     s = prompt_slices(q_len, block_size, evict.initial_blocks)
-    keep = min(s.num_middle, middle_keep_tokens(evict, block_size, b))
+    keep = min(s.num_middle,
+               middle_keep_tokens(evict, block_size, budget))
     return s.first_end + keep + s.num_last
 
 
@@ -108,5 +115,7 @@ def decode_evicts_now(logical_len: int, evict: PagedEvictConfig,
     """
     if not evict.enabled or not evict.frees_pages:
         return False
-    b = evict.cache_budget if budget is None else budget
-    return logical_len > b and logical_len % block_size == 0
+    if budget is None:
+        from ..config import resolve_evict_budget
+        budget = resolve_evict_budget(evict, logical_len, block_size)
+    return logical_len > budget and logical_len % block_size == 0

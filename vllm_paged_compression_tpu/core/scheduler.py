@@ -510,8 +510,11 @@ class Scheduler:
         ev = self.evict
         if ev is None or not ev.enabled:
             return -1
-        b = ev.cache_budget if budget is None else budget
-        if logical_post <= b or len(pages) <= 2:
+        if budget is None:
+            from ..config import resolve_evict_budget
+            budget = resolve_evict_budget(ev, logical_post,
+                                          self.block_size)
+        if logical_post <= budget or len(pages) <= 2:
             return -1
         bs = self.block_size
         if ev.evict_method == "streamingLLM-1":

@@ -196,7 +196,7 @@ def _flatten_params(tree, prefix=""):
             for k in node._fields:
                 yield from walk(getattr(node, k), f"{pfx}{k}/")
         elif node is None:
-            return
+            typed[pfx.rstrip("/")] = "none"
         else:
             yield pfx[:-1], np.asarray(node)
 
@@ -269,10 +269,18 @@ def load_sharded_state(path: str):
         node[parts[-1]] = jnp.asarray(arr)
     typed = man.get("typed_nodes", {})
 
+    none_nodes = {k for k, v in typed.items() if v == "none"}
+
     def rebuild(node, pfx):
         if not isinstance(node, dict):
             return node
         built = {k: rebuild(v, f"{pfx}{k}/") for k, v in node.items()}
+        # restore None leaves recorded at save time (e.g. optional
+        # wrapper fields) so typed reconstruction sees every field
+        for k in none_nodes:
+            head, _, leaf = k.rpartition("/")
+            if head == pfx.rstrip("/") and leaf not in built:
+                built[leaf] = None
         t = typed.get(pfx.rstrip("/"))
         if t == "list":
             return [built[str(i)] for i in range(len(built))]

@@ -21,8 +21,6 @@ def main() -> None:
     parser.add_argument("--num-prompts", type=int, default=8)
     parser.add_argument("--input-len", type=int, default=1024)
     parser.add_argument("--output-len", type=int, default=1024)
-    parser.add_argument("--hf-config-json", type=str, default=None,
-                        help="inline JSON arch config for synthetic models")
     parser.add_argument("--bench-model", type=str, default="llama-3.2-1b",
                         help="named synthetic arch from bench.py")
     parser.add_argument("--json-out", type=str, default=None)

@@ -325,23 +325,102 @@ def build_constructed_params(model, seed=0):
 
 
 def train(model, steps=4000, batch=64, pairs=60, lr=1e-3, seed=0,
-          log=print):
-    """AdamW (warmup + cosine) on multi-query recall cross-entropy with
-    a pairs CURRICULUM; returns trained params.
+          log=print, chain_pairs=None, chain_len=None):
+    """Three-phase recipe (round 4 — replaces the curriculum that sat on
+    the copy-any-context-value plateau for every hyperparameter tried):
 
-    The retrieval head forms quickly at small episode sizes and then
-    transfers — training directly at large ``pairs`` sits on the
-    ln(NVALS) plateau indefinitely (measured: 8k steps flat at
-    pairs=126), while a 10 → pairs ladder cracks it in a few hundred
-    steps per rung."""
+    1. INDUCTION PRETRAIN: LM loss on VARIABLE-length repeated random
+       segments.  Fixed-length repeats train a purely positional
+       copy-at-offset head (lm_loss -> 0 with zero transfer, measured);
+       variable lengths force content-based key matching — the
+       induction head forms in ~2k steps and is the whole game.
+    2. RECALL FINETUNE: multi-query episodes with an accuracy-gated
+       pairs curriculum.  With the induction head in place this snaps
+       to ~1.0 within a few hundred steps per rung (without it, 40k
+       steps of direct training, grokking-style finite-data training,
+       and fixed-offset pretraining all stay at the ln(context) floor).
+    3. CHAIN FINETUNE (when chain_pairs/chain_len given): teacher-forced
+       pointer-chasing continuation so the model treats its own sampled
+       hop as the next query — the decode-time eviction eval's task.
+
+    Returns (params, held-out full-attention accuracy at the target
+    episode size)."""
     import optax
     from vllm_paged_compression_tpu.ops.attention import prefill_attention
     params = model.init_params(seed)
     scale = model.arch.head_dim ** -0.5
     nq = 16
+    V = model.arch.vocab_size
+    rng = np.random.default_rng(seed)
+    t0 = time.time()
 
-    def make_fns(cur_pairs):
-        seq_len = 2 * cur_pairs + 2 + 3 * nq
+    def scan20(loss_fn, opt):
+        @jax.jit
+        def step20(params, o, *xs):
+            def body(c, x):
+                p, oo = c
+                loss, g = jax.value_and_grad(loss_fn)(p, *x)
+                u, oo = opt.update(g, oo, p)
+                return (optax.apply_updates(p, u), oo), loss
+            (params, o), losses = jax.lax.scan(body, (params, o), xs=xs)
+            return params, o, losses[-1]
+        return step20
+
+    # ---- phase 1: variable-repeat induction pretrain -------------------
+    T1 = 48
+    pos1 = jnp.arange(T1)
+
+    def lm_logits(params, toks):
+        def one(t):
+            h, _ = model.forward_hidden(
+                params, t, pos1,
+                lambda q, k, v, s: (prefill_attention(q, k, v, scale, T1),
+                                    s))
+            return h
+        return model.logits(params, jax.vmap(one)(toks))
+
+    def lm_loss(params, toks, mask):
+        lp = jax.nn.log_softmax(lm_logits(params, toks))
+        tg = toks[:, 1:]
+        pred = jnp.take_along_axis(lp[:, :-1], tg[..., None], -1)[..., 0]
+        return -jnp.sum(pred * mask) / jnp.sum(mask)
+
+    p1_steps = max(steps // 2, 2000)
+    opt1 = optax.adamw(optax.warmup_cosine_decay_schedule(
+        0.0, 2e-3, 100, p1_steps, 2e-4))
+    o1 = opt1.init(params)
+    step1 = scan20(lm_loss, opt1)
+
+    def rep_chunk(n=20, b=128):
+        ts = np.zeros((n, b, T1), np.int64)
+        ms = np.zeros((n, b, T1 - 1), np.float32)
+        for i in range(n):
+            for j in range(b):
+                L = int(rng.integers(8, 25))
+                seg = rng.integers(4, V, size=L)
+                ts[i, j, :2 * L] = np.concatenate([seg, seg])
+                ms[i, j, L - 1:2 * L - 1] = 1.0
+        return jnp.asarray(ts), jnp.asarray(ms)
+
+    done = 0
+    while done < p1_steps:
+        toks, mask = rep_chunk()
+        params, o1, loss = step1(params, o1, toks, mask)
+        done += 20
+        if done % 500 == 0:
+            log(f"# phase1 step {done} lm_loss {float(loss):.3f} "
+                f"({time.time() - t0:.0f}s)")
+            if float(loss) < 0.05:
+                log("# induction formed")
+                break
+
+    # ---- phase 2: recall finetune with accuracy-gated curriculum -------
+    _fns = {}
+
+    def make_fns(cur, opt):
+        if cur in _fns:
+            return _fns[cur]
+        seq_len = 2 * cur + 2 + 3 * nq
         positions = jnp.arange(seq_len)
 
         def forward_at(params, toks, qpos):
@@ -350,63 +429,104 @@ def train(model, steps=4000, batch=64, pairs=60, lr=1e-3, seed=0,
                     params, t, positions,
                     lambda q, k, v, s: (prefill_attention(
                         q, k, v, scale, seq_len), s))
-                return h[qp]                        # [nq, D]
-            h_q = jax.vmap(one)(toks, qpos)         # [B, nq, D]
-            return model.logits(params, h_q)        # [B, nq, V]
+                return h[qp]
+            return model.logits(params, jax.vmap(one)(toks, qpos))
 
         def loss_fn(params, toks, qpos, tgt):
-            logits = forward_at(params, toks, qpos)
-            lp = jax.nn.log_softmax(logits)
+            lp = jax.nn.log_softmax(forward_at(params, toks, qpos))
             b, nq_ = tgt.shape
             return -jnp.mean(lp[jnp.arange(b)[:, None],
                                 jnp.arange(nq_)[None, :], tgt])
 
         @jax.jit
-        def step(params, opt_state, toks, qpos, tgt):
-            loss, grads = jax.value_and_grad(loss_fn)(params, toks,
-                                                      qpos, tgt)
-            updates, opt_state = opt.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state, loss
+        def acc_fn(params, toks, qpos, tgt):
+            pred = jnp.argmax(forward_at(params, toks, qpos), -1)
+            return jnp.mean((pred == tgt).astype(jnp.float32))
 
-        return step, jax.jit(forward_at)
+        _fns[cur] = (scan20(loss_fn, opt), acc_fn)
+        return _fns[cur]
 
-    # Curriculum rungs: double from 10 up to the target episode size,
-    # splitting the step budget evenly with the last rung taking slack.
-    rungs = [10]
-    while rungs[-1] < pairs:
-        rungs.append(min(rungs[-1] * 2, pairs))
-    per = max(steps // len(rungs), 1)
-
-    sched = optax.warmup_cosine_decay_schedule(
-        0.0, lr, warmup_steps=min(200, steps // 10),
-        decay_steps=steps, end_value=lr * 0.1)
-    opt = optax.chain(optax.clip_by_global_norm(1.0),
-                      optax.adamw(sched, weight_decay=0.01))
-    opt_state = opt.init(params)
-
-    rng = np.random.default_rng(seed)
-    t0 = time.time()
+    p2_steps = max(steps, 2000)
+    opt2 = optax.chain(optax.clip_by_global_norm(1.0),
+                       optax.adamw(optax.warmup_cosine_decay_schedule(
+                           0.0, lr, 100, p2_steps, lr * 0.1),
+                           weight_decay=0.01))
+    o2 = opt2.init(params)
+    cur = 10
     done = 0
-    for ri, cur in enumerate(rungs):
-        n = steps - done if ri == len(rungs) - 1 else per
-        step, _fwd = make_fns(cur)
-        for i in range(n):
-            toks, qpos, tgt = make_batch(rng, batch, cur, nq)
-            params, opt_state, loss = step(params, opt_state,
-                                           jnp.asarray(toks),
-                                           jnp.asarray(qpos),
-                                           jnp.asarray(tgt))
-            if i % 200 == 0 or i == n - 1:
-                log(f"# rung pairs={cur} step {done + i}: loss "
-                    f"{float(loss):.4f} ({time.time() - t0:.0f}s)")
-        done += n
+    while done < p2_steps:
+        step2, acc_fn = make_fns(cur, opt2)
+        ts, qs, gs = [], [], []
+        for _ in range(20):
+            t, q, g = make_batch(rng, batch, cur, nq)
+            ts.append(t)
+            qs.append(q)
+            gs.append(g)
+        params, o2, loss = step2(params, o2, jnp.asarray(np.stack(ts)),
+                                 jnp.asarray(np.stack(qs)),
+                                 jnp.asarray(np.stack(gs)))
+        done += 20
+        if done % 500 == 0:
+            et, eq, eg = make_batch(rng, 256, cur, nq)
+            a = float(acc_fn(params, jnp.asarray(et), jnp.asarray(eq),
+                             jnp.asarray(eg)))
+            log(f"# phase2 step {done} pairs={cur} acc {a:.3f} "
+                f"({time.time() - t0:.0f}s)")
+            if a >= 0.85 and cur < pairs:
+                cur = min(cur * 2, pairs)
+                log(f"# advance to pairs={cur}")
+            elif a >= 0.99 and cur == pairs:
+                break
+
+    # ---- phase 3: teacher-forced chain continuation --------------------
+    if chain_pairs and chain_len:
+        T_p = 1 + 3 * chain_pairs + 2
+        T3 = T_p + chain_len
+        pos3 = jnp.arange(T3)
+
+        def fwd3(params, toks):
+            def one(t):
+                h, _ = model.forward_hidden(
+                    params, t, pos3,
+                    lambda q, k, v, s: (prefill_attention(
+                        q, k, v, scale, T3), s))
+                return h
+            return model.logits(params, jax.vmap(one)(toks))
+
+        def loss3(params, toks, chains):
+            lp = jax.nn.log_softmax(fwd3(params, toks))
+            idx = T_p - 1 + jnp.arange(chain_len)
+            sel = lp[:, idx, :]
+            return -jnp.mean(jnp.take_along_axis(sel, chains[..., None],
+                                                 -1))
+
+        p3_steps = 2000
+        opt3 = optax.chain(optax.clip_by_global_norm(1.0),
+                           optax.adamw(optax.warmup_cosine_decay_schedule(
+                               0.0, 7e-4, 100, p3_steps, 7e-5),
+                               weight_decay=0.01))
+        o3 = opt3.init(params)
+        step3 = scan20(loss3, opt3)
+        done = 0
+        while done < p3_steps:
+            ts, cs = [], []
+            for _ in range(20):
+                t, c = make_chain_batch(rng, 64, chain_pairs, chain_len)
+                ts.append(np.concatenate([t, c], axis=1))
+                cs.append(c)
+            params, o3, loss = step3(params, o3,
+                                     jnp.asarray(np.stack(ts)),
+                                     jnp.asarray(np.stack(cs)))
+            done += 20
+            if done % 500 == 0:
+                log(f"# phase3 step {done} chain_loss {float(loss):.3f} "
+                    f"({time.time() - t0:.0f}s)")
 
     # held-out accuracy at the TARGET shape
-    _step, fwd = make_fns(pairs)
+    _, acc_fn = make_fns(pairs, opt2)
     toks, qpos, tgt = make_batch(rng, 256, pairs, nq)
-    pred = np.asarray(jnp.argmax(
-        fwd(params, jnp.asarray(toks), jnp.asarray(qpos)), axis=-1))
-    acc = float((pred == tgt).mean())
+    acc = float(acc_fn(params, jnp.asarray(toks), jnp.asarray(qpos),
+                       jnp.asarray(tgt)))
     log(f"# held-out full-attention accuracy: {acc:.3f}")
     return params, acc
 
@@ -506,10 +626,15 @@ def main() -> None:
     else:
         if args.layers:
             ARCH["num_hidden_layers"] = args.layers
+        ARCH["tie_word_embeddings"] = False
         model = build_model()
         params, train_acc = train(
             model, steps=args.train_steps, batch=args.train_batch,
             pairs=args.pairs, lr=args.lr,
+            chain_pairs=(args.chain_pairs if "chain" in args.tasks
+                         else None),
+            chain_len=(args.chain_len if "chain" in args.tasks
+                       else None),
             log=lambda m: print(m, file=sys.stderr, flush=True))
 
     results = []

@@ -534,7 +534,12 @@ def _pick_bn_packed(gs: int, N: int, bm: int, group: int,
     _pick_tiles plus the sz tiles, which are noise)."""
     bn = min(bn0, N)
     bk = group * gs
-    budget = 13 * 1024 * 1024
+    # Decode (small bm): 13 MB keeps the measured-fastest double-
+    # buffered tile set (bigger tiles LOSE ~3% decode — chip A/B).
+    # Prefill (bm >= 128): 18 MB admits bn=2048, +7% prefill
+    # throughput; the kernel raises the Mosaic scoped-vmem cap via
+    # CompilerParams(vmem_limit_bytes=24MB) to make room.
+    budget = (18 if bm >= 128 else 13) * 1024 * 1024
     while bn > 256:
         # Per-group unpack keeps lo/hi live at [GROUP, bn] (x2 halves,
         # x2 for scheduling slack) instead of [bk, bn].
@@ -597,6 +602,8 @@ def int4_matmul_packed(x: jnp.ndarray, p4: PackedInt4, bn: int = 4096,
             flops=2 * M * N * K,
             bytes_accessed=Kh * N + M * K * 2 + M * N * 2,
             transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024),
         interpret=jax.default_backend() == "cpu",
     )(x, x, p4.qp, p4.sz)
 
@@ -656,6 +663,8 @@ def int4_matmul_stacked_packed(x: jnp.ndarray, p4: PackedInt4, layer,
             flops=2 * M * N * K,
             bytes_accessed=Kh * N + M * K * 2 + M * N * 2,
             transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024),
         interpret=jax.default_backend() == "cpu",
     )(li, x, x, p4.qp, p4.sz)
 

@@ -86,3 +86,25 @@ def test_pp_combination_still_rejected():
         LLM(hf_config=CFG, dtype="float32", enable_paged_eviction=True,
             cache_budget=128, enable_chunked_prefill=True,
             pipeline_parallel_size=2, max_model_len=256)
+
+
+def test_chunked_evict_with_quantized_kv():
+    """The final-chunk prune program dequantizes int8 pools for scoring
+    and re-quantizes the compacted keep set — generation completes and
+    the table still shrinks."""
+    from vllm_paged_compression_tpu.entrypoints.llm import LLM
+    from vllm_paged_compression_tpu.sampling_params import SamplingParams
+    llm = LLM(hf_config=CFG, dtype="float32", block_size=16,
+              max_model_len=512, num_device_blocks=64, seed=0,
+              enable_paged_eviction=True, evict_method="global",
+              cache_budget=128, evict_selection="l2",
+              kv_cache_dtype="int8", enable_chunked_prefill=True,
+              max_num_batched_tokens=64, disable_evict_prefill=True,
+              num_scheduler_steps=4)
+    prompt = [(i * 13) % 127 + 1 for i in range(200)]
+    outs = llm.generate(prompt_token_ids=[prompt],
+                        sampling_params=SamplingParams(temperature=0.0,
+                                                       max_tokens=16))
+    assert len(outs[0].outputs[0].token_ids) == 16
+    alloc = llm.engine.scheduler.allocator
+    assert alloc.num_free_blocks == alloc.num_blocks

@@ -7,6 +7,14 @@ import pytest
 
 import jax.numpy as jnp
 
+# On the real chip, f32 matmuls run as bf16 multi-pass on the MXU
+# (~1e-3 agreement on O(1) outputs); CPU/interpret is exact.  Same
+# calibration as tests/ops/test_pallas_kernels.py.
+import os
+_REAL = os.environ.get("VPC_TEST_REAL_DEVICE") == "1"
+RTOL = 1e-2 if _REAL else 2e-5
+ATOL = 1e-2 if _REAL else 2e-5
+
 from vllm_paged_compression_tpu.ops.attention import (
     paged_decode_attention, prefill_attention, pruned_prefill_attention)
 
@@ -43,7 +51,7 @@ def test_prefill_matches_numpy(heads, kv_heads):
     mask = (pos[:, None] >= pos[None, :]) & (pos[None, :] < q_len)
     expect = numpy_attention(q, k, v, scale, mask)
     np.testing.assert_allclose(np.asarray(out)[:q_len], expect[:q_len],
-                               rtol=2e-5, atol=2e-5)
+                               rtol=RTOL, atol=ATOL)
 
 
 def test_pruned_prefill_top_left_causal():
@@ -63,7 +71,7 @@ def test_pruned_prefill_top_left_causal():
     mask = (kpos <= qpos) & (kpos < kept_len)
     expect = numpy_attention(q, k, v, scale, mask)
     np.testing.assert_allclose(np.asarray(out)[:q_len], expect[:q_len],
-                               rtol=2e-5, atol=2e-5)
+                               rtol=RTOL, atol=ATOL)
 
 
 @pytest.mark.parametrize("heads,kv_heads", [(4, 4), (8, 2)])
@@ -106,4 +114,4 @@ def test_paged_decode_matches_contiguous(heads, kv_heads):
         expect = numpy_attention(q[b:b + 1].reshape(1, heads, d),
                                  k_ctx[b, :n], v_ctx[b, :n], scale, mask)
         np.testing.assert_allclose(np.asarray(out)[b][None], expect,
-                                   rtol=2e-5, atol=2e-5)
+                                   rtol=RTOL, atol=ATOL)

@@ -11,6 +11,14 @@ import pytest
 
 import jax.numpy as jnp
 
+# On the real chip, f32 matmuls run as bf16 multi-pass on the MXU
+# (~1e-3 agreement on O(1) outputs); CPU/interpret is exact.  Same
+# calibration as tests/ops/test_pallas_kernels.py.
+import os
+_REAL = os.environ.get("VPC_TEST_REAL_DEVICE") == "1"
+RTOL = 1e-2 if _REAL else 2e-5
+ATOL = 1e-2 if _REAL else 2e-5
+
 from vllm_paged_compression_tpu.ops.attention import paged_decode_attention
 from vllm_paged_compression_tpu.ops.cache import write_kv_slots
 from vllm_paged_compression_tpu.ops.eviction import page_scores_from_cache
@@ -70,7 +78,7 @@ def test_pallas_quant_kernel_matches_jnp_quant_oracle():
     ref = paged_decode_attention(q, kc, vc, tables, lens, scale)
     out = paged_decode_attention_pallas(q, kc, vc, tables, lens, scale)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=2e-5, atol=2e-5)
+                               rtol=RTOL, atol=ATOL)
 
 
 def test_quant_page_scores_match_dequant():

@@ -176,7 +176,8 @@ def main() -> None:
             if frac < 1.0:
                 kw.update(enable_paged_eviction=True,
                           evict_method=method, evict_selection="l2",
-                          cache_budget=budget_tokens(frac))
+                          cache_budget=budget_tokens(frac),
+                          topk_blocks=(8 if method == "local" else -1))
             return LLM(**kw)
         return make
 

@@ -90,3 +90,35 @@ class TestEngine:
                 budgets[s.request_id] = s.evict_budget
         assert budgets["short"] == 48     # floor(50% of 100) -> 3 pages
         assert budgets["long"] == 192     # 50% of 400, page-rounded
+
+
+def test_percentage_with_chunked_prefill_eviction():
+    """percentage budgets compose with chunked prefill x eviction: the
+    final-chunk prune uses the per-request resolved budget."""
+    from vllm_paged_compression_tpu.entrypoints.llm import LLM
+    from vllm_paged_compression_tpu.sampling_params import SamplingParams
+    llm = LLM(hf_config=CFG, dtype="float32", block_size=16,
+              max_model_len=512, num_device_blocks=64, seed=0,
+              enable_paged_eviction=True, evict_method="global",
+              cache_prune_type="percentage", cache_budget=50,
+              evict_selection="l2", enable_chunked_prefill=True,
+              max_num_batched_tokens=64, disable_evict_prefill=True,
+              num_scheduler_steps=1)
+    eng = llm.engine
+    prompt = [(i * 3) % 127 + 1 for i in range(200)]   # budget -> 96
+    eng.add_request(prompt_token_ids=prompt,
+                    sampling_params=SamplingParams(temperature=0.0,
+                                                   max_tokens=4))
+    for _ in range(24):
+        eng.step()
+        running = eng.scheduler.running
+        if running and running[0].num_output_tokens >= 1:
+            break
+    seq = running[0]
+    assert seq.evict_budget == 96
+    # stored <= budget + tail page slack, far below the 13-page prompt
+    assert seq.block_table.num_pages <= 96 // 16 + 2
+    while eng.has_unfinished_requests():
+        eng.step()
+    alloc = eng.scheduler.allocator
+    assert alloc.num_free_blocks == alloc.num_blocks

@@ -102,3 +102,19 @@ def test_flatten_rebuild_typed_tree(tmp_path):
                                   np.asarray(p4.sz))
     np.testing.assert_array_equal(np.asarray(got["norm"]),
                                   np.asarray(tree["norm"]))
+
+
+def test_none_only_nodes_roundtrip(tmp_path):
+    """A parent whose children are ALL None (and a None list tail) must
+    still reconstruct — review finding round 4."""
+    import jax.numpy as jnp
+    from vllm_paged_compression_tpu.models.weights import (
+        load_sharded_state, save_sharded_state)
+    tree = {"a": {"x": None, "y": None},
+            "lst": [jnp.ones((2,), jnp.float32), None],
+            "w": jnp.zeros((2, 2), jnp.float32)}
+    d = str(tmp_path / "n")
+    save_sharded_state(tree, d)
+    got, _ = load_sharded_state(d)
+    assert got["a"] == {"x": None, "y": None}
+    assert got["lst"][1] is None and len(got["lst"]) == 2

@@ -268,6 +268,15 @@ def load_sharded_state(path: str):
             node = node.setdefault(p, {})
         node[parts[-1]] = jnp.asarray(arr)
     typed = man.get("typed_nodes", {})
+    # Seed intermediate nodes for None-only paths so a parent with no
+    # tensor siblings (all-None wrapper fields, None list tails) still
+    # exists for rebuild to populate.
+    for name, t in typed.items():
+        if t != "none" or not name:
+            continue
+        node = root
+        for p2 in name.split("/")[:-1]:
+            node = node.setdefault(p2, {})
 
     none_nodes = {k for k, v in typed.items() if v == "none"}
 

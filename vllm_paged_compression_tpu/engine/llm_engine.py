@@ -250,11 +250,12 @@ class LLMEngine:
                     (cc.cache_dtype not in ("auto", "float32") or None,
                      "quantized KV"),
                     ((config.parallel is not None
-                      and config.parallel.world_size > 1
+                      and config.parallel.pipeline_parallel_size > 1
                       and type(self.model).__name__ != "MambaModel")
                      or None,
-                     "multi-chip parallelism (state-slot hybrids: "
-                     "Jamba/BART/Mllama)"),
+                     "pipeline parallelism (state-slot hybrids "
+                     "Jamba/BART/Mllama are TP-only; pure Mamba "
+                     "supports TP+PP)"),
                     ((config.parallel is not None
                       and config.parallel.data_parallel_size > 1)
                      or None,

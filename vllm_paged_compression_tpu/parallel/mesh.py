@@ -131,6 +131,67 @@ _MAMBA_PARAM_SPECS = {
 PARAM_SPECS = {"llama": _LLAMA_PARAM_SPECS, "opt": _OPT_PARAM_SPECS,
                "mamba": _MAMBA_PARAM_SPECS}
 
+# ---- hybrid state-slot families (Jamba / BART / Mllama) ------------------
+# These trunks keep per-layer param dicts (heterogeneous layer kinds:
+# attention / mamba mixer / MoE / cross-attention) or family-specific
+# stacked arrays instead of the homogeneous stacked "layers" tree, so the
+# structural spec trees above don't apply.  Their TP shardings follow the
+# same megatron column/row pattern, assigned by leaf NAME with the sharded
+# axis counted from the RIGHT — a per-layer [in, out], stacked [L, in, out],
+# or MoE [E, in, out] leaf all resolve correctly.  The reference runs these
+# families under the identical Column/RowParallelLinear pattern
+# (vllm/model_executor/models/jamba.py:95-230, bart.py BartAttention,
+# mllama.py MllamaTextCrossAttention).
+
+# output features on "model" (column-parallel); also 1-axis per-channel
+# mamba leaves whose channel axis is last (Dskip).
+_HYBRID_COL_NAMES = frozenset({
+    "wqkv", "bqkv", "wq", "wk", "wv", "in_proj", "conv_w", "conv_b",
+    "dt_w", "dt_b", "w_gate_up", "b_gate_up", "fc1_w", "fc1_b",
+    "lm_head", "Dskip",
+    "sa_q_w", "sa_q_b", "sa_k_w", "sa_k_b", "sa_v_w", "sa_v_b",
+    "ca_q_w", "ca_q_b", "ca_k_w", "ca_k_b", "ca_v_w", "ca_v_b",
+})
+# input features on "model" (row-parallel, XLA fuses the psum); embed
+# tables shard their vocab axis, which is also axis -2.
+_HYBRID_ROW_NAMES = frozenset({
+    "wo", "out_proj", "x_proj", "fc2_w", "w_down", "sa_o_w", "ca_o_w",
+    "A_log", "embed", "shared",
+})
+
+
+def _hybrid_spec(name: str, shape, tp: int) -> P:
+    ndim = len(shape)
+    if name in _HYBRID_COL_NAMES:
+        axis = ndim - 1
+    elif name in _HYBRID_ROW_NAMES:
+        axis = ndim - 2
+    else:
+        return P()
+    if axis < 0 or shape[axis] % tp:
+        # device_put needs the sharded axis divisible by the shard count
+        # (e.g. 2 kv heads on tp=4): replicate such leaves — correctness
+        # is layout-independent under GSPMD.
+        return P()
+    return P(*([None] * axis + ["model"] + [None] * (ndim - axis - 1)))
+
+
+def hybrid_param_shardings(mesh: Mesh, params: dict):
+    """NamedSharding pytree for a hybrid state-slot family's params:
+    name-keyed megatron column/row specs; norms, gates, routers, position
+    tables, and anything unrecognized replicate (correctness under GSPMD
+    is layout-independent — the specs only steer where the bandwidth
+    goes)."""
+    tp = mesh.shape["model"]
+
+    def walk(node, name=""):
+        if isinstance(node, dict):
+            return {k: walk(v, k) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v, name) for v in node)
+        return NamedSharding(mesh, _hybrid_spec(name, node.shape, tp))
+    return walk(params)
+
 
 def param_shardings(mesh: Mesh, architecture: str, params: dict,
                     pipeline_parallel: int = 1):
@@ -214,6 +275,11 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard_params(params: dict, mesh: Mesh, architecture: str,
                  pipeline_parallel: int = 1) -> dict:
+    if architecture == "mamba" and any(
+            k in params for k in ("layer_list", "enc_layers")):
+        # Hybrid state-slot family (Jamba / BART / Mllama): per-layer
+        # dicts / family-specific stacks — name-keyed specs.
+        return jax.device_put(params, hybrid_param_shardings(mesh, params))
     return jax.device_put(params,
                           param_shardings(mesh, architecture, params,
                                           pipeline_parallel))
@@ -222,13 +288,30 @@ def shard_params(params: dict, mesh: Mesh, architecture: str,
 def shard_caches(caches, mesh: Mesh, pipeline_parallel: int = 1,
                  state_model: bool = False):
     if state_model:
-        # Mamba state pools conv [L, slots, I, k-1] / ssm [L, slots, I,
-        # S]: the feature (d_inner) axis shards over "model" to match
-        # the column-parallel mixer outputs; the layer axis shards over
-        # "pipe" when PP is on (each stage owns its layers' states).
+        # State pools, rank-keyed (covers pure Mamba AND the hybrid
+        # families' mixed tuples):
+        #   rank 5  [L, slots, T, H, d]    — K/V / cross-KV rows: the
+        #           head axis shards over "model" to match the
+        #           column-parallel q/k/v projections;
+        #   rank 4  [L, slots, I, S|k-1]   — conv/SSM states: the feature
+        #           (d_inner) axis shards to match the mixer outputs;
+        #   rank 1  per-slot counters      — replicated.
+        # The layer axis shards over "pipe" when PP is on (each stage
+        # owns its layers' states; pure-Mamba only today).
         layer_axis = "pipe" if pipeline_parallel > 1 else None
-        s = NamedSharding(mesh, P(layer_axis, None, "model", None))
-        return jax.tree.map(lambda x: jax.device_put(x, s), caches)
+        tp = mesh.shape["model"]
+
+        def put(x):
+            if x.ndim == 5:
+                feat = "model" if x.shape[3] % tp == 0 else None
+                s = P(layer_axis, None, None, feat, None)
+            elif x.ndim == 4:
+                feat = "model" if x.shape[2] % tp == 0 else None
+                s = P(layer_axis, None, feat, None)
+            else:
+                s = P()
+            return jax.device_put(x, NamedSharding(mesh, s))
+        return jax.tree.map(put, caches)
     s = kv_cache_sharding(mesh, pipeline_parallel)
     k, v = caches
     return (jax.device_put(k, s), jax.device_put(v, s))

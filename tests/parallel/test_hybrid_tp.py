@@ -107,10 +107,66 @@ def test_jamba_tp4_and_batched():
     assert run(4) == run(1)
 
 
-def test_hybrid_pp_still_rejected():
+def test_bart_pp_still_rejected():
     with pytest.raises(ValueError, match="pipeline parallelism"):
-        LLM(hf_config=dict(JAMBA_CFG), dtype="float32", max_model_len=64,
+        LLM(hf_config=dict(BART_CFG), dtype="float32", max_model_len=64,
             num_device_blocks=8, seed=0, pipeline_parallel_size=2)
+
+
+class TestJambaPipeline:
+    """Jamba PP: stages own whole period blocks (layer kinds are
+    block-periodic), params restacked to block_list [num_blocks, ...]
+    leaves sharded over "pipe", layer-major hybrid pools sliced evenly.
+    Reference analog: vllm/model_executor/models/jamba.py partitions
+    layers across PP stage processes via make_layers."""
+
+    # attn period 2 / offset 1, expert period 2 / offset 0 -> block len
+    # 2 (pos 0: mamba mixer + MoE ffn, pos 1: attention + dense ffn);
+    # 8 layers -> 4 blocks -> 2 per stage at pp=2, 1 at pp=4.
+    CFG = {
+        "architectures": ["JambaForCausalLM"],
+        "vocab_size": 128, "hidden_size": 64, "intermediate_size": 96,
+        "num_hidden_layers": 8, "num_attention_heads": 4,
+        "num_key_value_heads": 2, "num_experts": 4,
+        "num_experts_per_tok": 2,
+        "expert_layer_period": 2, "expert_layer_offset": 0,
+        "attn_layer_period": 2, "attn_layer_offset": 1,
+        "mamba_d_state": 8, "mamba_d_conv": 4, "mamba_expand": 2,
+        "tie_word_embeddings": False, "rms_norm_eps": 1e-6,
+        "eos_token_id": None,
+    }
+
+    def _run(self, pp=1, tp=1, prompts=(PROMPT,), n=8):
+        kw = {}
+        if pp > 1:
+            kw["pipeline_parallel_size"] = pp
+        if tp > 1:
+            kw["tensor_parallel_size"] = tp
+        llm = LLM(hf_config=dict(self.CFG), dtype="float32",
+                  max_model_len=64, num_device_blocks=8, seed=0,
+                  max_num_seqs=4, **kw)
+        outs = llm.generate(
+            prompt_token_ids=[list(p) for p in prompts],
+            sampling_params=SamplingParams(temperature=0.0, max_tokens=n,
+                                           ignore_eos=True))
+        return [list(o.outputs[0].token_ids) for o in outs]
+
+    def test_pp2_token_identical(self):
+        assert self._run(pp=2) == self._run()
+
+    def test_pp2_tp2_batched(self):
+        prompts = [[1, 5, 9], [22, 41, 3, 17, 8], [90, 2], [7] * 10]
+        assert self._run(pp=2, tp=2, prompts=prompts) == \
+            self._run(prompts=prompts)
+
+    def test_pp4_token_identical(self):
+        assert self._run(pp=4) == self._run()
+
+    def test_pp_rejects_ragged_blocks(self):
+        cfg = dict(self.CFG, num_hidden_layers=6)
+        with pytest.raises(ValueError, match="period blocks"):
+            LLM(hf_config=cfg, dtype="float32", max_model_len=64,
+                num_device_blocks=8, seed=0, pipeline_parallel_size=4)
 
 
 def test_mllama_image_tp2_matches_single():

@@ -251,11 +251,12 @@ class LLMEngine:
                      "quantized KV"),
                     ((config.parallel is not None
                       and config.parallel.pipeline_parallel_size > 1
-                      and type(self.model).__name__ != "MambaModel")
+                      and type(self.model).__name__ not in
+                      ("MambaModel", "JambaModel"))
                      or None,
-                     "pipeline parallelism (state-slot hybrids "
-                     "Jamba/BART/Mllama are TP-only; pure Mamba "
-                     "supports TP+PP)"),
+                     "pipeline parallelism (BART/Mllama state-slot "
+                     "hybrids are TP-only; Mamba and Jamba support "
+                     "TP+PP)"),
                     ((config.parallel is not None
                       and config.parallel.data_parallel_size > 1)
                      or None,
@@ -310,7 +311,24 @@ class LLMEngine:
                                      "supports llama-family and Mamba "
                                      "trunks")
                 if self.model.architecture == "mamba":
-                    if self.model.arch.num_layers % pp:
+                    if type(self.model).__name__ == "JambaModel":
+                        # Stages own whole period blocks (layer kinds are
+                        # block-periodic, models/jamba.py to_block_form).
+                        blk = self.model.pp_block_len
+                        nl = self.model.arch.num_layers
+                        if nl % blk or (nl // blk) % pp:
+                            raise ValueError(
+                                f"Jamba PP needs num_layers divisible "
+                                f"into {blk}-layer period blocks spread "
+                                f"evenly over stages: num_layers={nl}, "
+                                f"pp={pp}")
+                        if self.model.arch.head_type == "cls":
+                            raise ValueError(
+                                "Jamba classification does not support "
+                                "pipeline parallelism")
+                        self.params = self.model.to_block_form(
+                            self.params)
+                    elif self.model.arch.num_layers % pp:
                         raise ValueError(
                             f"Mamba PP needs num_layers % pp == 0, got "
                             f"{self.model.arch.num_layers} % {pp}")

@@ -111,6 +111,12 @@ class JambaArch:
     def num_mamba_layers(self) -> int:
         return self.num_layers - self.num_attn_layers
 
+    @property
+    def layer_norm_eps(self) -> float:
+        """Alias: the shared state-model PP bodies read
+        ``arch.layer_norm_eps`` (parallel/pipeline.py)."""
+        return self.rms_norm_eps
+
 
 class JambaModel:
     architecture = "mamba"     # rides the engine's state-model path
@@ -424,6 +430,153 @@ class JambaModel:
         if self.arch.tie_word_embeddings or "lm_head" not in params:
             return hidden @ params["embed"].T
         return hidden @ params["lm_head"]
+
+    def embed(self, params, tokens):
+        return params["embed"][tokens]
+
+    # ---- pipeline parallelism: period-block form -------------------------
+    # Layer kinds depend only on the position within an
+    # lcm(attn_layer_period, expert_layer_period) block, so all blocks are
+    # structurally identical: layer_list restacks into per-POSITION leaves
+    # [num_blocks, ...] whose leading axis shards over "pipe" (each stage
+    # owns a contiguous run of whole blocks), and the layer-major state
+    # pools slice evenly over "pipe" because every block contributes the
+    # same number of mamba/attn layers.  The engine's shared state-model
+    # PP bodies (parallel/pipeline.py pp_decode_window_body_mamba /
+    # pp_prefill_wave_mamba) then drive Jamba unchanged via the
+    # forward_*_layers contracts below.  The reference runs Jamba PP by
+    # partitioning layers across stage processes
+    # (vllm/model_executor/models/jamba.py get_pp_group / make_layers).
+
+    @property
+    def pp_block_len(self) -> int:
+        from math import lcm
+        a = self.arch
+        return lcm(a.attn_layer_period, max(a.expert_layer_period, 1))
+
+    def to_block_form(self, params: dict) -> dict:
+        """Restack ``layer_list`` (length num_layers) into ``block_list``:
+        one dict per block POSITION, leaves stacked [num_blocks, ...].
+        One-time transform at engine build when PP is on."""
+        L = self.pp_block_len
+        lst = params["layer_list"]
+        assert len(lst) % L == 0, (len(lst), L)
+        nb = len(lst) // L
+        blocks = []
+        for p in range(L):
+            keys = lst[p].keys()
+            blocks.append({k: jnp.stack([lst[b * L + p][k]
+                                         for b in range(nb)])
+                           for k in keys})
+        out = {k: v for k, v in params.items() if k != "layer_list"}
+        out["block_list"] = blocks
+        return out
+
+    def forward_prefill_layers(self, params, h, length, slot, pools):
+        """Prompt forward through this stage's local blocks (block-form
+        params, no embed / final norm): writes final mamba states, the
+        prompt's K/V rows, and the position counter at ``slot`` (the
+        trash slot on inactive wave ticks).  Returns (hidden, pools)."""
+        from ..ops.attention import prefill_attention
+        a = self.arch
+        conv_pool, ssm_pool, k_pool, v_pool, pos_pool = pools
+        t = h.shape[0]
+        valid = (jnp.arange(t) < length)[:, None, None]
+        scale = a.head_dim ** -0.5
+        L = self.pp_block_len
+        nb_local = params["block_list"][0]["input_norm"].shape[0]
+        mi = ai = 0
+        for b in range(nb_local):
+            for p in range(L):
+                lp = {k: v[b] for k, v in params["block_list"][p].items()}
+                res = h
+                x = _rms(h, lp["input_norm"], a.rms_norm_eps)
+                if a.is_attn(p):
+                    q, k, v = self._qkv(lp, x)
+                    out = prefill_attention(q, k, v, scale, length)
+                    out = out.reshape(t, a.num_heads * a.head_dim) \
+                        @ lp["wo"]
+                    k_pool = k_pool.at[ai, slot, :t].set(
+                        jnp.where(valid, k, 0).astype(k_pool.dtype))
+                    v_pool = v_pool.at[ai, slot, :t].set(
+                        jnp.where(valid, v, 0).astype(v_pool.dtype))
+                    ai += 1
+                else:
+                    out, conv_state, ssm_state = self._mamba._mixer_prefill(
+                        lp, x, length)
+                    conv_pool = conv_pool.at[mi, slot].set(
+                        conv_state.astype(conv_pool.dtype))
+                    ssm_pool = ssm_pool.at[mi, slot].set(
+                        ssm_state.astype(ssm_pool.dtype))
+                    mi += 1
+                h = res + out
+                res = h
+                x = _rms(h, lp["pre_ff_norm"], a.rms_norm_eps)
+                h = res + self._ffn(lp, x)
+        pos_pool = pos_pool.at[slot].set(length)
+        return h, (conv_pool, ssm_pool, k_pool, v_pool, pos_pool)
+
+    def forward_decode_layers(self, params, h, slots, pools):
+        """One batched decode step through this stage's local blocks
+        (block-form params): h [B, D], slots [B] -> (hidden, pools).
+        The position counter is replicated across stages; every stage
+        advances each real slot exactly once per step (microbatches
+        partition the batch), so copies stay bit-identical without
+        synchronization.  Writes steered to the trash slot land at its
+        stale counter and are dropped or harmlessly overwritten."""
+        a = self.arch
+        conv_pool, ssm_pool, k_pool, v_pool, pos_pool = pools
+        b_sz = h.shape[0]
+        pos = pos_pool[slots]
+        scale = a.head_dim ** -0.5
+        groups = a.num_heads // a.num_kv_heads
+        max_len = k_pool.shape[2]
+        key_mask = jnp.arange(max_len)[None] <= pos[:, None]  # [B, T]
+        L = self.pp_block_len
+        nb_local = params["block_list"][0]["input_norm"].shape[0]
+        mi = ai = 0
+        for blk in range(nb_local):
+            for p in range(L):
+                lp = {k: v[blk]
+                      for k, v in params["block_list"][p].items()}
+                res = h
+                x = _rms(h, lp["input_norm"], a.rms_norm_eps)
+                if a.is_attn(p):
+                    q, k, v = self._qkv(lp, x)
+                    k_pool = k_pool.at[ai, slots, pos].set(
+                        k.astype(k_pool.dtype))
+                    v_pool = v_pool.at[ai, slots, pos].set(
+                        v.astype(v_pool.dtype))
+                    keys = k_pool[ai][slots]            # [B, T, Hkv, d]
+                    vals = v_pool[ai][slots]
+                    qg = q.reshape(b_sz, a.num_kv_heads, groups,
+                                   a.head_dim)
+                    scores = jnp.einsum(
+                        "bhgd,bthd->bhgt", qg.astype(jnp.float32),
+                        keys.astype(jnp.float32)) * scale
+                    scores = jnp.where(key_mask[:, None, None, :],
+                                       scores, -1e30)
+                    probs = jax.nn.softmax(scores, axis=-1)
+                    out = jnp.einsum("bhgt,bthd->bhgd", probs,
+                                     vals.astype(jnp.float32))
+                    out = out.reshape(
+                        b_sz, a.num_heads * a.head_dim).astype(
+                        h.dtype) @ lp["wo"]
+                    ai += 1
+                else:
+                    conv_state = conv_pool[mi][slots]
+                    ssm_state = ssm_pool[mi][slots]
+                    out, new_conv, new_ssm = self._mamba._mixer_step(
+                        lp, x, conv_state, ssm_state)
+                    conv_pool = conv_pool.at[mi, slots].set(new_conv)
+                    ssm_pool = ssm_pool.at[mi, slots].set(new_ssm)
+                    mi += 1
+                h = res + out
+                res = h
+                x = _rms(h, lp["pre_ff_norm"], a.rms_norm_eps)
+                h = res + self._ffn(lp, x)
+        pos_pool = pos_pool.at[slots].set(pos + 1)
+        return h, (conv_pool, ssm_pool, k_pool, v_pool, pos_pool)
 
     # ---- sizing ----------------------------------------------------------
 

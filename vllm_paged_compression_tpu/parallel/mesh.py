@@ -160,20 +160,25 @@ _HYBRID_ROW_NAMES = frozenset({
 })
 
 
-def _hybrid_spec(name: str, shape, tp: int) -> P:
+def _hybrid_spec(name: str, shape, tp: int, pipe: bool = False) -> P:
     ndim = len(shape)
+    spec = [None] * ndim
+    if pipe and ndim:
+        # Leading axis is the stacked period-BLOCK axis (Jamba PP
+        # block_list leaves): each stage owns its run of whole blocks.
+        spec[0] = "pipe"
     if name in _HYBRID_COL_NAMES:
         axis = ndim - 1
     elif name in _HYBRID_ROW_NAMES:
         axis = ndim - 2
     else:
-        return P()
-    if axis < 0 or shape[axis] % tp:
-        # device_put needs the sharded axis divisible by the shard count
-        # (e.g. 2 kv heads on tp=4): replicate such leaves — correctness
-        # is layout-independent under GSPMD.
-        return P()
-    return P(*([None] * axis + ["model"] + [None] * (ndim - axis - 1)))
+        axis = -1
+    # device_put needs the sharded axis divisible by the shard count
+    # (e.g. 2 kv heads on tp=4): replicate such leaves — correctness is
+    # layout-independent under GSPMD.
+    if axis >= (1 if pipe else 0) and shape[axis] % tp == 0:
+        spec[axis] = "model"
+    return P(*spec)
 
 
 def hybrid_param_shardings(mesh: Mesh, params: dict):
@@ -181,15 +186,19 @@ def hybrid_param_shardings(mesh: Mesh, params: dict):
     name-keyed megatron column/row specs; norms, gates, routers, position
     tables, and anything unrecognized replicate (correctness under GSPMD
     is layout-independent — the specs only steer where the bandwidth
-    goes)."""
+    goes).  ``block_list`` leaves (Jamba PP form) additionally shard
+    their leading block axis over "pipe"."""
     tp = mesh.shape["model"]
 
-    def walk(node, name=""):
+    def walk(node, name="", pipe=False):
         if isinstance(node, dict):
-            return {k: walk(v, k) for k, v in node.items()}
+            return {k: walk(v, k, pipe) for k, v in node.items()}
         if isinstance(node, (list, tuple)):
-            return type(node)(walk(v, name) for v in node)
-        return NamedSharding(mesh, _hybrid_spec(name, node.shape, tp))
+            return type(node)(
+                walk(v, name, pipe or name == "block_list")
+                for v in node)
+        return NamedSharding(mesh, _hybrid_spec(name, node.shape, tp,
+                                                pipe))
     return walk(params)
 
 
@@ -276,7 +285,8 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_params(params: dict, mesh: Mesh, architecture: str,
                  pipeline_parallel: int = 1) -> dict:
     if architecture == "mamba" and any(
-            k in params for k in ("layer_list", "enc_layers")):
+            k in params for k in ("layer_list", "block_list",
+                                  "enc_layers")):
         # Hybrid state-slot family (Jamba / BART / Mllama): per-layer
         # dicts / family-specific stacks — name-keyed specs.
         return jax.device_put(params, hybrid_param_shardings(mesh, params))

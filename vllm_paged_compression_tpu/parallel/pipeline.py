@@ -62,9 +62,23 @@ def lora_specs(lora: dict):
 
 
 def param_specs(params: dict):
+    """"layers" (llama/mamba stacked depth) and "block_list" (Jamba PP
+    period blocks) lead with the pipe-sharded axis; everything else
+    replicates w.r.t. "pipe"."""
     return {k: (lora_specs(v) if k == "lora"
-                else pipe_specs_for(v, leading_pipe=(k == "layers")))
+                else pipe_specs_for(v,
+                                    leading_pipe=(k in ("layers",
+                                                        "block_list"))))
             for k, v in params.items()}
+
+
+def cache_pipe_specs(caches):
+    """Per-leaf pipe specs for cache/state pools: layer-major pools
+    (rank >= 4, incl. the hybrid K/V and conv/SSM pools and the llama KV
+    pools) shard their leading layer axis over "pipe"; per-slot counters
+    (rank 1, e.g. Jamba's position pool) replicate."""
+    return jax.tree.map(
+        lambda x: P("pipe") if x.ndim >= 4 else P(), caches)
 
 
 def _masked_psum(value, cond, axis):

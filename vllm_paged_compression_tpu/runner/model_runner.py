@@ -890,12 +890,12 @@ class ModelRunner:
         runs megatron TP, parallel_state.py:992)."""
         from jax.sharding import PartitionSpec as P
 
-        from ..parallel.pipeline import param_specs, pipe_specs_for
+        from ..parallel.pipeline import cache_pipe_specs, param_specs
         in_specs = (param_specs(params),
-                    pipe_specs_for(caches, True),
+                    cache_pipe_specs(caches),
                     P(),
                     *[jax.tree.map(lambda _: P(), r) for r in rest])
-        out_specs = (pipe_specs_for(caches, True), P(), *extra_out_specs)
+        out_specs = (cache_pipe_specs(caches), P(), *extra_out_specs)
         return jax.shard_map(body, mesh=self.mesh, in_specs=in_specs,
                              out_specs=out_specs, check_vma=False,
                              axis_names=frozenset({"pipe"}))(

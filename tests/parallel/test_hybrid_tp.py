@@ -107,10 +107,47 @@ def test_jamba_tp4_and_batched():
     assert run(4) == run(1)
 
 
-def test_bart_pp_still_rejected():
+def test_mllama_pp_still_rejected():
     with pytest.raises(ValueError, match="pipeline parallelism"):
-        LLM(hf_config=dict(BART_CFG), dtype="float32", max_model_len=64,
+        LLM(hf_config=dict(MLLAMA_CFG), dtype="float32", max_model_len=64,
             num_device_blocks=8, seed=0, pipeline_parallel_size=2)
+
+
+class TestBartPipeline:
+    """BART encoder-decoder PP: the stacked decoder shards over "pipe"
+    (stage-local self-/cross-KV pool slices); the encoder replicates and
+    re-runs inside each stage's prefill wave tick; the decoder hidden
+    rides a trailing row of the wave buffer.  Reference analog:
+    vllm/model_executor/models/bart.py decoder under PP partitioning."""
+
+    def _run(self, pp=1, tp=1, prompts=([5, 17, 9, 33, 42, 8],), n=8):
+        kw = {}
+        if pp > 1:
+            kw["pipeline_parallel_size"] = pp
+        if tp > 1:
+            kw["tensor_parallel_size"] = tp
+        llm = LLM(hf_config=dict(BART_CFG), dtype="float32",
+                  max_model_len=64, num_device_blocks=8, seed=0,
+                  max_num_seqs=4, **kw)
+        outs = llm.generate(
+            prompt_token_ids=[list(p) for p in prompts],
+            sampling_params=SamplingParams(temperature=0.0, max_tokens=n,
+                                           ignore_eos=True))
+        return [list(o.outputs[0].token_ids) for o in outs]
+
+    def test_pp2_token_identical(self):
+        assert self._run(pp=2) == self._run()
+
+    def test_pp2_tp2_batched(self):
+        prompts = [[5, 17, 9], [33, 42, 8, 21, 60], [90, 2], [7] * 9]
+        assert self._run(pp=2, tp=2, prompts=prompts) == \
+            self._run(prompts=prompts)
+
+    def test_pp_rejects_ragged_decoder(self):
+        cfg = dict(BART_CFG, decoder_layers=3)
+        with pytest.raises(ValueError, match="decoder_layers"):
+            LLM(hf_config=cfg, dtype="float32", max_model_len=64,
+                num_device_blocks=8, seed=0, pipeline_parallel_size=2)
 
 
 class TestJambaPipeline:

@@ -252,10 +252,10 @@ class LLMEngine:
                     ((config.parallel is not None
                       and config.parallel.pipeline_parallel_size > 1
                       and type(self.model).__name__ not in
-                      ("MambaModel", "JambaModel"))
+                      ("MambaModel", "JambaModel", "BartModel"))
                      or None,
-                     "pipeline parallelism (BART/Mllama state-slot "
-                     "hybrids are TP-only; Mamba and Jamba support "
+                     "pipeline parallelism (the Mllama state-slot "
+                     "hybrid is TP-only; Mamba/Jamba/BART support "
                      "TP+PP)"),
                     ((config.parallel is not None
                       and config.parallel.data_parallel_size > 1)
@@ -328,6 +328,13 @@ class LLMEngine:
                                 "pipeline parallelism")
                         self.params = self.model.to_block_form(
                             self.params)
+                    elif type(self.model).__name__ == "BartModel":
+                        if self.model.arch.decoder_layers % pp:
+                            raise ValueError(
+                                f"BART PP needs decoder_layers % pp == "
+                                f"0, got "
+                                f"{self.model.arch.decoder_layers} % "
+                                f"{pp}")
                     elif self.model.arch.num_layers % pp:
                         raise ValueError(
                             f"Mamba PP needs num_layers % pp == 0, got "

@@ -246,13 +246,26 @@ class BartModel:
         o = jnp.einsum("hqk,khd->qhd", p, v.astype(jnp.float32))
         return o.reshape(q.shape[0], a.d_model)
 
-    def _encoder(self, params, tokens, length):
+    def _embed_encoder(self, params, tokens):
         a = self.arch
         t = tokens.shape[0]
         scale = (a.d_model ** 0.5) if a.scale_embedding else 1.0
         h = params["shared"][tokens] * scale \
             + params["enc_pos"][jnp.arange(t) + a.pos_offset]
-        h = layer_norm(h, params["enc_ln_w"], params["enc_ln_b"])
+        return layer_norm(h, params["enc_ln_w"], params["enc_ln_b"])
+
+    def _embed_decoder(self, params, tok, step):
+        a = self.arch
+        h = (params["shared"][tok]
+             * ((a.d_model ** 0.5) if a.scale_embedding else 1.0)
+             + params["dec_pos"][step + a.pos_offset])
+        return layer_norm(h[None], params["dec_ln_w"],
+                          params["dec_ln_b"])[0]
+
+    def _encoder_layers(self, params, h, length):
+        """Encoder stack on already-embedded input ``h`` [t, D]."""
+        a = self.arch
+        t = h.shape[0]
         valid = jnp.arange(t) < length
 
         def layer(h, lp):
@@ -275,18 +288,26 @@ class BartModel:
         h, _ = jax.lax.scan(layer, h, params["enc_layers"])
         return h                                         # [t, D]
 
+    def _encoder(self, params, tokens, length):
+        return self._encoder_layers(params,
+                                    self._embed_encoder(params, tokens),
+                                    length)
+
     def _decoder_step(self, params, tok, slot_state, step):
         """One decoder token.  ``slot_state`` = per-layer views
         (cross_k/v [Ld, T, H, hd], self_k/v [Ld, T, H, hd]), step = current
         decoder position.  Returns (hidden [D], new self K/V rows
         [Ld, H, hd] each)."""
+        h = self._embed_decoder(params, tok, step)
+        return self._decoder_layers(params, h, slot_state, step)
+
+    def _decoder_layers(self, params, h, slot_state, step):
+        """Decoder stack on an already-embedded hidden ``h`` [D] — under
+        pipeline parallelism ``params["dec_layers"]`` and the slot_state
+        views are this stage's local slices."""
         a = self.arch
         ck, cv, sk, sv, src_len = slot_state
         max_len = sk.shape[1]
-        h = (params["shared"][tok]
-             * ((a.d_model ** 0.5) if a.scale_embedding else 1.0)
-             + params["dec_pos"][step + a.pos_offset])
-        h = layer_norm(h[None], params["dec_ln_w"], params["dec_ln_b"])[0]
 
         cross_mask = jnp.arange(max_len) < src_len
         self_mask = jnp.arange(max_len) <= step
@@ -386,6 +407,101 @@ class BartModel:
         if "lm_head" in params:
             return hidden @ params["lm_head"] + params["logits_bias"]
         return hidden @ params["shared"].T + params["logits_bias"]
+
+    # ---- pipeline parallelism --------------------------------------------
+    # The decoder stack is homogeneous and already layer-stacked
+    # (dec_layers), so it shards over "pipe" as-is; the encoder + embeds
+    # replicate and every stage runs the encoder redundantly inside its
+    # prefill wave tick (correctness-first: the wave's keep/permute logic
+    # discards inactive-stage outputs, and encoder cost is one-time per
+    # sequence).  The wave's hidden carries the [t, D] source embedding
+    # rows UNCHANGED (later stages re-run their encoder from them) plus 8
+    # trailing rows, row t holding the decoder-start hidden as it hops
+    # stages.  Reference analog: vllm/model_executor/models/bart.py
+    # decoder layers under get_pp_group partitioning.
+
+    PP_EXTRA_ROWS = 8
+
+    def embed(self, params, tokens):
+        """Wave input: encoder-input embedding rows + 8 extra rows, row
+        t = the embedded decoder start token (position 0)."""
+        a = self.arch
+        src = self._embed_encoder(params, tokens)
+        dstart = self._embed_decoder(
+            params, jnp.int32(a.decoder_start_token_id), jnp.int32(0))
+        pad = jnp.zeros((self.PP_EXTRA_ROWS - 1, src.shape[1]), src.dtype)
+        return jnp.concatenate([src, dstart[None], pad])
+
+    def pp_embed_decode(self, params, tokens, slots, pools):
+        """Decode-step embedding: token + decoder position from the
+        per-slot counter (the shared PP body's embed hook)."""
+        steps = pools[5][slots]
+        return jax.vmap(lambda tok, s: self._embed_decoder(params, tok, s)
+                        )(tokens, steps)
+
+    def pp_final_hidden(self, params, h):
+        """No final norm after the decoder stack (per-layer norms only)."""
+        return h
+
+    def pp_prefill_last(self, h, q_len):
+        """The decoder hidden rides at row t = len(h) - PP_EXTRA_ROWS."""
+        return h[h.shape[0] - self.PP_EXTRA_ROWS][None]
+
+    def forward_prefill_layers(self, params, h, length, slot, pools):
+        """One prefill wave tick: re-run the (replicated) encoder from the
+        source rows, write THIS stage's cross-KV + first self-KV rows at
+        ``slot`` (the trash slot when inactive), advance the decoder-start
+        hidden through the local decoder layers at row t."""
+        a = self.arch
+        ck, cv, sk, sv, srcl, pos = pools
+        t = h.shape[0] - self.PP_EXTRA_ROWS
+        enc = self._encoder_layers(params, h[:t], length)
+
+        def cross_kv(lp):
+            k = (enc @ lp["ca_k_w"] + lp["ca_k_b"]).reshape(
+                t, a.num_heads, a.hd)
+            v = (enc @ lp["ca_v_w"] + lp["ca_v_b"]).reshape(
+                t, a.num_heads, a.hd)
+            return k, v
+
+        ks, vs = jax.vmap(cross_kv)(params["dec_layers"])
+        ck = jax.lax.dynamic_update_slice(
+            ck, ks.astype(ck.dtype)[:, None], (0, slot, 0, 0, 0))
+        cv = jax.lax.dynamic_update_slice(
+            cv, vs.astype(cv.dtype)[:, None], (0, slot, 0, 0, 0))
+        srcl = srcl.at[slot].set(length)
+        slot_state = (ck[:, slot], cv[:, slot], sk[:, slot], sv[:, slot],
+                      srcl[slot])
+        hdec, k_rows, v_rows = self._decoder_layers(
+            params, h[t], slot_state, jnp.int32(0))
+        sk = sk.at[:, slot, 0].set(k_rows.astype(sk.dtype))
+        sv = sv.at[:, slot, 0].set(v_rows.astype(sv.dtype))
+        pos = pos.at[slot].set(1)
+        return h.at[t].set(hdec), (ck, cv, sk, sv, srcl, pos)
+
+    def forward_decode_layers(self, params, h, slots, pools):
+        """One batched decode step through the local decoder layers:
+        h [B, D] (already embedded via pp_embed_decode), slots [B]."""
+        ck, cv, sk, sv, srcl, pos_pool = pools
+        steps = pos_pool[slots]
+
+        def one(hi, slot, step):
+            state = (ck[:, slot], cv[:, slot], sk[:, slot], sv[:, slot],
+                     srcl[slot])
+            return self._decoder_layers(params, hi, state, step)
+
+        h2, k_rows, v_rows = jax.vmap(one)(h, slots, steps)
+        b = h.shape[0]
+        ld = sk.shape[0]
+        li = jnp.tile(jnp.arange(ld), b)
+        si = jnp.repeat(slots, ld)
+        ti = jnp.repeat(steps, ld)
+        sk = sk.at[li, si, ti].set(
+            k_rows.reshape(b * ld, *k_rows.shape[2:]).astype(sk.dtype))
+        sv = sv.at[li, si, ti].set(
+            v_rows.reshape(b * ld, *v_rows.shape[2:]).astype(sv.dtype))
+        pos_pool = pos_pool.at[slots].set(steps + 1)
+        return h2, (ck, cv, sk, sv, srcl, pos_pool)
 
     # ---- sizing ----------------------------------------------------------
 

@@ -181,21 +181,25 @@ def _hybrid_spec(name: str, shape, tp: int, pipe: bool = False) -> P:
     return P(*spec)
 
 
-def hybrid_param_shardings(mesh: Mesh, params: dict):
+def hybrid_param_shardings(mesh: Mesh, params: dict,
+                           pipeline_parallel: int = 1):
     """NamedSharding pytree for a hybrid state-slot family's params:
     name-keyed megatron column/row specs; norms, gates, routers, position
     tables, and anything unrecognized replicate (correctness under GSPMD
     is layout-independent — the specs only steer where the bandwidth
-    goes).  ``block_list`` leaves (Jamba PP form) additionally shard
-    their leading block axis over "pipe"."""
+    goes).  With PP on, ``block_list`` leaves (Jamba period blocks) and
+    the ``dec_layers`` stack (BART) additionally shard their leading
+    layer/block axis over "pipe"."""
     tp = mesh.shape["model"]
+    pp_on = pipeline_parallel > 1
 
     def walk(node, name="", pipe=False):
         if isinstance(node, dict):
-            return {k: walk(v, k, pipe) for k, v in node.items()}
+            return {k: walk(v, k, pipe or (pp_on and k == "dec_layers"))
+                    for k, v in node.items()}
         if isinstance(node, (list, tuple)):
             return type(node)(
-                walk(v, name, pipe or name == "block_list")
+                walk(v, name, pipe or (pp_on and name == "block_list"))
                 for v in node)
         return NamedSharding(mesh, _hybrid_spec(name, node.shape, tp,
                                                 pipe))
@@ -289,7 +293,9 @@ def shard_params(params: dict, mesh: Mesh, architecture: str,
                                   "enc_layers")):
         # Hybrid state-slot family (Jamba / BART / Mllama): per-layer
         # dicts / family-specific stacks — name-keyed specs.
-        return jax.device_put(params, hybrid_param_shardings(mesh, params))
+        return jax.device_put(
+            params,
+            hybrid_param_shardings(mesh, params, pipeline_parallel))
     return jax.device_put(params,
                           param_shardings(mesh, architecture, params,
                                           pipeline_parallel))

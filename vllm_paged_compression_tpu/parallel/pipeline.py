@@ -62,13 +62,15 @@ def lora_specs(lora: dict):
 
 
 def param_specs(params: dict):
-    """"layers" (llama/mamba stacked depth) and "block_list" (Jamba PP
-    period blocks) lead with the pipe-sharded axis; everything else
-    replicates w.r.t. "pipe"."""
+    """"layers" (llama/mamba stacked depth), "block_list" (Jamba PP
+    period blocks), and "dec_layers" (BART decoder stack) lead with the
+    pipe-sharded axis; everything else (incl. BART's replicated encoder
+    stack) replicates w.r.t. "pipe"."""
     return {k: (lora_specs(v) if k == "lora"
                 else pipe_specs_for(v,
                                     leading_pipe=(k in ("layers",
-                                                        "block_list"))))
+                                                        "block_list",
+                                                        "dec_layers"))))
             for k, v in params.items()}
 
 
@@ -288,16 +290,23 @@ def pp_decode_window_body_mamba(runner, params, caches, page_scores,
         h_buf = jnp.zeros((g, hidden_dim), dtype)
         out_h = jnp.zeros((b, hidden_dim), dtype)
 
+        embed_fn = getattr(model, "pp_embed_decode", None)
+
         def tick(carry2, t):
             h_buf, caches, out_h = carry2
             m = t - stage
             valid = (m >= 0) & (m < pp)
             toks_mb = _mb_slice(tokens, m, g, pp)
-            emb = model.embed(params, toks_mb).astype(dtype)
-            h_in = jnp.where((stage == 0) & valid, emb, h_buf)
             # Out-of-wave ticks write their states to the trash slot.
             slots_mb = jnp.where(valid, _mb_slice(slots, m, g, pp),
                                  trash_slot)
+            # Embed hook: BART folds decoder position + embed-LN in
+            # (models/bart.py pp_embed_decode); mamba/jamba use the
+            # plain table lookup.
+            emb = (embed_fn(params, toks_mb, slots_mb, caches)
+                   if embed_fn is not None
+                   else model.embed(params, toks_mb)).astype(dtype)
+            h_in = jnp.where((stage == 0) & valid, emb, h_buf)
             h_out, caches = model.forward_decode_layers(
                 params, h_in, slots_mb, caches)
             h_out = h_out.astype(dtype)
@@ -315,8 +324,13 @@ def pp_decode_window_body_mamba(runner, params, caches, page_scores,
         (h_buf, caches, out_h), _ = jax.lax.scan(
             tick, (h_buf, caches, out_h), jnp.arange(2 * pp - 1))
 
-        from ..models.mamba import _rms
-        h_final = _rms(out_h, params["final_norm"], arch.layer_norm_eps)
+        fin = getattr(model, "pp_final_hidden", None)
+        if fin is not None:
+            h_final = fin(params, out_h)
+        else:
+            from ..models.mamba import _rms
+            h_final = _rms(out_h, params["final_norm"],
+                           arch.layer_norm_eps)
         logits = model.logits(params, h_final)
         if not greedy_only:
             from ..ops.sampling import apply_penalties

@@ -975,8 +975,17 @@ class ModelRunner:
             h, caches = pp_prefill_wave_mamba(
                 self, params, caches, h0, batch["q_len"], batch["slot"])
             stage = jax.lax.axis_index("pipe")
-            h_final = _rms(h, params["final_norm"], arch.layer_norm_eps)
-            last = h_final[batch["q_len"] - 1][None]
+            # Final-hidden / last-row hooks: BART has per-layer norms
+            # only and rides the decoder hidden at a fixed trailing row
+            # (models/bart.py pp_final_hidden / pp_prefill_last).
+            fin = getattr(self.model, "pp_final_hidden", None)
+            h_final = (fin(params, h) if fin is not None else
+                       _rms(h, params["final_norm"],
+                            arch.layer_norm_eps))
+            last_fn = getattr(self.model, "pp_prefill_last", None)
+            last = (last_fn(h_final, batch["q_len"])
+                    if last_fn is not None
+                    else h_final[batch["q_len"] - 1][None])
             logits = self.model.logits(params, last)
             if "bias_ids" in batch:
                 logits = logits.astype(jnp.float32).at[

@@ -107,10 +107,49 @@ def test_jamba_tp4_and_batched():
     assert run(4) == run(1)
 
 
-def test_mllama_pp_still_rejected():
-    with pytest.raises(ValueError, match="pipeline parallelism"):
-        LLM(hf_config=dict(MLLAMA_CFG), dtype="float32", max_model_len=64,
-            num_device_blocks=8, seed=0, pipeline_parallel_size=2)
+class TestMllamaPipeline:
+    """Mllama PP: cross-attention layers sit on a regular period
+    (cross_attention_layers=[1, 3] here, [3, 8, 13, ...] in real
+    Llama-3.2-Vision), so the Jamba period-block machinery applies;
+    host-encoded vision states reach every stage's prefill wave tick
+    via the replicated batch."""
+
+    def _run(self, pp=1, tp=1, image=False, n=8):
+        kw = {}
+        if pp > 1:
+            kw["pipeline_parallel_size"] = pp
+        if tp > 1:
+            kw["tensor_parallel_size"] = tp
+        llm = LLM(hf_config=dict(MLLAMA_CFG), dtype="float32",
+                  max_model_len=64, num_device_blocks=8, seed=0,
+                  max_num_seqs=4, **kw)
+        gen_kw = {}
+        prompt = list(PROMPT)
+        if image:
+            rng = np.random.default_rng(7)
+            tiles = rng.standard_normal((2, 3, 16, 16)).astype(np.float32)
+            prompt = [MLLAMA_CFG["image_token_index"], 4, 9, 13, 27]
+            gen_kw["multi_modal_data"] = {"image": tiles,
+                                          "aspect_ratio_id": 2}
+        outs = llm.generate(
+            prompt_token_ids=[prompt],
+            sampling_params=SamplingParams(temperature=0.0, max_tokens=n,
+                                           ignore_eos=True), **gen_kw)
+        return list(outs[0].outputs[0].token_ids)
+
+    def test_pp2_text_token_identical(self):
+        assert self._run(pp=2) == self._run()
+
+    def test_pp2_tp2_image_token_identical(self):
+        assert self._run(pp=2, tp=2, image=True) == self._run(image=True)
+
+    def test_pp_rejects_aperiodic_cross(self):
+        cfg = dict(MLLAMA_CFG)
+        cfg["text_config"] = dict(cfg["text_config"],
+                                  cross_attention_layers=[0, 3])
+        with pytest.raises(ValueError, match="periodic"):
+            LLM(hf_config=cfg, dtype="float32", max_model_len=64,
+                num_device_blocks=8, seed=0, pipeline_parallel_size=2)
 
 
 class TestBartPipeline:
@@ -201,7 +240,7 @@ class TestJambaPipeline:
 
     def test_pp_rejects_ragged_blocks(self):
         cfg = dict(self.CFG, num_hidden_layers=6)
-        with pytest.raises(ValueError, match="period blocks"):
+        with pytest.raises(ValueError, match="period-block"):
             LLM(hf_config=cfg, dtype="float32", max_model_len=64,
                 num_device_blocks=8, seed=0, pipeline_parallel_size=4)
 

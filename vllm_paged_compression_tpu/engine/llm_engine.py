@@ -252,11 +252,11 @@ class LLMEngine:
                     ((config.parallel is not None
                       and config.parallel.pipeline_parallel_size > 1
                       and type(self.model).__name__ not in
-                      ("MambaModel", "JambaModel", "BartModel"))
+                      ("MambaModel", "JambaModel", "BartModel",
+                       "MllamaModel"))
                      or None,
-                     "pipeline parallelism (the Mllama state-slot "
-                     "hybrid is TP-only; Mamba/Jamba/BART support "
-                     "TP+PP)"),
+                     "pipeline parallelism on this state-slot trunk "
+                     "(Mamba/Jamba/BART/Mllama support TP+PP)"),
                     ((config.parallel is not None
                       and config.parallel.data_parallel_size > 1)
                      or None,
@@ -311,20 +311,23 @@ class LLMEngine:
                                      "supports llama-family and Mamba "
                                      "trunks")
                 if self.model.architecture == "mamba":
-                    if type(self.model).__name__ == "JambaModel":
+                    if type(self.model).__name__ in ("JambaModel",
+                                                     "MllamaModel"):
                         # Stages own whole period blocks (layer kinds are
-                        # block-periodic, models/jamba.py to_block_form).
+                        # block-periodic: jamba.py / mllama.py
+                        # to_block_form; pp_block_len raises for
+                        # aperiodic Mllama cross patterns).
                         blk = self.model.pp_block_len
                         nl = self.model.arch.num_layers
                         if nl % blk or (nl // blk) % pp:
                             raise ValueError(
-                                f"Jamba PP needs num_layers divisible "
-                                f"into {blk}-layer period blocks spread "
-                                f"evenly over stages: num_layers={nl}, "
-                                f"pp={pp}")
+                                f"period-block PP needs num_layers "
+                                f"divisible into {blk}-layer blocks "
+                                f"spread evenly over stages: "
+                                f"num_layers={nl}, pp={pp}")
                         if self.model.arch.head_type == "cls":
                             raise ValueError(
-                                "Jamba classification does not support "
+                                "classification heads do not support "
                                 "pipeline parallelism")
                         self.params = self.model.to_block_form(
                             self.params)

@@ -131,6 +131,12 @@ class MllamaTextArch:
     def is_cross(self, i: int) -> bool:
         return i in self.cross_layers
 
+    @property
+    def layer_norm_eps(self) -> float:
+        """Alias: the shared state-model PP bodies read
+        ``arch.layer_norm_eps`` (parallel/pipeline.py)."""
+        return self.rms_norm_eps
+
 
 class MllamaModel:
     architecture = "mamba"          # state-slot serving path
@@ -662,6 +668,212 @@ class MllamaModel:
 
     def logits(self, params, hidden):
         return hidden @ params["lm_head"]
+
+    # ---- pipeline parallelism: period-block form -------------------------
+    # HF Llama-3.2-Vision places cross-attention layers on a regular
+    # period (cross_attention_layers = [3, 8, 13, ...]), so layer kinds
+    # are block-periodic exactly like Jamba's: layer_list restacks into
+    # per-position leaves [num_blocks, ...] sharded over "pipe", and the
+    # layer-major self-/cross-KV pools slice evenly (each block holds
+    # period-1 self layers + 1 cross layer).  Host-encoded vision states
+    # reach every stage's prefill wave tick via the replicated batch
+    # (pp_prefill_wave_mamba's ``extra``).  Aperiodic cross lists raise
+    # at engine build.  Reference analog: vllm/model_executor/models/
+    # mllama.py decoder under PP partitioning.
+
+    @property
+    def pp_block_len(self) -> int:
+        a = self.arch
+        cross = sorted(a.cross_layers)
+        if not cross:
+            raise ValueError("Mllama PP needs cross-attention layers")
+        period = (cross[1] - cross[0]) if len(cross) > 1 \
+            else a.num_layers
+        offset = cross[0] % period
+        ok = (a.num_layers % period == 0
+              and all((i % period == offset) == a.is_cross(i)
+                      for i in range(a.num_layers)))
+        if not ok:
+            raise ValueError(
+                f"Mllama PP needs a periodic cross-attention pattern, "
+                f"got {cross} over {a.num_layers} layers")
+        return period
+
+    def to_block_form(self, params: dict) -> dict:
+        """Restack ``layer_list`` into per-position ``block_list``
+        leaves [num_blocks, ...] (one-time, engine build with PP on)."""
+        L = self.pp_block_len
+        lst = params["layer_list"]
+        assert len(lst) % L == 0, (len(lst), L)
+        nb = len(lst) // L
+        blocks = []
+        for p in range(L):
+            keys = lst[p].keys()
+            blocks.append({k: jnp.stack([lst[b * L + p][k]
+                                         for b in range(nb)])
+                           for k in keys})
+        out = {k: v for k, v in params.items() if k != "layer_list"}
+        out["block_list"] = blocks
+        return out
+
+    def _pp_kind_cross(self, p: int) -> bool:
+        a = self.arch
+        period = self.pp_block_len
+        return p % period == (sorted(a.cross_layers)[0] % period)
+
+    def forward_prefill_layers(self, params, h, length, slot, pools,
+                               cross_states=None, img_start=None):
+        """Prompt forward through this stage's local blocks (block-form
+        params): writes self-KV rows, cross-KV, and the per-slot
+        counters at ``slot`` (trash slot on inactive wave ticks)."""
+        from ..ops.attention import prefill_attention
+        a = self.arch
+        sk, sv, ck, cv, vlen_pool, istart_pool, pos_pool = pools
+        t = h.shape[0]
+        valid = (jnp.arange(t) < length)[:, None, None]
+        cos, sin = rope_cos_sin(jnp.arange(t), a.head_dim, a.rope_theta,
+                                scaling=a.rope_scaling)
+        max_vis = self.max_vis_tokens
+        if cross_states is not None:
+            vis_len = jnp.int32(cross_states.shape[0])
+            istart = jnp.int32(img_start if img_start is not None else 0)
+            cs = jnp.zeros((max_vis, a.hidden_size), self.dtype)
+            cs = jax.lax.dynamic_update_slice(
+                cs, cross_states.astype(self.dtype), (0, 0))
+        else:
+            vis_len = jnp.int32(0)
+            istart = jnp.int32(0)
+            cs = None
+        vis_valid = jnp.arange(max_vis) < vis_len
+        row_on = ((jnp.arange(t) >= istart)
+                  & (vis_len > 0))[:, None].astype(h.dtype)
+        L = self.pp_block_len
+        nb_local = params["block_list"][0]["input_norm"].shape[0]
+        si = ci = 0
+        for b in range(nb_local):
+            for p in range(L):
+                lp = {k: v[b] for k, v in params["block_list"][p].items()}
+                res = h
+                x = rms_norm(h, lp["input_norm"], a.rms_norm_eps)
+                if self._pp_kind_cross(p):
+                    if cs is not None:
+                        k = (cs @ lp["wk"]).reshape(
+                            max_vis, a.num_kv_heads, a.head_dim)
+                        k = rms_norm(k, lp["k_norm"], a.rms_norm_eps)
+                        v = (cs @ lp["wv"]).reshape(
+                            max_vis, a.num_kv_heads, a.head_dim)
+                        ck = ck.at[ci, slot].set(k.astype(ck.dtype))
+                        cv = cv.at[ci, slot].set(v.astype(cv.dtype))
+                        out = self._cross_attn(lp, x, k, v, vis_valid)
+                        out = out * row_on
+                        h = res + jnp.tanh(lp["gate_attn"]) * out
+                        res = h
+                        x = rms_norm(h, lp["post_norm"], a.rms_norm_eps)
+                        mlp = self._mlp(lp, x) * row_on
+                        h = res + jnp.tanh(lp["gate_mlp"]) * mlp
+                    ci += 1
+                    continue
+                q = (x @ lp["wq"]).reshape(t, a.num_heads, a.head_dim)
+                k = (x @ lp["wk"]).reshape(t, a.num_kv_heads, a.head_dim)
+                v = (x @ lp["wv"]).reshape(t, a.num_kv_heads, a.head_dim)
+                q, k = apply_rope(q, k, cos, sin)
+                out = prefill_attention(q, k, v, a.head_dim ** -0.5,
+                                        length)
+                out = out.reshape(t, a.num_heads * a.head_dim) @ lp["wo"]
+                sk = sk.at[si, slot, :t].set(
+                    jnp.where(valid, k, 0).astype(sk.dtype))
+                sv = sv.at[si, slot, :t].set(
+                    jnp.where(valid, v, 0).astype(sv.dtype))
+                si += 1
+                h = res + out
+                res = h
+                x = rms_norm(h, lp["post_norm"], a.rms_norm_eps)
+                h = res + self._mlp(lp, x)
+        vlen_pool = vlen_pool.at[slot].set(vis_len)
+        istart_pool = istart_pool.at[slot].set(istart)
+        pos_pool = pos_pool.at[slot].set(length)
+        return h, (sk, sv, ck, cv, vlen_pool, istart_pool, pos_pool)
+
+    def forward_decode_layers(self, params, h, slots, pools):
+        """One batched decode step through this stage's local blocks
+        (block-form params): h [B, D] (embedded), slots [B]."""
+        a = self.arch
+        sk, sv, ck, cv, vlen_pool, istart_pool, pos_pool = pools
+        b_sz = h.shape[0]
+        pos = pos_pool[slots]
+        vis_len = vlen_pool[slots]
+        groups = a.num_heads // a.num_kv_heads
+        max_len = sk.shape[2]
+        max_vis = ck.shape[2]
+        key_mask = jnp.arange(max_len)[None] <= pos[:, None]
+        vis_valid = jnp.arange(max_vis)[None] < vis_len[:, None]
+        row_on = (vis_len > 0)[:, None].astype(h.dtype)
+        cos, sin = rope_cos_sin(pos, a.head_dim, a.rope_theta,
+                                scaling=a.rope_scaling)
+        L = self.pp_block_len
+        nb_local = params["block_list"][0]["input_norm"].shape[0]
+        si = ci = 0
+        for blk in range(nb_local):
+            for p in range(L):
+                lp = {k: v[blk]
+                      for k, v in params["block_list"][p].items()}
+                res = h
+                x = rms_norm(h, lp["input_norm"], a.rms_norm_eps)
+                if self._pp_kind_cross(p):
+                    q = (x @ lp["wq"]).reshape(b_sz, a.num_heads,
+                                               a.head_dim)
+                    q = rms_norm(q, lp["q_norm"], a.rms_norm_eps)
+                    qg = q.reshape(b_sz, a.num_kv_heads, groups,
+                                   a.head_dim)
+                    keys = ck[ci][slots]
+                    vals = cv[ci][slots]
+                    s = jnp.einsum("bhgd,bvhd->bhgv",
+                                   qg.astype(jnp.float32),
+                                   keys.astype(jnp.float32)) \
+                        * (a.head_dim ** -0.5)
+                    s = jnp.where(vis_valid[:, None, None, :], s, -1e30)
+                    pr = jax.nn.softmax(s, axis=-1)
+                    o = jnp.einsum("bhgv,bvhd->bhgd", pr,
+                                   vals.astype(jnp.float32))
+                    o = o.reshape(
+                        b_sz, a.num_heads * a.head_dim).astype(
+                        h.dtype) @ lp["wo"]
+                    h = res + jnp.tanh(lp["gate_attn"]) * (o * row_on)
+                    res = h
+                    x = rms_norm(h, lp["post_norm"], a.rms_norm_eps)
+                    mlp = self._mlp(lp, x) * row_on
+                    h = res + jnp.tanh(lp["gate_mlp"]) * mlp
+                    ci += 1
+                    continue
+                q = (x @ lp["wq"]).reshape(b_sz, a.num_heads, a.head_dim)
+                k = (x @ lp["wk"]).reshape(b_sz, a.num_kv_heads,
+                                           a.head_dim)
+                v = (x @ lp["wv"]).reshape(b_sz, a.num_kv_heads,
+                                           a.head_dim)
+                q, k = apply_rope(q, k, cos, sin)
+                sk = sk.at[si, slots, pos].set(k.astype(sk.dtype))
+                sv = sv.at[si, slots, pos].set(v.astype(sv.dtype))
+                keys = sk[si][slots]
+                vals = sv[si][slots]
+                qg = q.reshape(b_sz, a.num_kv_heads, groups, a.head_dim)
+                s = jnp.einsum("bhgd,bthd->bhgt",
+                               qg.astype(jnp.float32),
+                               keys.astype(jnp.float32)) \
+                    * (a.head_dim ** -0.5)
+                s = jnp.where(key_mask[:, None, None, :], s, -1e30)
+                pr = jax.nn.softmax(s, axis=-1)
+                out = jnp.einsum("bhgt,bthd->bhgd", pr,
+                                 vals.astype(jnp.float32))
+                out = out.reshape(
+                    b_sz, a.num_heads * a.head_dim).astype(
+                    h.dtype) @ lp["wo"]
+                si += 1
+                h = res + out
+                res = h
+                x = rms_norm(h, lp["post_norm"], a.rms_norm_eps)
+                h = res + self._mlp(lp, x)
+        pos_pool = pos_pool.at[slots].set(pos + 1)
+        return h, (sk, sv, ck, cv, vlen_pool, istart_pool, pos_pool)
 
     def embed(self, params, token_ids):
         return params["embed"][token_ids]

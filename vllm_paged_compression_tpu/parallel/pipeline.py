@@ -374,11 +374,14 @@ def pp_decode_window_body_mamba(runner, params, caches, page_scores,
     return caches, page_scores, out_pack, new_state, lp_pack
 
 
-def pp_prefill_wave_mamba(runner, params, caches, h0, q_len, slot):
-    """Single-microbatch prefill wave for the Mamba trunk: stage s is the
-    wave front at tick s; inactive stages run the same mixer math with
-    their state writes steered to the trash slot.  Returns (hidden after
-    all layers on the LAST stage, caches)."""
+def pp_prefill_wave_mamba(runner, params, caches, h0, q_len, slot,
+                          extra=None):
+    """Single-microbatch prefill wave for a state-model trunk: stage s is
+    the wave front at tick s; inactive stages run the same math with
+    their state writes steered to the trash slot.  ``extra`` carries
+    replicated per-request kwargs into forward_prefill_layers (Mllama's
+    host-encoded vision states).  Returns (hidden after all layers on
+    the LAST stage, caches)."""
     pp = runner.pp
     stage = jax.lax.axis_index("pipe")
     trash = runner.cache_engine.trash_page
@@ -389,7 +392,7 @@ def pp_prefill_wave_mamba(runner, params, caches, h0, q_len, slot):
         active = t == stage
         s_eff = jnp.where(active, slot, trash)
         h_out, caches = runner.model.forward_prefill_layers(
-            params, h_buf, q_len, s_eff, caches)
+            params, h_buf, q_len, s_eff, caches, **(extra or {}))
         h_out = h_out.astype(h_buf.dtype)
         keep = jnp.where(active, h_out, h_buf)
         h_next = jax.lax.ppermute(

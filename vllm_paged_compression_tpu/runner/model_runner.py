@@ -972,8 +972,12 @@ class ModelRunner:
             arch = self.model.arch
             h0 = self.model.embed(params, batch["tokens"]).astype(
                 self.model.dtype)
+            extra = ({"cross_states": batch["cross_states"],
+                      "img_start": batch["img_start"]}
+                     if "cross_states" in batch else None)
             h, caches = pp_prefill_wave_mamba(
-                self, params, caches, h0, batch["q_len"], batch["slot"])
+                self, params, caches, h0, batch["q_len"], batch["slot"],
+                extra=extra)
             stage = jax.lax.axis_index("pipe")
             # Final-hidden / last-row hooks: BART has per-layer norms
             # only and rides the decoder hidden at a fixed trailing row

@@ -140,6 +140,24 @@ class TestMllamaPipeline:
     def test_pp2_text_token_identical(self):
         assert self._run(pp=2) == self._run()
 
+    def test_pp2_batched_text(self):
+        """b=4 over 2 stages: 2-lane microbatches through the wave."""
+        prompts = [[1, 5, 9], [22, 41, 3, 17, 8], [90, 2], [7] * 9]
+
+        def run(pp):
+            kw = {"pipeline_parallel_size": pp} if pp > 1 else {}
+            llm = LLM(hf_config=dict(MLLAMA_CFG), dtype="float32",
+                      max_model_len=64, num_device_blocks=8, seed=0,
+                      max_num_seqs=4, **kw)
+            outs = llm.generate(
+                prompt_token_ids=[list(p) for p in prompts],
+                sampling_params=SamplingParams(temperature=0.0,
+                                               max_tokens=6,
+                                               ignore_eos=True))
+            return [list(o.outputs[0].token_ids) for o in outs]
+
+        assert run(2) == run(1)
+
     def test_pp2_tp2_image_token_identical(self):
         assert self._run(pp=2, tp=2, image=True) == self._run(image=True)
 

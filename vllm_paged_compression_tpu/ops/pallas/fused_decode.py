@@ -491,21 +491,21 @@ def _fused_quant(q, k_new, v_new, kc_all, vc_all, layer, tables, kv_lens,
             pl.BlockSpec((1, h, d), q_map),            # q
             pl.BlockSpec((1, num_kv, d), q_map),       # kq_new
             pl.BlockSpec((1, num_kv, d), q_map),       # vq_new
-            pl.BlockSpec(memory_space=pltpu.ANY),      # kc.q
-            pl.BlockSpec(memory_space=pltpu.ANY),      # vc.q
+            pl.BlockSpec(memory_space=pl.ANY),      # kc.q
+            pl.BlockSpec(memory_space=pl.ANY),      # vc.q
             (pl.BlockSpec((1, n_ch, 1, cols),
                           lambda b_, *r: (b_, 0, 0, 0))
              if smode == "gather"
-             else pl.BlockSpec(memory_space=pltpu.ANY)),   # K scales
+             else pl.BlockSpec(memory_space=pl.ANY)),   # K scales
             (pl.BlockSpec((1, n_ch, 1, cols),
                           lambda b_, *r: (b_, 0, 0, 0))
              if smode == "gather"
-             else pl.BlockSpec(memory_space=pltpu.ANY)),   # V scales
+             else pl.BlockSpec(memory_space=pl.ANY)),   # V scales
         ],
         out_specs=[
             pl.BlockSpec((1, h, d), q_map),            # out
-            pl.BlockSpec(memory_space=pltpu.ANY),      # kc.q (aliased)
-            pl.BlockSpec(memory_space=pltpu.ANY),      # vc.q (aliased)
+            pl.BlockSpec(memory_space=pl.ANY),      # kc.q (aliased)
+            pl.BlockSpec(memory_space=pl.ANY),      # vc.q (aliased)
         ],
         scratch_shapes=[
             pltpu.VMEM((2, ppb, page_size, num_kv, d), kc_all.q.dtype),
@@ -726,13 +726,13 @@ def _fused_flat(q, k_new, v_new, kc_all, vc_all, layer, tables, kv_lens,
             pl.BlockSpec((1, h, f), q_map),
             pl.BlockSpec((1, 1, f), q_map),
             pl.BlockSpec((1, 1, f), q_map),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((1, h, f), q_map),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, ppb, page_size, f), kc_flat.dtype),
@@ -857,13 +857,13 @@ def fused_paged_decode_attention(q, k_new, v_new, kc_all, vc_all, layer,
             pl.BlockSpec((1, h, d), q_map),            # q
             pl.BlockSpec((1, num_kv, d), q_map),       # k_new
             pl.BlockSpec((1, num_kv, d), q_map),       # v_new
-            pl.BlockSpec(memory_space=pltpu.ANY),      # kc_all
-            pl.BlockSpec(memory_space=pltpu.ANY),      # vc_all
+            pl.BlockSpec(memory_space=pl.ANY),      # kc_all
+            pl.BlockSpec(memory_space=pl.ANY),      # vc_all
         ],
         out_specs=[
             pl.BlockSpec((1, h, d), q_map),            # out
-            pl.BlockSpec(memory_space=pltpu.ANY),      # kc_all (aliased)
-            pl.BlockSpec(memory_space=pltpu.ANY),      # vc_all (aliased)
+            pl.BlockSpec(memory_space=pl.ANY),      # kc_all (aliased)
+            pl.BlockSpec(memory_space=pl.ANY),      # vc_all (aliased)
         ],
         scratch_shapes=[
             pltpu.VMEM((2, ppb, page_size, num_kv, d), kc_all.dtype),

@@ -150,3 +150,44 @@ def test_roundtrip_hybrid_state_model(tmp_path):
     assert isinstance(llm2.engine.params["layer_list"], list)
     got = llm2.generate(prompt_token_ids=prompt, sampling_params=sp)
     assert (got[0].outputs[0].token_ids == ref[0].outputs[0].token_ids)
+
+
+def test_pp_engine_save_reloads_everywhere(tmp_path):
+    """A PP engine holds block-form hybrid params (to_block_form); the
+    dump must invert to layer-form so it reloads under BOTH a non-PP and
+    a PP layout (advisor finding, round 4)."""
+    from vllm_paged_compression_tpu.sampling_params import SamplingParams
+    jcfg = {
+        "architectures": ["JambaForCausalLM"], "vocab_size": 128,
+        "hidden_size": 64, "intermediate_size": 96,
+        "num_hidden_layers": 8, "num_attention_heads": 4,
+        "num_key_value_heads": 2, "num_experts": 4,
+        "num_experts_per_tok": 2, "expert_layer_period": 2,
+        "expert_layer_offset": 1, "attn_layer_period": 4,
+        "attn_layer_offset": 2, "mamba_d_state": 8, "mamba_d_conv": 4,
+        "mamba_expand": 2, "tie_word_embeddings": False,
+        "rms_norm_eps": 1e-6, "eos_token_id": None,
+    }
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    prompt = [[3, 77, 15, 42, 9]]
+    from vllm_paged_compression_tpu.entrypoints.llm import LLM
+    llm = LLM(hf_config=jcfg, dtype="float32", max_model_len=64,
+              num_device_blocks=8, seed=0, pipeline_parallel_size=2)
+    assert "block_list" in llm.engine.params
+    ref = llm.generate(prompt_token_ids=prompt, sampling_params=sp)
+    ref_toks = ref[0].outputs[0].token_ids
+    out_dir = str(tmp_path / "state")
+    llm.save_sharded_state(out_dir)
+    del llm
+    # non-PP reload
+    llm2 = LLM(model=out_dir, dtype="float32", max_model_len=64,
+               num_device_blocks=8, seed=0)
+    assert isinstance(llm2.engine.params["layer_list"], list)
+    got = llm2.generate(prompt_token_ids=prompt, sampling_params=sp)
+    assert got[0].outputs[0].token_ids == ref_toks
+    del llm2
+    # PP reload
+    llm3 = LLM(model=out_dir, dtype="float32", max_model_len=64,
+               num_device_blocks=8, seed=0, pipeline_parallel_size=2)
+    got = llm3.generate(prompt_token_ids=prompt, sampling_params=sp)
+    assert got[0].outputs[0].token_ids == ref_toks

@@ -46,8 +46,9 @@ def _enable_compile_cache() -> None:
     import os
 
     import jax
-    path = os.environ.get("VPC_JAX_CACHE_DIR",
-                          os.path.expanduser("~/.cache/vpc_jax"))
+
+    from .. import envs
+    path = envs.VPC_JAX_CACHE_DIR
     if path and path != "0":
         try:
             os.makedirs(path, exist_ok=True)
@@ -700,7 +701,9 @@ class LLMEngine:
 
     def start_profile(self) -> str:
         import os
-        path = os.environ.get("VPC_PROFILE_DIR", "/tmp/vpc_profile")
+
+        from .. import envs
+        path = envs.VPC_PROFILE_DIR
         if getattr(self, "_profiling", False):
             return path
         import jax
@@ -726,7 +729,12 @@ class LLMEngine:
         import json as _json
         import os as _os
         from ..models.weights import save_sharded_state
-        save_sharded_state(self.params, path,
+        params = self.params
+        if "block_list" in params:
+            # PP restacked hybrid params (jamba/mllama to_block_form);
+            # dump layer-form so the shards reload under any layout.
+            params = self.model.from_block_form(params)
+        save_sharded_state(params, path,
                            weight_dtype=self.config.model.weight_dtype,
                            max_size=max_size)
         # config.json rides along so model=<path> boots standalone.
@@ -1192,13 +1200,13 @@ class LLMEngine:
         """A follow-up window may be dispatched before this one's results
         arrive iff no external state can interleave (prefill admission)
         and sampling needs no host-side token feedback (penalty counts)."""
-        import os
         # Opt-in: on hosts with cheap dispatch, chaining hides the fetch
         # round trip entirely.  On the tunneled bench chip, argument
         # uploads of the chained window serialize against the running
         # window and LOSE throughput (measured 91 -> 51 tok/s), so the
         # default stays synchronous-per-window.
-        if os.environ.get("VPC_WINDOW_CHAIN") != "1":
+        from .. import envs
+        if not envs.VPC_WINDOW_CHAIN:
             return False
         if self.scheduler.num_waiting or self.scheduler.num_swapped \
                 or self.config.speculative is not None:

@@ -29,8 +29,10 @@ MAX_HEADERS = 128
 # Idle/slow-client read timeout per read call and a server-wide
 # connection cap (reference serving hardening surface:
 # vllm/entrypoints/openai/api_server.py uvicorn timeouts + limits).
-READ_TIMEOUT = float(os.environ.get("VPC_HTTP_READ_TIMEOUT", "300"))
-MAX_CONNECTIONS = int(os.environ.get("VPC_HTTP_MAX_CONNECTIONS", "2048"))
+from ... import envs
+
+READ_TIMEOUT = envs.VPC_HTTP_READ_TIMEOUT
+MAX_CONNECTIONS = envs.VPC_HTTP_MAX_CONNECTIONS
 
 
 class HTTPError(Exception):

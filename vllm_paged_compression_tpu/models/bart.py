@@ -411,14 +411,14 @@ class BartModel:
     # ---- pipeline parallelism --------------------------------------------
     # The decoder stack is homogeneous and already layer-stacked
     # (dec_layers), so it shards over "pipe" as-is; the encoder + embeds
-    # replicate and every stage runs the encoder redundantly inside its
-    # prefill wave tick (correctness-first: the wave's keep/permute logic
-    # discards inactive-stage outputs, and encoder cost is one-time per
-    # sequence).  The wave's hidden carries the [t, D] source embedding
-    # rows UNCHANGED (later stages re-run their encoder from them) plus 8
-    # trailing rows, row t holding the decoder-start hidden as it hops
-    # stages.  Reference analog: vllm/model_executor/models/bart.py
-    # decoder layers under get_pp_group partitioning.
+    # replicate, and the encoder runs ONCE per prefill (every stage
+    # computes the identical replicated pass before the wave scan,
+    # pp_prefill_precompute).  The wave's hidden then carries the [t, D]
+    # ENCODER OUTPUT rows plus 8 trailing rows, row t holding the
+    # decoder-start hidden as it hops stages; each stage projects its
+    # local layers' cross-KV from the shipped rows.  Reference analog:
+    # vllm/model_executor/models/bart.py decoder layers under
+    # get_pp_group partitioning.
 
     PP_EXTRA_ROWS = 8
 
@@ -447,15 +447,25 @@ class BartModel:
         """The decoder hidden rides at row t = len(h) - PP_EXTRA_ROWS."""
         return h[h.shape[0] - self.PP_EXTRA_ROWS][None]
 
+    def pp_prefill_precompute(self, params, h, length):
+        """Run the (replicated) encoder ONCE before the wave scan and ship
+        the encoder OUTPUT in the wave's source rows, so each stage's tick
+        projects cross-KV from it instead of re-running the whole encoder
+        stack per tick (was ~pp encoder passes per device; advisor r4)."""
+        t = h.shape[0] - self.PP_EXTRA_ROWS
+        enc = self._encoder_layers(params, h[:t], length)
+        return h.at[:t].set(enc.astype(h.dtype))
+
     def forward_prefill_layers(self, params, h, length, slot, pools):
-        """One prefill wave tick: re-run the (replicated) encoder from the
-        source rows, write THIS stage's cross-KV + first self-KV rows at
-        ``slot`` (the trash slot when inactive), advance the decoder-start
-        hidden through the local decoder layers at row t."""
+        """One prefill wave tick: read the pre-encoded source rows (see
+        pp_prefill_precompute), write THIS stage's cross-KV + first
+        self-KV rows at ``slot`` (the trash slot when inactive), advance
+        the decoder-start hidden through the local decoder layers at
+        row t."""
         a = self.arch
         ck, cv, sk, sv, srcl, pos = pools
         t = h.shape[0] - self.PP_EXTRA_ROWS
-        enc = self._encoder_layers(params, h[:t], length)
+        enc = h[:t]
 
         def cross_kv(lp):
             k = (enc @ lp["ca_k_w"] + lp["ca_k_b"]).reshape(

@@ -716,6 +716,18 @@ class MllamaModel:
         out["block_list"] = blocks
         return out
 
+    def from_block_form(self, params: dict) -> dict:
+        """Invert ``to_block_form`` so sharded-state dumps from a PP
+        engine are layer-form and reload under any parallel layout."""
+        L = self.pp_block_len
+        blocks = params["block_list"]
+        nb = next(iter(blocks[0].values())).shape[0]
+        lst = [{k: v[b] for k, v in blocks[p].items()}
+               for b in range(nb) for p in range(L)]
+        out = {k: v for k, v in params.items() if k != "block_list"}
+        out["layer_list"] = lst
+        return out
+
     def _pp_kind_cross(self, p: int) -> bool:
         a = self.arch
         period = self.pp_block_len

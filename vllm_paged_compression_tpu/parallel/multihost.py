@@ -165,7 +165,8 @@ def assert_same_across_hosts(obj: Any, what: str = "object") -> None:
 
 
 def check_enabled() -> bool:
-    return os.environ.get("VPC_MULTIHOST_CHECK") == "1"
+    from .. import envs
+    return envs.VPC_MULTIHOST_CHECK
 
 
 def global_mesh(tp: int, dp: int = 1, pp: int = 1):

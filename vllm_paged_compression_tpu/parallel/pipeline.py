@@ -94,6 +94,15 @@ def _mb_slice(x, m, size, num_mb):
     return jax.lax.dynamic_slice_in_dim(x, start, size, axis=0)
 
 
+def _reset_trash_counters(caches, trash_slot):
+    """Zero the trash slot's per-slot counters (rank-1 leaves, e.g.
+    Jamba's position pool) so out-of-wave ticks steered at the trash
+    slot can't grow them without bound across windows — correctness
+    must not lean on scatter/gather index clamping (advisor, round 4)."""
+    return jax.tree.map(
+        lambda x: x.at[trash_slot].set(0) if x.ndim == 1 else x, caches)
+
+
 def pp_decode_window_body(runner, params, caches, page_scores, plan_pack,
                           state_pack, f32_pack, token_counts=None,
                           mask_pack=None, bias_pack=None,
@@ -361,7 +370,7 @@ def pp_decode_window_body_mamba(runner, params, caches, page_scores,
             ys = (ys, lp_row)
         return (caches, toks, counts), ys
 
-    init = (caches, tok0, token_counts)
+    init = (_reset_trash_counters(caches, trash_slot), tok0, token_counts)
     xs = plan_pack if mask_pack is None else (plan_pack, mask_pack)
     (caches, tok_end, _counts), ys = jax.lax.scan(body, init, xs)
     lp_pack = None
@@ -385,6 +394,12 @@ def pp_prefill_wave_mamba(runner, params, caches, h0, q_len, slot,
     pp = runner.pp
     stage = jax.lax.axis_index("pipe")
     trash = runner.cache_engine.trash_page
+    caches = _reset_trash_counters(caches, trash)
+    pre = getattr(runner.model, "pp_prefill_precompute", None)
+    if pre is not None:
+        # BART: one replicated encoder pass before the wave; the wave
+        # rows then carry encoder OUTPUT (identical on every stage).
+        h0 = pre(params, h0, q_len)
     h_buf = h0   # meaningful on stage 0 only
 
     def tick(carry, t):

@@ -28,8 +28,8 @@ def _build_lib() -> ctypes.CDLL:
         return _LIB
     src = _CSRC.read_bytes()
     tag = hashlib.sha256(src).hexdigest()[:16]
-    cache_dir = Path(os.environ.get(
-        "VPC_NATIVE_CACHE", os.path.expanduser("~/.cache/vpc_native")))
+    from .. import envs
+    cache_dir = Path(envs.VPC_NATIVE_CACHE)
     cache_dir.mkdir(parents=True, exist_ok=True)
     so = cache_dir / f"shm_msgq-{tag}.so"
     if not so.exists():

@@ -24,6 +24,7 @@ import os
 import jax
 import jax.numpy as jnp
 
+from .. import envs
 from ..config import CacheConfig, ModelConfig
 from ..utils import init_logger
 
@@ -38,9 +39,9 @@ _HBM_GIB = {
 
 
 def device_hbm_bytes() -> int:
-    env = os.environ.get("VPC_HBM_GIB")
+    env = envs.VPC_HBM_GIB
     if env:
-        return int(float(env) * (1 << 30))
+        return int(env * (1 << 30))
     dev = jax.devices()[0]
     stats = None
     try:
@@ -108,8 +109,7 @@ class CacheEngine:
             total = device_hbm_bytes()
             weights = (weight_bytes if weight_bytes is not None
                        else model.param_bytes()) // max(num_shards, 1)
-            headroom = int(os.environ.get("VPC_ACTIVATION_HEADROOM_MB",
-                                          "1024")) << 20
+            headroom = envs.VPC_ACTIVATION_HEADROOM_MB << 20
             budget = int(total * cache_config.gpu_memory_utilization) \
                 - weights - headroom
             # The multi-step decode scan double-buffers the cache carry, so

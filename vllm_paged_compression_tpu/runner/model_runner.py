@@ -59,8 +59,8 @@ def select_attention_backend() -> str:
     envs.py:270).  "pallas" = TPU kernels (paged decode + flash prefill);
     "jnp" = pure-XLA oracles (always correct, used on CPU where the Pallas
     interpreter would be slow)."""
-    import os
-    choice = os.environ.get("VPC_ATTENTION_BACKEND", "auto").lower()
+    from .. import envs
+    choice = envs.VPC_ATTENTION_BACKEND.lower()
     if choice == "auto":
         choice = "jnp" if jax.default_backend() == "cpu" else "pallas"
     if choice not in ("pallas", "jnp"):

@@ -14,7 +14,8 @@ def _configure_root() -> None:
     global _configured
     if _configured:
         return
-    level = os.environ.get("VPC_LOGGING_LEVEL", "INFO").upper()
+    from .. import envs
+    level = envs.VPC_LOGGING_LEVEL.upper()
     handler = logging.StreamHandler(sys.stderr)
     handler.setFormatter(logging.Formatter(_FORMAT, datefmt="%H:%M:%S"))
     root = logging.getLogger("vpc")

@@ -20,6 +20,7 @@ seen).
 | VPC_HTTP_MAX_CONNECTIONS | 2048 | OpenAI server connection cap |
 | VPC_LOGGING_LEVEL | INFO | vpc logger level |
 | VPC_TEST_REAL_DEVICE | unset | "1" runs the test suite on the real chip instead of the CPU mesh |
+| VPC_DISABLE_FUSED_LAYER | unset | "1" disables the fused decode-layer megakernel fast path |
 """
 
 import os
@@ -63,6 +64,7 @@ environment_variables: Dict[str, Callable[[], Any]] = {
     "VPC_HTTP_MAX_CONNECTIONS": _int("VPC_HTTP_MAX_CONNECTIONS", 2048),
     "VPC_LOGGING_LEVEL": _str("VPC_LOGGING_LEVEL", "INFO"),
     "VPC_TEST_REAL_DEVICE": _flag("VPC_TEST_REAL_DEVICE"),
+    "VPC_DISABLE_FUSED_LAYER": _flag("VPC_DISABLE_FUSED_LAYER"),
 }
 
 

@@ -626,6 +626,105 @@ class ModelRunner:
         num_pages = num_pages - evict_b.astype(jnp.int32)
         return eff_tables, eff_kv, num_pages, victims
 
+    def _fuse_layers_ok(self, params, b: int) -> bool:
+        """Trace-time gate for the fused decode-layer megakernel
+        (ops/pallas/fused_layer.py): the standard llama trunk with
+        kernel-eligible PackedInt4 weights, bf16 activations, single
+        stage, small decode batches."""
+        from .. import envs
+        if envs.VPC_DISABLE_FUSED_LAYER:
+            return False
+        if (self.attn_backend != "pallas" or self.pp > 1
+                or self.lora_enabled or self.is_mamba):
+            return False
+        model = self.model
+        a = model.arch
+        if getattr(model, "architecture", "") != "llama":
+            return False
+        if model.dtype != jnp.bfloat16:
+            return False
+        if (a.attn_type == "mla" or a.postnorm or a.parallel_residual
+                or a.sandwich_norms or a.residual_multiplier != 1.0
+                or a.num_experts or a.qkv_bias or a.o_bias or a.mlp_bias
+                or getattr(a, "mlp_down_bias", False) or not a.mlp_gated
+                or a.hidden_act != "silu" or a.norm_type != "rmsnorm"
+                or a.qkv_clip is not None or a.qk_norm or a.qk_norm_flat
+                or a.no_rope_pattern or not a.use_rope
+                or a.pos_embed_learned or a.embed_ln
+                or a.mrope_section is not None
+                or "dense_layers" in params):
+            return False
+        lay = params.get("layers")
+        if lay is None or any(k not in lay for k in (
+                "wqkv", "wo", "w_gate_up", "w_down", "input_norm",
+                "post_norm")):
+            return False
+        from ..ops.pallas.fused_layer import fused_layer_eligible
+        q_sz = a.num_heads * a.head_dim
+        kv_sz = a.num_kv_heads * a.head_dim
+        return fused_layer_eligible(
+            lay["wqkv"], lay["wo"], lay["w_gate_up"], lay["w_down"],
+            a.hidden_size, a.intermediate_size, q_sz + 2 * kv_sz, b)
+
+    def _fused_decode_step(self, params, tokens, positions, attn_fn,
+                           caches):
+        """Fast-path decode forward: one megakernel per layer streams all
+        four projection weights through a single DMA pipeline, with the
+        layer boundary shifted so kernel(i) also produces layer i+1's
+        pre-rope qkv (see ops/pallas/fused_layer.py).  XLA between
+        kernels: rope + the fused write+attend kernel only."""
+        from ..models.llama import rms_norm
+        from ..ops.pallas.fused_layer import fused_decode_layer
+        from ..ops.pallas.int4_matmul import int4_matmul_stacked_packed
+        from ..ops.rope import apply_rope, rope_cos_sin
+        model = self.model
+        a = model.arch
+        lay = params["layers"]
+        num_layers = lay["input_norm"].shape[0]
+        h = model.embed(params, tokens)
+        if a.embed_scale is not None:
+            h = h * jnp.asarray(a.embed_scale, model.dtype)
+        cos, sin = rope_cos_sin(positions, a.rot_dim, a.rope_theta,
+                                scaling=a.rope_scaling,
+                                interleaved=a.rope_interleaved)
+        inw = lay["input_norm"]
+        postw = lay["post_norm"]
+        # norms[l] rows: 0 = post_attention_norm(l), 1 = input_norm(l+1)
+        # (rolled; the l = L-1 row feeds a discarded qkv).
+        norms = jnp.concatenate(
+            [postw[:, None], jnp.roll(inw, -1, axis=0)[:, None],
+             jnp.zeros((num_layers, 6, a.hidden_size), postw.dtype)],
+            axis=1).astype(jnp.bfloat16)
+        x0 = rms_norm(h, inw[0], a.rms_norm_eps)
+        qkv0 = int4_matmul_stacked_packed(x0, lay["wqkv"], 0)
+        q_sz = a.num_heads * a.head_dim
+        kv_sz = a.num_kv_heads * a.head_dim
+        t = h.shape[0]
+
+        def body(carry, li):
+            h, qkv, caches = carry
+            q = qkv[:, :q_sz].reshape(t, a.num_heads, a.head_dim)
+            k = qkv[:, q_sz:q_sz + kv_sz].reshape(t, a.num_kv_heads,
+                                                  a.head_dim)
+            v = qkv[:, q_sz + kv_sz:].reshape(t, a.num_kv_heads,
+                                              a.head_dim)
+            q, k = apply_rope(q, k, cos, sin, rot_dim=a.rot_dim,
+                              interleaved=a.rope_interleaved)
+            attn_out, caches = attn_fn(q, k, v, caches, li)
+            attn2d = attn_out.reshape(t, q_sz).astype(model.dtype)
+            h2, qkv_next = fused_decode_layer(
+                attn2d, h, lay["wo"], lay["w_gate_up"], lay["w_down"],
+                lay["wqkv"], norms, li, eps=a.rms_norm_eps)
+            return (h2, qkv_next, caches), None
+
+        (h, _, caches), _ = jax.lax.scan(
+            body,
+            (h.astype(jnp.bfloat16), qkv0.astype(jnp.bfloat16), caches),
+            jnp.arange(num_layers, dtype=jnp.int32))
+        h_final = rms_norm(h, params["final_norm"], a.rms_norm_eps,
+                           a.norm_unit_offset)
+        return h_final, caches
+
     def _decode_window(self, params, caches, page_scores, plan_pack,
                        state_pack, f32_pack, token_counts=None,
                        mask_pack=None, bias_pack=None, greedy_only=False,
@@ -678,10 +777,14 @@ class ModelRunner:
                     slots, zero_slots if zero_writes else None)
                 return out, (kc_all, vc_all)
 
-            hidden, new_caches = self.model.forward_hidden(
-                params, tokens, positions, attn_fn, caches,
-                state_mode="carry",
-                **self._lora_kwargs(params, lora_slots))
+            if self._fuse_layers_ok(params, b):
+                hidden, new_caches = self._fused_decode_step(
+                    params, tokens, positions, attn_fn, caches)
+            else:
+                hidden, new_caches = self.model.forward_hidden(
+                    params, tokens, positions, attn_fn, caches,
+                    state_mode="carry",
+                    **self._lora_kwargs(params, lora_slots))
             if self.track_page_scores:
                 page_scores = self._update_page_scores(
                     page_scores, new_caches[1], fill_pages)

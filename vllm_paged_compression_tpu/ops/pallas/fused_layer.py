@@ -56,15 +56,23 @@ class FusedLayerDims(NamedTuple):
     m: int          # padded row count (M rounded up to 8)
 
 
+BN_MAX = 2048
+
+
+def _phase_bn(n_out: int) -> int:
+    """Per-phase output-tile width: the largest divisor of ``n_out`` that
+    is <= BN_MAX and a multiple of 128 (wider tiles = longer DMA rows and
+    fewer pipeline roundtrips; the buffers are sized to the max)."""
+    for bn in range(min(BN_MAX, n_out), 127, -128):
+        if n_out % bn == 0:
+            return bn
+    return 0
+
+
 def _pick_bn(d: int, nq: int, f2: int) -> int:
-    """Largest common output-tile width <= 2048: a multiple of 128 that
-    divides all three output widths."""
-    import math
-    g = math.gcd(d, math.gcd(nq, f2))
-    bn = g
-    while bn > 2048:
-        bn //= 2
-    return bn
+    """Smallest per-phase tile width (used for the eligibility gate /
+    dims bookkeeping; individual phases may use wider tiles)."""
+    return min(_phase_bn(d), _phase_bn(nq), _phase_bn(f2))
 
 
 def fused_layer_eligible(wqkv, wo, wgu, wd, d: int, f: int, nq: int,
@@ -127,14 +135,15 @@ def _fused_layer_kernel(layer_ref,
                         dims: FusedLayerDims, n_layers: int, eps: float,
                         act_kind: str):
     m = dims.m
-    d, f, nq, gs, bn = dims.d, dims.f, dims.nq, dims.gs, dims.bn
+    d, f, nq, gs = dims.d, dims.f, dims.nq, dims.gs
     bk = GROUP * gs
     lay = layer_ref[0]
     lay_next = jnp.minimum(lay + 1, n_layers - 1)
 
     # Static tile schedule across all four phases: (phase, qp, sz, layer
-    # index, Kh, n, k).  One flat python list — double-buffered DMA with
-    # fill/drain once per LAYER.
+    # index, n, k, n_k, bn).  One flat python list — double-buffered DMA
+    # with fill/drain once per LAYER.  Tile width is per-phase (the
+    # widest divisor <= BN_MAX): longer DMA rows, fewer roundtrips.
     tiles = []
     for ph, qp, sz, li, kh, n_out in (
             ("o", qp_o, sz_o, lay, d // 2, d),
@@ -142,19 +151,20 @@ def _fused_layer_kernel(layer_ref,
             ("d", qp_d, sz_d, lay, f // 2, d),
             ("q", qp_q, sz_q, lay_next, d // 2, nq)):
         n_k = kh // bk
-        for n in range(n_out // bn):
+        bnp = _phase_bn(n_out)
+        for n in range(n_out // bnp):
             for k in range(n_k):
-                tiles.append((ph, qp, sz, li, n, k, n_k))
+                tiles.append((ph, qp, sz, li, n, k, n_k, bnp))
 
     def tile_copies(i, slot):
-        ph, qp, sz, li, n, k, n_k = tiles[i]
+        ph, qp, sz, li, n, k, n_k, bnp = tiles[i]
         return [
             pltpu.make_async_copy(
-                qp.at[li, pl.ds(k * bk, bk), pl.ds(n * bn, bn)],
-                wbuf.at[slot], dsem.at[slot, 0]),
+                qp.at[li, pl.ds(k * bk, bk), pl.ds(n * bnp, bnp)],
+                wbuf.at[slot, :, pl.ds(0, bnp)], dsem.at[slot, 0]),
             pltpu.make_async_copy(
-                sz.at[li, pl.ds(k * 32, 32), pl.ds(n * bn, bn)],
-                szbuf.at[slot], dsem.at[slot, 1]),
+                sz.at[li, pl.ds(k * 32, 32), pl.ds(n * bnp, bnp)],
+                szbuf.at[slot, :, pl.ds(0, bnp)], dsem.at[slot, 1]),
         ]
 
     def x_tiles(ph, k):
@@ -183,20 +193,20 @@ def _fused_layer_kernel(layer_ref,
         ssq = jnp.sum(buf[:, :] * buf[:, :], axis=1, keepdims=True)
         return jax.lax.rsqrt(ssq / d + eps)
 
-    def epilogue(ph, n):
+    def epilogue(ph, n, bnp):
         """Runs after the LAST k-step of (phase, n) with acc_ref holding
-        the finished [m, bn] output tile."""
-        sl = slice(n * bn, (n + 1) * bn)
+        the finished [m, bnp] output tile."""
+        sl = slice(n * bnp, (n + 1) * bnp)
         if ph == "o":
-            hmid[:, sl] = (acc_ref[:, :]
+            hmid[:, sl] = (acc_ref[:, :bnp]
                            + h_in_ref[:, sl].astype(jnp.float32))
-            if (n + 1) * bn == d:
+            if (n + 1) * bnp == d:
                 rs = rms_rows(hmid)
                 wn = norms_ref[0, 0:1, :].astype(jnp.bfloat16)   # [1, D]
                 x2[:, :] = (hmid[:, :] * rs).astype(jnp.bfloat16) * wn
         elif ph == "gu":
-            ygu[:, sl] = acc_ref[:, :]
-            if (n + 1) * bn == 2 * f:
+            ygu[:, sl] = acc_ref[:, :bnp]
+            if (n + 1) * bnp == 2 * f:
                 gate = ygu[:, :f]
                 up = ygu[:, f:]
                 if act_kind == "silu":
@@ -205,36 +215,40 @@ def _fused_layer_kernel(layer_ref,
                     gated = jax.nn.gelu(gate) * up
                 act[:, :] = gated.astype(jnp.bfloat16)
         elif ph == "d":
-            hout[:, sl] = acc_ref[:, :] + hmid[:, sl]
+            hout[:, sl] = acc_ref[:, :bnp] + hmid[:, sl]
             h_out_ref[:, sl] = hout[:, sl].astype(jnp.bfloat16)
-            if (n + 1) * bn == d:
+            if (n + 1) * bnp == d:
                 rs = rms_rows(hout)
                 wn = norms_ref[0, 1:2, :].astype(jnp.bfloat16)   # [1, D]
                 x3[:, :] = (hout[:, :] * rs).astype(jnp.bfloat16) * wn
         else:
-            qkv_ref[:, sl] = acc_ref[:, :].astype(jnp.bfloat16)
+            qkv_ref[:, sl] = acc_ref[:, :bnp].astype(jnp.bfloat16)
 
-    for c in tile_copies(0, 0):
-        c.start()
-    for i, (ph, qp, sz, li, n, k, n_k) in enumerate(tiles):
-        slot = i % 2
-        if i + 1 < len(tiles):
-            for c in tile_copies(i + 1, 1 - slot):
+    nslots = wbuf.shape[0]
+    for j in range(min(nslots - 1, len(tiles))):
+        for c in tile_copies(j, j % nslots):
+            c.start()
+    for i, (ph, qp, sz, li, n, k, n_k, bnp) in enumerate(tiles):
+        slot = i % nslots
+        if i + nslots - 1 < len(tiles):
+            for c in tile_copies(i + nslots - 1,
+                                 (i + nslots - 1) % nslots):
                 c.start()
         for c in tile_copies(i, slot):
             c.wait()
         xl_full, xh_full = x_tiles(ph, k)
-        acc = jnp.zeros((m, bn), jnp.float32) if k == 0 else acc_ref[:, :]
+        acc = (jnp.zeros((m, bnp), jnp.float32) if k == 0
+               else acc_ref[:, :bnp])
         for g in range(gs):
             acc = _group_matvec(
                 acc,
                 xl_full[:, g * GROUP:(g + 1) * GROUP],
                 xh_full[:, g * GROUP:(g + 1) * GROUP],
-                wbuf[slot, g * GROUP:(g + 1) * GROUP, :],
-                szbuf[slot], g, gs)
-        acc_ref[:, :] = acc
+                wbuf[slot, g * GROUP:(g + 1) * GROUP, :bnp],
+                szbuf[slot][:, :bnp], g, gs)
+        acc_ref[:, :bnp] = acc
         if k == n_k - 1:
-            epilogue(ph, n)
+            epilogue(ph, n, bnp)
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "act_kind",))
@@ -263,7 +277,8 @@ def fused_decode_layer(attn2d: jnp.ndarray, h_in: jnp.ndarray,
     assert d_in == dims.d, (d_in, dims.d)
     n_layers = wo.qp.shape[0]
     bk = GROUP * dims.gs
-    bn = dims.bn
+    bn_buf = max(_phase_bn(dims.d), _phase_bn(dims.nq),
+                 _phase_bn(2 * dims.f))
     li = jnp.asarray(layer, jnp.int32).reshape(1)
 
     def io_map(*refs):
@@ -291,16 +306,16 @@ def fused_decode_layer(attn2d: jnp.ndarray, h_in: jnp.ndarray,
             pl.BlockSpec((m, dims.nq), io_map),            # qkv_next
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, bk, bn), jnp.uint8),            # packed tile
-            pltpu.VMEM((2, 32, bn), jnp.bfloat16),         # sz tile
+            pltpu.VMEM((3, bk, bn_buf), jnp.uint8),        # packed tile
+            pltpu.VMEM((3, 32, bn_buf), jnp.bfloat16),     # sz tile
             pltpu.VMEM((m, dims.d), jnp.float32),          # hmid
             pltpu.VMEM((m, dims.d), jnp.float32),          # hout
             pltpu.VMEM((m, 2 * dims.f), jnp.float32),      # ygu
             pltpu.VMEM((m, dims.f), jnp.bfloat16),         # act
             pltpu.VMEM((m, dims.d), jnp.bfloat16),         # x2
             pltpu.VMEM((m, dims.d), jnp.bfloat16),         # x3
-            pltpu.VMEM((m, bn), jnp.float32),              # acc
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((m, bn_buf), jnp.float32),          # acc
+            pltpu.SemaphoreType.DMA((3, 2)),
         ],
     )
     kern = functools.partial(_fused_layer_kernel, dims=dims,
@@ -319,7 +334,7 @@ def fused_decode_layer(attn2d: jnp.ndarray, h_in: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=24 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
-            flops=2 * m * 2 * total_k * bn,   # rough
+            flops=2 * m * 2 * total_k * bn_buf,   # rough
             bytes_accessed=bytes_w + bytes_w // 8,
             transcendentals=m * (dims.f + 2)),
         interpret=jax.default_backend() == "cpu",

@@ -24,6 +24,8 @@ def main() -> None:
     parser.add_argument("--bench-model", type=str, default="llama-3.2-1b",
                         help="named synthetic arch from bench.py")
     parser.add_argument("--json-out", type=str, default=None)
+    parser.add_argument("--no-warmup", action="store_true",
+                        help="skip the pre-timing bucket warmup phase")
     from vllm_paged_compression_tpu.engine.arg_utils import EngineArgs
     EngineArgs.add_cli_args(parser)
     args = parser.parse_args()
@@ -51,6 +53,25 @@ def main() -> None:
     rng = np.random.default_rng(0)
     sp = SamplingParams(temperature=0.0, max_tokens=args.output_len,
                         ignore_eos=True)
+
+    if not args.no_warmup:
+        # Warmup: drive every program shape the timed run will touch —
+        # the prefill bucket for input_len and every decode lane bucket
+        # up to the sustained concurrency (staggered tiny outputs hit the
+        # intermediate lane buckets during the drain) — so first-compiles
+        # never pollute the timed window (VERDICT r4 Weak #1).
+        w = min(args.num_prompts, config.scheduler.max_num_seqs)
+        for i in range(w):
+            engine.add_request(
+                request_id=f"warm{i}",
+                prompt_token_ids=rng.integers(
+                    1, 32000, size=args.input_len).tolist(),
+                sampling_params=SamplingParams(
+                    temperature=0.0, max_tokens=2 + (i % 7),
+                    ignore_eos=True))
+        while engine.has_unfinished_requests():
+            engine.step()
+
     for i in range(args.num_prompts):
         engine.add_request(
             request_id=f"r{i}",

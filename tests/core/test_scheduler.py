@@ -182,3 +182,38 @@ class TestFinish:
         s.add_seq(seq)
         assert s.abort("a")
         assert not s.has_unfinished()
+
+
+class TestCanAdmitNext:
+    """can_admit_next gates the engine's drop-to-single-step-windows:
+    a full pool with a deep backlog must NOT pin windows at k=1
+    (round-4 64->256 offered-load throughput drop)."""
+
+    def test_empty_queues(self):
+        s = make_scheduler()
+        assert not s.can_admit_next()
+
+    def test_admittable_head(self):
+        s = make_scheduler()
+        s.add_seq(make_seq("r0", 8))
+        assert s.can_admit_next()
+
+    def test_pool_full_blocks(self):
+        # Small pool: admit until the watermark blocks the backlog head.
+        s = make_scheduler(num_blocks=8, block_size=4)
+        for i in range(4):
+            s.add_seq(make_seq(f"r{i}", 12))
+            s.schedule()
+        assert s.num_running >= 1 and s.num_waiting >= 1
+        assert not s.can_admit_next()
+        # Finishing one frees its pages: the head becomes admittable.
+        victim = next(iter(s.running))
+        s.finish_seq(victim, SequenceStatus.FINISHED_STOPPED)
+        assert s.can_admit_next()
+
+    def test_slot_cap_blocks(self):
+        s = make_scheduler(max_num_seqs=1)
+        s.add_seq(make_seq("r0", 8))
+        s.schedule()
+        s.add_seq(make_seq("r1", 8))
+        assert not s.can_admit_next()

@@ -228,6 +228,43 @@ class Scheduler:
             self.running.append(seq)
             self.num_swap_ins += 1
 
+    def can_admit_next(self) -> bool:
+        """True when a waiting (or swapped) sequence could actually be
+        admitted right now — a free slot AND pool headroom.  The engine
+        drops to single-step decode windows only in that case: a full
+        pool with a deep backlog must NOT disable multi-step windows
+        (round-4 finding: the 64->256 offered-load sustained-throughput
+        drop was every window running at k=1 because the backlog never
+        emptied).  Under the priority policy the FCFS head is used as an
+        approximation — the check gates a latency/throughput trade, not
+        correctness."""
+        if len(self.running) >= self.config.max_num_seqs:
+            return False
+        if self.swapped:
+            seq = next(iter(self.swapped))
+            n = -(-seq.swapped_kv_len // self.block_size)
+            if self.allocator.can_allocate(n, self.watermark_blocks):
+                return True
+        if not self.waiting:
+            return False
+        seq = self.waiting[0]
+        if seq.block_table is not None:
+            return True        # mid-chunk prompt: already holds pages
+        prompt_len = seq.num_prompt_tokens
+        if (self.evict is not None and self.evict.enabled
+                and not self.config.enable_chunked_prefill):
+            blocks, _ = num_required_blocks_after_prune(
+                prompt_len, self.evict, self.block_size, seq.evict_budget)
+        else:
+            blocks = -(-prompt_len // self.block_size)
+        if self.prefix_caching:
+            from .prefix_cache import hash_chain
+            hashes = hash_chain(seq.prompt_token_ids, self.block_size)
+            usable = min(len(self.allocator.lookup(hashes)),
+                         (prompt_len - 1) // self.block_size)
+            blocks -= usable
+        return self.allocator.can_allocate(blocks, self.watermark_blocks)
+
     def _sorted_waiting(self) -> deque[Sequence]:
         if self.config.policy == "priority":
             return deque(sorted(self.waiting,

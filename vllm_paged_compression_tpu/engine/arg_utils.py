@@ -33,6 +33,7 @@ class EngineArgs:
     max_num_seqs: int = 64
     max_num_batched_tokens: int = 8192
     num_scheduler_steps: int = 1
+    stream_scheduler_steps: int = 8
     scheduling_policy: str = "fcfs"
     preemption_mode: str = "recompute"
     swap_space: float = 4.0
@@ -96,6 +97,7 @@ class EngineArgs:
         g.add_argument("--max-num-seqs", type=int, default=64)
         g.add_argument("--max-num-batched-tokens", type=int, default=8192)
         g.add_argument("--num-scheduler-steps", type=int, default=1)
+        g.add_argument("--stream-scheduler-steps", type=int, default=8)
         g.add_argument("--scheduling-policy", type=str, default="fcfs",
                        choices=["fcfs", "priority"])
         g.add_argument("--preemption-mode", type=str, default="recompute",
@@ -212,7 +214,8 @@ class EngineArgs:
                 policy=self.scheduling_policy,
                 preemption_mode=self.preemption_mode,
                 enable_chunked_prefill=self.enable_chunked_prefill,
-                num_scheduler_steps=self.num_scheduler_steps),
+                num_scheduler_steps=self.num_scheduler_steps,
+                stream_scheduler_steps=self.stream_scheduler_steps),
             parallel=ParallelConfig(
                 tensor_parallel_size=self.tensor_parallel_size,
                 data_parallel_size=self.data_parallel_size,

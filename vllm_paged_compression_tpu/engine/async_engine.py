@@ -37,7 +37,9 @@ class AsyncLLMEngine:
                        sampling_params: SamplingParams,
                        prompt: Optional[str] = None,
                        prompt_token_ids: Optional[list[int]] = None,
-                       priority: int = 0) -> AsyncIterator[RequestOutput]:
+                       priority: int = 0,
+                       streaming: bool = False
+                       ) -> AsyncIterator[RequestOutput]:
         loop = asyncio.get_running_loop()
         queue: asyncio.Queue = asyncio.Queue()
         self._queues[request_id] = queue
@@ -47,6 +49,11 @@ class AsyncLLMEngine:
                     request_id=request_id, prompt=prompt,
                     prompt_token_ids=prompt_token_ids,
                     sampling_params=sampling_params, priority=priority)
+                if streaming:
+                    # Cap decode windows while SSE consumers are live so
+                    # tokens arrive in small bursts (stream_scheduler_steps)
+                    # instead of window-sized dumps.
+                    self.engine.stream_attach()
             self._ensure_loop(loop)
             while True:
                 out = await queue.get()
@@ -56,6 +63,8 @@ class AsyncLLMEngine:
                 if out.finished:
                     return
         finally:
+            if streaming:
+                self.engine.stream_detach()
             self._queues.pop(request_id, None)
 
     async def abort(self, request_id: str) -> None:

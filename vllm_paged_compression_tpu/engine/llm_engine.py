@@ -442,6 +442,10 @@ class LLMEngine:
 
         self._seqs: dict[str, Sequence] = {}
         self._req_counter = 0
+        # Streaming consumers attached right now (api_server SSE): while
+        # nonzero, decode windows are capped at stream_scheduler_steps so
+        # tokens reach clients in small bursts instead of K-step dumps.
+        self._stream_clients = 0
         # Guided decoding: token id -> bytes vocabulary (lazily derived
         # from the tokenizer; tests and token-id-space callers inject one
         # via set_guided_vocab).
@@ -741,6 +745,12 @@ class LLMEngine:
         with open(_os.path.join(path, "config.json"), "w") as f:
             _json.dump(self._hf_config, f, indent=1)
 
+    def stream_attach(self) -> None:
+        self._stream_clients += 1
+
+    def stream_detach(self) -> None:
+        self._stream_clients = max(0, self._stream_clients - 1)
+
     def abort_request(self, request_id: str) -> bool:
         # The in-flight window writes into pages the abort will free:
         # commit it first.
@@ -907,10 +917,19 @@ class LLMEngine:
             # to single steps while prefills are waiting so new requests
             # aren't starved (reference multi-step scheduling analog —
             # which upstream forbids together with eviction,
-            # arg_utils.py:1255-1257).
-            k_max = (1 if self.scheduler.num_waiting
-                     or self.scheduler.num_swapped
+            # arg_utils.py:1255-1257).  Starvation only threatens when
+            # admission is actually POSSIBLE: with the pool full, a
+            # backlog must not pin every window at k=1 (that was the r4
+            # 64->256 offered-load throughput drop); the window planner
+            # already truncates at the earliest max_tokens finish, so
+            # freed pages surface at the next commit.
+            k_max = (1 if ((self.scheduler.num_waiting
+                            or self.scheduler.num_swapped)
+                           and self.scheduler.can_admit_next())
                      else self.config.scheduler.num_scheduler_steps)
+            ss = self.config.scheduler.stream_scheduler_steps
+            if self._stream_clients and ss:
+                k_max = min(k_max, ss)
             if any(self.runner.lane_needs_stepwise_mask(s)
                    for s in self.scheduler.running):
                 # Guided FSMs / multi-token bad_words need a fresh mask

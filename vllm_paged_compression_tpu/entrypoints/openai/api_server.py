@@ -514,7 +514,7 @@ class OpenAIServer:
         sent_ntok = 0
         async for out in self.engine.generate(
                 rid, params, prompt=prompt,
-                prompt_token_ids=prompt_token_ids):
+                prompt_token_ids=prompt_token_ids, streaming=True):
             co = out.outputs[0]
             delta_text = co.text[sent_text_len:]
             sent_text_len = len(co.text)

@@ -68,11 +68,13 @@ def test_spec_decode_respects_max_tokens():
     assert len(outs[0]) == 5
 
 
-def test_spec_rejects_eviction_combo():
-    with pytest.raises(ValueError):
-        _llm(speculative_config={"num_speculative_tokens": 4},
-             enable_paged_eviction=True, evict_method="global",
-             cache_budget=128)
+def test_spec_accepts_eviction_combo():
+    """Round 5 superset: the blanket rejection (reference parity,
+    llm_engine.py:1182) was lifted — see TestSpecWithEviction below."""
+    llm = _llm(speculative_config={"num_speculative_tokens": 4},
+               enable_paged_eviction=True, evict_method="global",
+               cache_budget=128)
+    assert llm.engine.config.speculative is not None
 
 
 # ---- rejection sampler (ops/sampling.rejection_sample) -------------------
@@ -228,3 +230,53 @@ class TestTypicalAcceptance:
                                            max_tokens=24,
                                            ignore_eos=True))
         assert len(outs[0].outputs[0].token_ids) == 24
+
+
+class TestSpecWithEviction:
+    """Spec decode x paged eviction (superset — the reference asserts
+    the combination away, vllm/engine/llm_engine.py:1182): rejected
+    drafts roll back before the page-boundary eviction check, and the
+    accepted tokens fire exactly the evictions plain decoding would."""
+
+    def _evict_kw(self, method, selection="l2"):
+        kw = dict(enable_paged_eviction=True, evict_method=method,
+                  evict_selection=selection, cache_budget=128)
+        if method == "local":
+            kw["topk_blocks"] = 3
+        return kw
+
+    @pytest.mark.parametrize("method,selection", [
+        ("streamingLLM", "l2"),
+        ("global", "l2"),
+        ("local", "l2"),
+        ("global", "random"),
+    ])
+    def test_token_identical_vs_plain_eviction(self, method, selection):
+        prompts = [
+            ([7, 8, 9, 10] * 40)[:150],
+            list(np.random.default_rng(1).integers(1, 128, 160)),
+        ]
+        kw = self._evict_kw(method, selection)
+        want = _gen(_llm(**kw), prompts, n=60)
+        got = _gen(_llm(speculative_config={"num_speculative_tokens": 4},
+                        **kw), prompts, n=60)
+        assert got == want
+
+    def test_pages_freed_on_eviction(self):
+        llm = _llm(speculative_config={"num_speculative_tokens": 4},
+                   **self._evict_kw("streamingLLM"))
+        alloc = llm.engine.scheduler.allocator
+        free0 = alloc.num_free_blocks
+        _gen(llm, [list(range(1, 150))], n=60)
+        # Everything returns to the pool after the request finishes.
+        assert alloc.num_free_blocks == free0
+
+    def test_zero_write_methods_rejected(self):
+        with pytest.raises(ValueError, match="zero-write"):
+            _llm(speculative_config={"num_speculative_tokens": 4},
+                 **self._evict_kw("streamingLLM-1"))
+
+    def test_long_draft_rejected(self):
+        with pytest.raises(ValueError, match="block_size"):
+            _llm(speculative_config={"num_speculative_tokens": 16},
+                 **self._evict_kw("streamingLLM"))

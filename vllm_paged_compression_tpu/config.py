@@ -280,9 +280,37 @@ class EngineConfig:
         if self.speculative is not None:
             self.speculative.verify()
             if self.cache.evict_enabled:
-                # Matches the reference's assert (llm_engine.py:1182).
-                raise ValueError("speculative decoding is not supported "
-                                 "with paged eviction")
+                # Genuine superset of the reference, which asserts the
+                # combination away outright (llm_engine.py:1182): the
+                # host-synchronous spec step fires the same page-boundary
+                # evictions the decode-window planner would, AFTER the
+                # acceptance count is known (Scheduler.commit_spec), so
+                # rejected drafts roll back before any eviction decision.
+                ev = self.cache.paged_evict
+                if ev.evict_method in ("streamingLLM-1",
+                                       "inverse_key_l2"):
+                    raise ValueError(
+                        "speculative decoding with zero-write eviction "
+                        "methods (streamingLLM-1 / inverse_key_l2) is "
+                        "not supported: the verify batch does not carry "
+                        "the per-step zero-slot side writes")
+                if self.speculative.method in ("medusa",
+                                               "mlp_speculator",
+                                               "eagle"):
+                    raise ValueError(
+                        "speculative decoding with paged eviction "
+                        "currently supports the ngram and draft-model "
+                        "proposers")
+                if self.parallel.pipeline_parallel_size > 1:
+                    raise ValueError(
+                        "speculative decoding with paged eviction is "
+                        "not supported under pipeline parallelism yet")
+                if (self.speculative.num_speculative_tokens + 1
+                        > self.cache.block_size):
+                    raise ValueError(
+                        "speculative decoding with paged eviction needs "
+                        "num_speculative_tokens + 1 <= block_size (at "
+                        "most one page boundary per spec step)")
         self.scheduler.max_model_len = min(self.scheduler.max_model_len,
                                            self.model.max_model_len)
         if (self.cache.evict_enabled

@@ -636,11 +636,63 @@ class Scheduler:
                                       base_kv=kv))
         return plans, preempted
 
-    def commit_spec(self, plan: "SpecStepPlan", n_appended: int) -> None:
+    def commit_spec(self, plan: "SpecStepPlan", n_appended: int,
+                    page_scores=None) -> list[int]:
         """Advance the physical KV by the number of inputs whose rows
         became valid (rejected proposals' rows sit past kv_len and will be
-        overwritten — free rollback)."""
-        plan.seq.block_table.num_kv_slots = plan.base_kv + n_appended
+        overwritten — free rollback).
+
+        Under paged eviction this also fires the page-boundary evictions
+        the decode-window planner would have fired for the ACCEPTED
+        tokens — after rollback, so rejected drafts never trigger one
+        (spec x eviction superset; the reference asserts the combination
+        away, llm_engine.py:1182).  ``page_scores``: host copy of the
+        device score array, needed only for L2 selection.  Returns the
+        page ids that became full (callers refresh their L2 scores —
+        window semantics: eviction decisions precede this step's fill
+        updates, exact for num_speculative_tokens + 1 <= block_size,
+        which config.verify enforces)."""
+        seq = plan.seq
+        t = seq.block_table
+        bs = self.block_size
+        fills = [t.pages[(plan.base_kv + j) // bs]
+                 for j in range(n_appended)
+                 if (plan.base_kv + j + 1) % bs == 0]
+        t.num_kv_slots = plan.base_kv + n_appended
+        if (self.evict is not None and self.evict.enabled
+                and self.evict.frees_pages):
+            logical0 = seq.get_len()
+            for j in range(n_appended):
+                logical_post = logical0 + j
+                if not decode_evicts_now(logical_post, self.evict, bs,
+                                         seq.evict_budget):
+                    continue
+                used = -(-t.num_kv_slots // bs)
+                victim = self._host_victim(used)
+                if victim < 0:
+                    victim = self._l2_victim_host(t.pages, used,
+                                                  page_scores)
+                assert 0 < victim < used - 1, (victim, used)
+                page = t.pages.pop(victim)
+                self.allocator.free([page])
+                t.num_kv_slots -= bs
+        return fills
+
+    def _l2_victim_host(self, pages: list[int], used: int,
+                        page_scores) -> int:
+        """Host mirror of ops.eviction.select_victims for the spec path:
+        argmin page score over the middle table positions ([1, 1+topk)
+        for local, [1, used-1) for global), first-min tie-break like
+        jnp.argmin."""
+        import numpy as np
+        assert page_scores is not None, \
+            "L2 eviction in a spec step needs the fetched score array"
+        ev = self.evict
+        hi = used - 1
+        if ev.evict_method == "local" and ev.topk_blocks > 0:
+            hi = min(1 + ev.topk_blocks, hi)
+        cand = np.asarray(page_scores)[np.asarray(pages[1:hi])]
+        return 1 + int(np.argmin(cand))
 
     # ---- preemption -----------------------------------------------------
 

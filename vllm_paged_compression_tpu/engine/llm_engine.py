@@ -898,13 +898,23 @@ class LLMEngine:
                     for i in range(len(plans)):
                         n = int(n_acc[i])
                         accepted.append([int(x) for x in toks[i][:n + 1]])
+                scores_np = None
+                if self.runner.track_page_scores:
+                    # Spec x eviction with L2 selection: the host picks
+                    # victims (the in-graph argmin lives in the decode
+                    # window, not the verify program) from a fetched
+                    # score snapshot — same values the window would see.
+                    import numpy as np
+                    scores_np = np.asarray(self.page_scores)
+                spec_fills: list[int] = []
                 for plan, new_tokens in zip(plans, accepted):
                     seq = plan.seq
                     mt = seq.params.max_tokens
                     if mt is not None:
                         new_tokens = new_tokens[
                             :max(mt - seq.num_output_tokens, 1)]
-                    self.scheduler.commit_spec(plan, len(new_tokens))
+                    spec_fills += self.scheduler.commit_spec(
+                        plan, len(new_tokens), page_scores=scores_np)
                     num_gen_tokens += len(new_tokens)
                     for j, tok in enumerate(new_tokens):
                         seq.append_token(tok)
@@ -912,6 +922,9 @@ class LLMEngine:
                                              emit=(j == len(new_tokens)
                                                    - 1)):
                             break
+                if spec_fills and self.runner.track_page_scores:
+                    self.page_scores = self.runner.update_fill_scores(
+                        self.page_scores, self.kv_caches, spec_fills)
         elif self.scheduler.num_running:
             # Multi-step decode: chain K steps on device, one fetch.  Drop
             # to single steps while prefills are waiting so new requests

@@ -429,6 +429,23 @@ class ModelRunner:
             index_cache_pages(v0, fill_pages))
         return page_scores.at[fill_pages].set(scores)
 
+    def update_fill_scores(self, page_scores, caches, pages: list):
+        """Refresh the L2 scores of pages a spec step just filled (host
+        list of page ids).  Padded to a bucket with -1 lanes, which land
+        on the trash page — the same convention as the window plan's
+        fill_pages."""
+        if not pages:
+            return page_scores
+        pad = 8 * (-(-len(pages) // 8))
+        arr = np.full(pad, -1, np.int32)
+        arr[:len(pages)] = pages
+        if not hasattr(self, "_fill_scores_jit"):
+            self._fill_scores_jit = jax.jit(
+                lambda ps, vc, f: self._update_page_scores(ps, vc, f),
+                donate_argnums=(0,))
+        return self._fill_scores_jit(page_scores, caches[1],
+                                     jnp.asarray(arr))
+
     # Field order of the per-step plan pack [K, NF, B].
     _PLAN_FIELDS = ("positions", "slots", "evict", "victims", "zero_slots",
                     "fill_pages", "new_pages", "steps")

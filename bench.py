@@ -52,6 +52,10 @@ ARCHS = {
         "num_key_value_heads": 8, "head_dim": 128,
         "rope_theta": 500000.0, "rms_norm_eps": 1e-5,
         "max_position_embeddings": 131072, "tie_word_embeddings": False,
+        # Real Llama-3.1 128k rope scaling (ops/rope.py llama3 path).
+        "rope_scaling": {"rope_type": "llama3", "factor": 8.0,
+                         "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                         "original_max_position_embeddings": 8192},
     },
 }
 

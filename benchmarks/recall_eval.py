@@ -614,6 +614,11 @@ def main() -> None:
                          "of realistic value-norm distributions for L2 "
                          "scoring.")
     ap.add_argument("--block-size", type=int, default=16)
+    ap.add_argument("--kv-dtypes", nargs="+", default=["auto"],
+                    choices=["auto", "int8", "fp8"],
+                    help="KV pool dtypes to sweep: quantized pools make "
+                         "L2 scoring read QUANTIZED pages - the "
+                         "no-prior-art risk SURVEY section 7 flags")
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
 
@@ -658,20 +663,22 @@ def main() -> None:
         print(json.dumps(line), flush=True)
         results.append(line)
 
-        for method in args.methods:
-            for budget in args.budgets:
-                acc = engine_accuracy(
-                    params, prompts, targets, args.episodes,
-                    enable_paged_eviction=True, evict_method=method,
-                    cache_budget=budget, evict_selection="l2",
-                    topk_blocks=(3 if method == "local" else -1),
-                    **base_kw)
-                line = {"task": "prompt", "method": method,
-                        "budget": budget,
-                        "budget_frac": round(budget / seq_len, 2),
-                        "recall_acc": round(acc, 4), "n": args.episodes}
-                print(json.dumps(line), flush=True)
-                results.append(line)
+        for kd in args.kv_dtypes:
+            for method in args.methods:
+                for budget in args.budgets:
+                    acc = engine_accuracy(
+                        params, prompts, targets, args.episodes,
+                        enable_paged_eviction=True, evict_method=method,
+                        cache_budget=budget, evict_selection="l2",
+                        topk_blocks=(3 if method == "local" else -1),
+                        kv_cache_dtype=kd, **base_kw)
+                    line = {"task": "prompt", "method": method,
+                            "budget": budget, "kv_dtype": kd,
+                            "budget_frac": round(budget / seq_len, 2),
+                            "recall_acc": round(acc, 4),
+                            "n": args.episodes}
+                    print(json.dumps(line), flush=True)
+                    results.append(line)
 
     if "chain" in args.tasks:
         ctoks, chains = make_chain_batch(rng, args.episodes,
@@ -690,29 +697,35 @@ def main() -> None:
         ckw = dict(block_size=args.block_size, max_model_len=total + 16,
                    num_device_blocks=args.episodes // 4 * (
                        total // args.block_size + 2) + 32)
-        acc, depth = engine_chain_accuracy(params, cprompts, chains,
-                                           **ckw)
-        line = {"task": "chain", "method": "full-cache", "budget": total,
-                "chain_acc": round(acc, 4), "depth_frac": round(depth, 4),
-                "prompt_len": clen, "chain_len": args.chain_len,
-                "n": args.episodes}
-        print(json.dumps(line), flush=True)
-        results.append(line)
-        for method in args.methods:
-            for budget in cbudgets:
-                acc, depth = engine_chain_accuracy(
-                    params, cprompts, chains,
-                    enable_paged_eviction=True, evict_method=method,
-                    cache_budget=budget, evict_selection="l2",
-                    topk_blocks=(3 if method == "local" else -1), **ckw)
-                line = {"task": "chain", "method": method,
-                        "budget": budget,
-                        "budget_frac": round(budget / total, 2),
-                        "chain_acc": round(acc, 4),
-                        "depth_frac": round(depth, 4),
-                        "n": args.episodes}
-                print(json.dumps(line), flush=True)
-                results.append(line)
+        for kd in args.kv_dtypes:
+            # Per-dtype full-cache row: isolates pure KV-quantization
+            # loss from eviction loss.
+            acc, depth = engine_chain_accuracy(params, cprompts, chains,
+                                               kv_cache_dtype=kd, **ckw)
+            line = {"task": "chain", "method": "full-cache",
+                    "budget": total, "kv_dtype": kd,
+                    "chain_acc": round(acc, 4),
+                    "depth_frac": round(depth, 4),
+                    "prompt_len": clen, "chain_len": args.chain_len,
+                    "n": args.episodes}
+            print(json.dumps(line), flush=True)
+            results.append(line)
+            for method in args.methods:
+                for budget in cbudgets:
+                    acc, depth = engine_chain_accuracy(
+                        params, cprompts, chains,
+                        enable_paged_eviction=True, evict_method=method,
+                        cache_budget=budget, evict_selection="l2",
+                        topk_blocks=(3 if method == "local" else -1),
+                        kv_cache_dtype=kd, **ckw)
+                    line = {"task": "chain", "method": method,
+                            "budget": budget, "kv_dtype": kd,
+                            "budget_frac": round(budget / total, 2),
+                            "chain_acc": round(acc, 4),
+                            "depth_frac": round(depth, 4),
+                            "n": args.episodes}
+                    print(json.dumps(line), flush=True)
+                    results.append(line)
 
     if args.json_out:
         with open(args.json_out, "w") as f:

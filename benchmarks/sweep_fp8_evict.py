@@ -31,15 +31,23 @@ import numpy as np  # noqa: E402
 
 
 def run_point(model_cfg, input_len, output_len, budget, kv_dtype, quant,
-              num_steps):
+              num_steps, chunked=False):
     from vllm_paged_compression_tpu.entrypoints.llm import LLM
     from vllm_paged_compression_tpu.sampling_params import SamplingParams
+    extra = {}
+    if chunked:
+        # 64k/128k prefill strategy (BASELINE config #5 stretch): chunked
+        # prefill x eviction — chunks write full pages, the final chunk
+        # scores the whole prompt and compacts to the budget.
+        extra = dict(enable_chunked_prefill=True,
+                     max_num_batched_tokens=8192)
     llm = LLM(hf_config=model_cfg, dtype="bfloat16", block_size=16,
               max_model_len=input_len + output_len + 64,
               enable_paged_eviction=True, evict_method="global",
               cache_budget=budget, evict_selection="l2",
               kv_cache_dtype=kv_dtype, max_num_seqs=1,
-              num_scheduler_steps=num_steps, quantization=quant, seed=0)
+              num_scheduler_steps=num_steps, quantization=quant, seed=0,
+              **extra)
     eng = llm.engine
     ce = eng.cache_engine
     rng = np.random.default_rng(0)
@@ -106,6 +114,9 @@ def main() -> None:
                     choices=["auto", "fp8", "int8"])
     ap.add_argument("--quantization", default=None)
     ap.add_argument("--num-scheduler-steps", type=int, default=64)
+    ap.add_argument("--chunked-prefill", action="store_true",
+                    help="prefill via 8192-token chunks (the 64k/128k "
+                         "long-context strategy)")
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
 
@@ -127,6 +138,8 @@ def main() -> None:
                    "--kv-dtype", args.kv_dtype,
                    "--num-scheduler-steps",
                    str(args.num_scheduler_steps)]
+            if args.chunked_prefill:
+                cmd += ["--chunked-prefill"]
             if args.quantization:
                 cmd += ["--quantization", args.quantization]
             p = subprocess.run(cmd, capture_output=True, text=True,
@@ -152,7 +165,8 @@ def main() -> None:
     for il in args.input_lens:
         budget = max(int(il * args.budget_frac) // 16 * 16, 128)
         r = run_point(cfg, il, args.output_len, budget, args.kv_dtype,
-                      args.quantization, args.num_scheduler_steps)
+                      args.quantization, args.num_scheduler_steps,
+                      chunked=args.chunked_prefill)
         print(json.dumps(r), flush=True)
         results.append(r)
     if args.json_out:

@@ -109,6 +109,24 @@ def main() -> None:
     while eng.has_unfinished_requests():
         eng.step()
 
+    # p50 TTFT over three independent prefills: prefill dispatch is
+    # host-load-sensitive (~tens of ms of tunnel/dispatch cost varies
+    # with concurrent CPU load), so a single sample can read 10-15% high
+    # on a busy host while decode is unaffected.  Two probe requests
+    # (max_tokens=1) plus the real one give a robust median.
+    ttfts = []
+    for pi in range(2):
+        eng.add_request(request_id=f"probe{pi}",
+                        prompt_token_ids=rng.integers(
+                            1, 32000, size=input_len).tolist(),
+                        sampling_params=SamplingParams(
+                            temperature=0.0, max_tokens=1))
+        tp = time.perf_counter()
+        eng.step()
+        ttfts.append(time.perf_counter() - tp)
+        while eng.has_unfinished_requests():
+            eng.step()
+
     eng.add_request(request_id="bench", prompt_token_ids=prompt,
                     sampling_params=SamplingParams(
                         temperature=0.0, max_tokens=output_len,
@@ -116,7 +134,8 @@ def main() -> None:
 
     t_start = time.perf_counter()
     eng.step()  # prefill (+ first token) — post-compile, clean timing
-    t_prefill = time.perf_counter() - t_start
+    ttfts.append(time.perf_counter() - t_start)
+    t_prefill = sorted(ttfts)[1]
 
     # Warmup decode (compile + cache warm), then timed steady-state.
     # Clamp the warmup so short runs (small VPC_BENCH_OUTPUT_LEN smoke

@@ -604,6 +604,12 @@ def main() -> None:
     ap.add_argument("--train-steps", type=int, default=4000)
     ap.add_argument("--train-batch", type=int, default=64)
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--hidden", type=int, default=None,
+                    help="override hidden_size (trained mode; heads "
+                         "scale to keep head_dim 32)")
+    ap.add_argument("--percentage-row", action="store_true",
+                    help="add chain rows with cache_prune_type="
+                         "'percentage' at a 50%% budget")
     ap.add_argument("--layers", type=int, default=None,
                     help="override num_hidden_layers (trained mode only "
                          "- the planted circuit is 2-layer by "
@@ -631,6 +637,11 @@ def main() -> None:
     else:
         if args.layers:
             ARCH["num_hidden_layers"] = args.layers
+        if args.hidden:
+            ARCH["hidden_size"] = args.hidden
+            ARCH["intermediate_size"] = 2 * args.hidden
+            ARCH["num_attention_heads"] = args.hidden // 32
+            ARCH["num_key_value_heads"] = args.hidden // 32
         ARCH["tie_word_embeddings"] = False
         model = build_model()
         params, train_acc = train(
@@ -726,6 +737,24 @@ def main() -> None:
                             "n": args.episodes}
                     print(json.dumps(line), flush=True)
                     results.append(line)
+
+    if args.percentage_row and "chain" in args.tasks:
+        # Percentage prune type (the r4 superset knob): 50% of each
+        # prompt's length, decode-boundary evictions against the same
+        # resolved budget.
+        for method in (args.methods[:2] or ["global"]):
+            acc, depth = engine_chain_accuracy(
+                params, cprompts, chains,
+                enable_paged_eviction=True, evict_method=method,
+                cache_prune_type="percentage", cache_budget=50,
+                evict_selection="l2",
+                topk_blocks=(3 if method == "local" else -1), **ckw)
+            line = {"task": "chain", "method": method,
+                    "prune_type": "percentage", "budget_pct": 50,
+                    "chain_acc": round(acc, 4),
+                    "depth_frac": round(depth, 4), "n": args.episodes}
+            print(json.dumps(line), flush=True)
+            results.append(line)
 
     if args.json_out:
         with open(args.json_out, "w") as f:

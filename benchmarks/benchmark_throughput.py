@@ -61,13 +61,17 @@ def main() -> None:
         # intermediate lane buckets during the drain) — so first-compiles
         # never pollute the timed window (VERDICT r4 Weak #1).
         w = min(args.num_prompts, config.scheduler.max_num_seqs)
+        ns = config.scheduler.num_scheduler_steps
         for i in range(w):
+            # One full-K window plus a pow2 tail (K buckets 1/2/4/8/...)
+            # per warmup request; staggered lengths drain through every
+            # decode lane bucket.
             engine.add_request(
                 request_id=f"warm{i}",
                 prompt_token_ids=rng.integers(
                     1, 32000, size=args.input_len).tolist(),
                 sampling_params=SamplingParams(
-                    temperature=0.0, max_tokens=2 + (i % 7),
+                    temperature=0.0, max_tokens=ns + 15 + (i % 7),
                     ignore_eos=True))
         while engine.has_unfinished_requests():
             engine.step()

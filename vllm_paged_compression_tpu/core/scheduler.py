@@ -428,6 +428,14 @@ class Scheduler:
                 if mt is not None:
                     k_cap = min(k_cap, max(
                         mt - seq.num_output_tokens - pending, 1))
+            if 2 < k_cap < max_steps:
+                # Bucket partial windows to powers of two: the window
+                # program's K is a compile-time shape, and staggered
+                # lanes otherwise produce dozens of distinct K values
+                # (one fresh XLA compile each — BATCH_r04/r05 whole-run
+                # pollution).  Flooring only shortens the window; the
+                # remainder rides the next one.
+                k_cap = 1 << (k_cap.bit_length() - 1)
             plans, k_done, dry = self._try_plan(seqs, k_cap, resume)
             if k_done > 0:
                 return plans, k_done, preempted

@@ -34,7 +34,7 @@ def weights():
 
 
 @pytest.mark.parametrize("layer", [0, 1, L - 1])
-@pytest.mark.parametrize("m", [1, 4, 8])
+@pytest.mark.parametrize("m", [1, 4, 8, 16, 32])
 def test_kernel_matches_oracle(weights, layer, m):
     from vllm_paged_compression_tpu.ops.pallas.fused_layer import (
         fused_decode_layer, fused_decode_layer_ref)
@@ -78,7 +78,8 @@ def test_eligibility_gate(weights):
         fused_layer_eligible)
     wo, wgu, wd, wqkv, _ = weights
     assert fused_layer_eligible(wqkv, wo, wgu, wd, D, F, NQ, m=8)
-    assert not fused_layer_eligible(wqkv, wo, wgu, wd, D, F, NQ, m=16)
+    assert fused_layer_eligible(wqkv, wo, wgu, wd, D, F, NQ, m=32)
+    assert not fused_layer_eligible(wqkv, wo, wgu, wd, D, F, NQ, m=33)
     assert not fused_layer_eligible(wqkv.qp, wo, wgu, wd, D, F, NQ, m=8)
 
 

@@ -81,7 +81,11 @@ def fused_layer_eligible(wqkv, wo, wgu, wd, d: int, f: int, nq: int,
     ws = (wqkv, wo, wgu, wd)
     if not all(isinstance(w, PackedInt4) for w in ws):
         return False
-    if m > 8:
+    if m > 32:
+        # Single M-tile design: the f32 full-row scratches (ygu is
+        # m x 2F) outgrow VMEM past 32 rows; larger decode batches take
+        # the per-matmul kernels (whose weight streams amortize over
+        # the batch anyway).
         return False
     gs = {packed_gs(w) for w in ws}
     if len(gs) != 1:
@@ -270,6 +274,7 @@ def fused_decode_layer(attn2d: jnp.ndarray, h_in: jnp.ndarray,
     """
     mm, d_in = attn2d.shape
     m = max(8, -(-mm // 8) * 8)
+    assert m <= 32, m
     if m != mm:
         attn2d = jnp.pad(attn2d, ((0, m - mm), (0, 0)))
         h_in = jnp.pad(h_in, ((0, m - mm), (0, 0)))

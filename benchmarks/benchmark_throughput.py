@@ -26,6 +26,9 @@ def main() -> None:
     parser.add_argument("--json-out", type=str, default=None)
     parser.add_argument("--no-warmup", action="store_true",
                         help="skip the pre-timing bucket warmup phase")
+    parser.add_argument("--marks-out", type=str, default=None,
+                        help="dump per-step (tokens, seconds) marks of "
+                             "the timed loop to this JSON file")
     from vllm_paged_compression_tpu.engine.arg_utils import EngineArgs
     EngineArgs.add_cli_args(parser)
     args = parser.parse_args()
@@ -142,6 +145,12 @@ def main() -> None:
                        "peak_concurrent": peak_running,
                        "preemptions": sched.num_preemptions,
                        "pool_pages": sched.allocator.num_blocks}, f)
+    if args.marks_out:
+        # Per-step() wall-clock marks of the timed loop: (output tokens
+        # produced so far, seconds since start).  For diagnosing where
+        # whole-run time diverges from the segment-median rate.
+        with open(args.marks_out, "w") as f:
+            json.dump([[n, t - start] for n, t in marks], f)
 
 
 if __name__ == "__main__":

@@ -191,3 +191,42 @@ def test_pp_engine_save_reloads_everywhere(tmp_path):
                num_device_blocks=8, seed=0, pipeline_parallel_size=2)
     got = llm3.generate(prompt_token_ids=prompt, sampling_params=sp)
     assert got[0].outputs[0].token_ids == ref_toks
+
+
+def test_noncontiguous_leaf_roundtrip(tmp_path):
+    """Regression: np.asarray of a jax array can be a non-contiguous
+    VIEW (an untied lm_head built as a transpose had strides (2, 512)),
+    and safetensors' numpy writer serializes the raw buffer ignoring
+    strides — without ascontiguousarray at save, such a leaf
+    round-trips transposed-flattened (caught live: the round-5 GSM
+    proxy checkpoint scored 0.0 because its lm_head was garbled)."""
+    from vllm_paged_compression_tpu.models.weights import (
+        load_sharded_state, save_sharded_state)
+
+    base = np.arange(8 * 3, dtype=np.float32).reshape(8, 3)
+    view = base.T                      # (3, 8) transpose view on host
+    assert not np.asarray(view).flags["C_CONTIGUOUS"]
+    tree = {"w": view, "b": base}
+    save_sharded_state(tree, str(tmp_path / "s"))
+    got, _ = load_sharded_state(str(tmp_path / "s"))
+    np.testing.assert_array_equal(np.asarray(got["w"]), np.asarray(view))
+    np.testing.assert_array_equal(np.asarray(got["b"]), np.asarray(base))
+
+
+def test_untied_lm_head_roundtrip(tmp_path):
+    """End-to-end: an UNTIED-embedding model (separate lm_head — the
+    transpose-view case) produces identical tokens after sharded-state
+    reload."""
+    from vllm_paged_compression_tpu.sampling_params import SamplingParams
+    cfg = dict(CFG, tie_word_embeddings=False)
+    sp = SamplingParams(temperature=0.0, max_tokens=12, ignore_eos=True)
+    prompt = [[1, 17, 33, 5, 99, 2, 8, 61]]
+    llm = _llm(hf_config=cfg)
+    ref = llm.generate(prompt_token_ids=prompt, sampling_params=sp)
+    ref_toks = ref[0].outputs[0].token_ids
+    out_dir = str(tmp_path / "state")
+    llm.save_sharded_state(out_dir)
+    del llm
+    llm2 = _llm(model=out_dir)
+    got = llm2.generate(prompt_token_ids=prompt, sampling_params=sp)
+    assert got[0].outputs[0].token_ids == ref_toks

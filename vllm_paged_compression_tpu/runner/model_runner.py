@@ -1607,6 +1607,13 @@ class ModelRunner:
         hidden, new_caches = self.model.forward_hidden(
             params, batch["tokens"], batch["positions"], attn_fn, caches,
             **lk)
+        if self.track_page_scores:
+            # Seed the kept pages' value-L2 scores (layer-0 convention,
+            # same as _finish_prefill's fill_pages seeding) so the first
+            # decode-boundary L2 victim selection after a chunked prefill
+            # reads real scores, not the zero-initialized array.
+            page_scores = self._update_page_scores(
+                page_scores, new_caches[1], batch["prune_pages"])
         last = hidden[batch["q_len"] - 1][None]
         logits = self.model.logits(params, last)
         if "bias_ids" in batch:
@@ -1629,13 +1636,130 @@ class ModelRunner:
             return new_caches, page_scores, tokens, lp_row
         return new_caches, page_scores, tokens
 
+    def _prefill_ctx_prune_pp(self, params, caches, page_scores, batch,
+                              greedy_only=False, logprobs_l=0):
+        """FINAL chunk of a chunked prefill under paged eviction, staged
+        over the PP mesh axis — the composition the config rejected
+        through round 4.  Same single-microbatch wave as
+        _prefill_context_pp; each stage's layers score the whole prompt
+        from their own pools and compact their keep sets when they are
+        the wave front (per-layer keep sets, exactly like the
+        single-stage program).  Page scores are seeded from stage 0
+        (layer-0 convention)."""
+        from jax.sharding import PartitionSpec as P
+
+        from ..models.llama import rms_norm
+        from ..ops.quant import QuantKV, dequantize_kv
+        from ..parallel.pipeline import _masked_psum, pp_prefill_wave
+        trash_page = self.cache_engine.trash_page
+        arch = self.model.arch
+        ev = self.evict
+        assert ev is not None
+        score_based = ev.evict_method in ("local", "global",
+                                          "inverse_key_l2")
+        s_pad = batch["prune_pages"].shape[0] * self.block_size
+
+        def body(params, caches, page_scores, batch):
+            def factory(active):
+                def attn_fn(q, k, v, state, layer):
+                    kc_all, vc_all = state
+                    wp = jnp.where(active, batch["write_pages"],
+                                   trash_page)
+                    pp_pages = jnp.where(active, batch["prune_pages"],
+                                         trash_page)
+                    kc = jax.tree.map(lambda x: x[layer], kc_all)
+                    vc = jax.tree.map(lambda x: x[layer], vc_all)
+                    kc, vc = write_kv_pages(kc, vc, k, v, wp)
+                    # Whole prompt back from the pages; score + compact.
+                    k_all = index_cache_pages(kc, batch["full_tables"])
+                    v_all = index_cache_pages(vc, batch["full_tables"])
+                    if isinstance(k_all, QuantKV):
+                        k_all = dequantize_kv(k_all).astype(q.dtype)
+                        v_all = dequantize_kv(v_all).astype(q.dtype)
+                    fp, ps = k_all.shape[0], k_all.shape[1]
+                    k_full = k_all.reshape(fp * ps, *k_all.shape[2:])
+                    v_full = v_all.reshape(fp * ps, *v_all.shape[2:])
+                    if score_based:
+                        scores = token_scores(k_full, v_full,
+                                              ev.evict_method)
+                    else:
+                        scores = jnp.zeros(k_full.shape[:2], jnp.float32)
+                    keep_idx = prompt_keep_indices(
+                        scores, batch["prompt_len"], self.block_size,
+                        batch["evict_budget"], ev.evict_method, s_pad)
+                    k_kept, v_kept = gather_pruned_kv(k_full, v_full,
+                                                      keep_idx)
+                    # Chunk attention over the pre-prune context.
+                    k_ctx = index_cache_pages(kc, batch["ctx_tables"])
+                    v_ctx = index_cache_pages(vc, batch["ctx_tables"])
+                    if isinstance(k_ctx, QuantKV):
+                        k_ctx = dequantize_kv(k_ctx).astype(q.dtype)
+                        v_ctx = dequantize_kv(v_ctx).astype(q.dtype)
+                    cp = k_ctx.shape[0]
+                    k_ctx = k_ctx.reshape(cp * ps, *k_ctx.shape[2:])
+                    v_ctx = v_ctx.reshape(cp * ps, *v_ctx.shape[2:])
+                    out = self._ctx_attn(q, k_ctx, v_ctx, k, v,
+                                         self.scale, batch["q_len"],
+                                         batch["ctx_len"])
+                    kc, vc = write_kv_pages(kc, vc, k_kept, v_kept,
+                                            pp_pages)
+                    kc_all = jax.tree.map(lambda a, s: a.at[layer].set(s),
+                                          kc_all, kc)
+                    vc_all = jax.tree.map(lambda a, s: a.at[layer].set(s),
+                                          vc_all, vc)
+                    return out, (kc_all, vc_all)
+                return attn_fn
+
+            h0 = self.model.embed(params, batch["tokens"])
+            if arch.embed_scale is not None:
+                h0 = h0 * jnp.asarray(arch.embed_scale, self.model.dtype)
+            h, caches = pp_prefill_wave(self, params, caches, h0,
+                                        batch["positions"], factory,
+                                        lora_idx=batch.get("lora_idx"))
+            stage = jax.lax.axis_index("pipe")
+            if self.track_page_scores:
+                ps_new = self._update_page_scores(
+                    page_scores, caches[1], batch["prune_pages"])
+                page_scores = _masked_psum(ps_new, stage == 0, "pipe")
+            h_final = rms_norm(h, params["final_norm"],
+                               arch.rms_norm_eps, arch.norm_unit_offset)
+            last = h_final[batch["q_len"] - 1][None]
+            logits = self.model.logits(params, last)
+            if "bias_ids" in batch:
+                logits = logits.astype(jnp.float32).at[
+                    jnp.zeros(1, jnp.int32)[:, None],
+                    batch["bias_ids"][None]].add(batch["bias_vals"][None])
+            if "mask_words" in batch:
+                from ..ops.sampling import apply_token_bitmask
+                logits = apply_token_bitmask(logits,
+                                             batch["mask_words"][None])
+            tokens = sample(logits, self._sampling_tensors(batch),
+                            greedy_only=greedy_only).astype(jnp.int32)
+            tokens = _masked_psum(tokens, stage == self.pp - 1, "pipe")
+            if logprobs_l > 0:
+                lp = jax.nn.log_softmax(logits.astype(jnp.float32))
+                tv, ti = jax.lax.top_k(lp, logprobs_l)
+                chosen = lp[jnp.arange(1), tokens]
+                lp_row = jnp.concatenate(
+                    [tv, ti.astype(jnp.float32), chosen[:, None]],
+                    axis=1)[0]
+                lp_row = _masked_psum(lp_row, stage == self.pp - 1,
+                                      "pipe")
+                return caches, page_scores, tokens, lp_row
+            return caches, page_scores, tokens
+
+        extra = (P(),) + ((P(),) if logprobs_l > 0 else ())
+        return self._pp_shard_call(body, params, caches, page_scores,
+                                   batch, extra_out_specs=extra)
+
     def _prefill_ctx_prune_jit(self, greedy: bool, logprobs_l: int):
         import functools
         key = (greedy, logprobs_l)
         if key not in self._prefill_ctx_prune_jits:
+            body = (self._prefill_ctx_prune_pp if self.pp > 1
+                    else self._prefill_ctx_prune)
             self._prefill_ctx_prune_jits[key] = jax.jit(
-                functools.partial(self._prefill_ctx_prune,
-                                  greedy_only=greedy,
+                functools.partial(body, greedy_only=greedy,
                                   logprobs_l=logprobs_l),
                 donate_argnums=(1, 2))
         return self._prefill_ctx_prune_jits[key]

@@ -91,6 +91,29 @@ class TestDecodeEvictsNow:
         assert decode_evicts_now(80, ev, 16)       # > budget, boundary: yes
         assert decode_evicts_now(96, ev, 16)
 
+    def test_evict_freq_skips_boundaries(self):
+        # evict_freq N: the first boundary past the budget fires, then
+        # every Nth — the working set grows (N-1)/N pages per page.
+        ev = make_evict(budget=64)
+        ev.evict_freq = 2
+        assert decode_evicts_now(80, ev, 16)        # boundary 1: fires
+        assert not decode_evicts_now(96, ev, 16)    # boundary 2: skipped
+        assert decode_evicts_now(112, ev, 16)       # boundary 3: fires
+        assert not decode_evicts_now(128, ev, 16)
+        ev3 = make_evict(budget=64)
+        ev3.evict_freq = 3
+        assert decode_evicts_now(80, ev3, 16)
+        assert not decode_evicts_now(96, ev3, 16)
+        assert not decode_evicts_now(112, ev3, 16)
+        assert decode_evicts_now(128, ev3, 16)
+
+    def test_evict_freq_validation(self):
+        import pytest
+        ev = make_evict(budget=64)
+        ev.evict_freq = 0
+        with pytest.raises(ValueError, match="evict_freq"):
+            ev.verify(16)
+
     def test_inverse_key_l2_never_frees(self):
         ev = make_evict("inverse_key_l2", budget=64)
         assert not decode_evicts_now(80, ev, 16)

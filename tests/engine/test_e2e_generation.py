@@ -163,6 +163,34 @@ class TestEvictionE2E:
                 max_kv = max(max_kv, seq.block_table.num_kv_slots)
         assert max_kv <= budget + 4  # budget + one block transient
 
+    def test_evict_freq_relaxes_the_pin(self):
+        # evict_freq 2: only every other page boundary evicts, so the
+        # working set grows ~1 page per 2 generated pages instead of
+        # staying pinned at the budget (the old README --evict-freq
+        # surface, README.md:36-45).
+        budget = 16
+        peaks = {}
+        for freq in (1, 2):
+            llm = tiny_llm(enable_paged_eviction=True,
+                           evict_method="streamingLLM",
+                           cache_budget=budget, evict_freq=freq)
+            eng = llm.engine
+            eng.add_request(request_id="a",
+                            prompt_token_ids=list(np.arange(40) % 128),
+                            sampling_params=SamplingParams(
+                                temperature=0.0, max_tokens=40))
+            seq = eng.scheduler.waiting[0]
+            mx = 0
+            while eng.has_unfinished_requests():
+                eng.step()
+                if seq.block_table is not None:
+                    mx = max(mx, seq.block_table.num_kv_slots)
+            peaks[freq] = mx
+        assert peaks[1] <= budget + 4
+        # 40 generated tokens = ~10 boundaries; half skipped => ~5 extra
+        # pages over the pinned case.
+        assert peaks[2] > peaks[1] + 2 * 4, peaks
+
     def test_eviction_reduces_pool_pressure(self):
         prompt = [int(x) for x in np.arange(64) % 128]
         kw = dict(prompt_token_ids=prompt,

@@ -85,6 +85,13 @@ class PagedEvictConfig:
     cache_budget: int = 1024
     topk_blocks: int = -1
     initial_blocks: int = 1
+    # Decode eviction fires at every Nth page-boundary crossing past the
+    # budget (1 = every boundary, the reference's live behavior).  N > 1
+    # relaxes the pin: the working set grows (N-1)/N pages per generated
+    # page — the README-documented --evict-freq surface the reference's
+    # code dropped (README.md:36-45 vs vllm/config.py:969); SURVEY §0
+    # names it as the superset knob.
+    evict_freq: int = 1
     # TPU-native extensions
     selection: str = "l2"  # "l2" | "random"
     sub_evict_method: str = "value_l2"
@@ -129,6 +136,8 @@ class PagedEvictConfig:
                              "(reference hardwires it, vllm/config.py:989)")
         if self.selection not in ("l2", "random"):
             raise ValueError("selection must be 'l2' or 'random'")
+        if self.evict_freq < 1:
+            raise ValueError("evict_freq must be >= 1")
 
     @property
     def frees_pages(self) -> bool:

@@ -118,4 +118,15 @@ def decode_evicts_now(logical_len: int, evict: PagedEvictConfig,
     if budget is None:
         from ..config import resolve_evict_budget
         budget = resolve_evict_budget(evict, logical_len, block_size)
-    return logical_len > budget and logical_len % block_size == 0
+    if logical_len <= budget or logical_len % block_size != 0:
+        return False
+    freq = getattr(evict, "evict_freq", 1)
+    if freq <= 1:
+        return True
+    # evict_freq N: only every Nth boundary past the budget fires (the
+    # first one always does), so the working set grows (N-1)/N pages per
+    # generated page instead of staying pinned at the budget — the old
+    # README's --evict-freq semantics (README.md:36-45), which the
+    # reference's code dropped (vllm/config.py:969).
+    nb = (logical_len - budget) // block_size
+    return (nb - 1) % freq == 0

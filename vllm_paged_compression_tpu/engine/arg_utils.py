@@ -66,6 +66,7 @@ class EngineArgs:
     evict_method: str = "streamingLLM"
     cache_budget: int = 1024
     topk_blocks: int = -1
+    evict_freq: int = 1
     # TPU-native extensions
     evict_selection: str = "l2"
 
@@ -165,6 +166,10 @@ class EngineArgs:
                        choices=list(EVICT_METHODS))
         g.add_argument("--cache-budget", type=int, default=1024)
         g.add_argument("--topk-blocks", type=int, default=-1)
+        g.add_argument("--evict-freq", type=int, default=1,
+                       help="evict at every Nth page boundary past the "
+                            "budget (1 = every boundary; the old "
+                            "README's --evict-freq, README.md:36-45)")
         g.add_argument("--evict-selection", type=str, default="l2",
                        choices=["l2", "random"])
         return parser
@@ -188,6 +193,7 @@ class EngineArgs:
                 evict_method=self.evict_method,
                 cache_budget=self.cache_budget,
                 topk_blocks=self.topk_blocks,
+                evict_freq=self.evict_freq,
                 selection=self.evict_selection)
         hf_config = None
         if self.hf_config_json and not self.model:

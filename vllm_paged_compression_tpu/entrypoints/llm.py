@@ -25,6 +25,7 @@ class LLM:
                  cache_budget: int = 1024, topk_blocks: int = -1,
                  cache_prune_type: str = "budget",
                  disable_evict_prefill: bool = False,
+                 evict_freq: int = 1,
                  evict_selection: str = "l2",
                  kv_cache_dtype: str = "auto",
                  num_scheduler_steps: int = 1,
@@ -52,6 +53,7 @@ class LLM:
                 cache_budget=cache_budget, topk_blocks=topk_blocks,
                 cache_prune_type=cache_prune_type,
                 disable_evict_prefill=disable_evict_prefill,
+                evict_freq=evict_freq,
                 selection=evict_selection)
         lora_cfg = None
         if enable_lora:

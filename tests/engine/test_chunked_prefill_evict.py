@@ -91,6 +91,14 @@ def test_pp_chunked_evict_matches_single_stage(method):
     assert toks_pp == toks_plain, (toks_pp, toks_plain)
 
 
+def test_ppxtp_chunked_evict_matches_single_stage():
+    prompt = [(i * 11) % 127 + 1 for i in range(200)]
+    toks_plain, _ = _gen(True, "global", prompt)
+    toks_pt, _ = _gen(True, "global", prompt, pipeline_parallel_size=2,
+                      tensor_parallel_size=2)
+    assert toks_pt == toks_plain, (toks_pt, toks_plain)
+
+
 def test_chunked_prune_seeds_page_scores():
     """After a chunked x eviction prefill with L2 selection, the KEPT
     pages' value-L2 scores must be seeded (regression: the final-chunk

@@ -65,12 +65,28 @@ def main() -> None:
         # never pollute the timed window (VERDICT r4 Weak #1).
         w = min(args.num_prompts, config.scheduler.max_num_seqs)
         ns = config.scheduler.num_scheduler_steps
+        # Phase A — ALIGNED lanes, max_tokens = 2*ns: after the prefill
+        # token and one full-K window, the common remaining count walks
+        # the complete pow2 ladder ns-1 -> ns/2 -> ... -> 1, compiling
+        # EVERY partial-window bucket.  (The old staggered-only warmup
+        # left gaps: the MIN remaining across lanes skipped buckets —
+        # e.g. ns=32 with mt=ns+15..21 never produced K=16, and the
+        # timed run compiled it mid-flight: the BATCH_r05 whole-run vs
+        # segment-median gap.)
         for i in range(w):
-            # One full-K window plus a pow2 tail (K buckets 1/2/4/8/...)
-            # per warmup request; staggered lengths drain through every
-            # decode lane bucket.
             engine.add_request(
-                request_id=f"warm{i}",
+                request_id=f"warmA{i}",
+                prompt_token_ids=rng.integers(
+                    1, 32000, size=args.input_len).tolist(),
+                sampling_params=SamplingParams(
+                    temperature=0.0, max_tokens=2 * ns, ignore_eos=True))
+        while engine.has_unfinished_requests():
+            engine.step()
+        # Phase B — staggered lengths: drain through shrinking lane
+        # counts and mixed-finish window truncations.
+        for i in range(w):
+            engine.add_request(
+                request_id=f"warmB{i}",
                 prompt_token_ids=rng.integers(
                     1, 32000, size=args.input_len).tolist(),
                 sampling_params=SamplingParams(

@@ -448,6 +448,13 @@ class Scheduler:
 
     def _try_plan(self, seqs: list[Sequence], k_cap: int, resume=None):
         bs = self.block_size
+        # Snapshot the host victim/zero RNG streams: a pool-dry
+        # truncation below re-plans from scratch at a bucketed K, and
+        # the replay must draw the same victims.
+        _vr = getattr(self, "_victim_rng", None)
+        _zr = getattr(self, "_zero_rng", None)
+        _vr_state = _vr.getstate() if _vr is not None else None
+        _zr_state = _zr.getstate() if _zr is not None else None
         sim = []
         steps0 = []
         for seq in seqs:
@@ -511,6 +518,20 @@ class Scheduler:
                 plan.new_pages.append(new_page)
                 plan.steps.append(s0 + k)
             k_done = k + 1
+        if dry and k_done > 2 and (k_done & (k_done - 1)) != 0:
+            # Pool-dry truncation produced an arbitrary window length —
+            # a compile-time shape, so every distinct K under allocation
+            # pressure would be a fresh XLA compile (the evict-off
+            # offered=64/256 BATCH rows' compile storm).  Re-plan at the
+            # pow2 floor: same demand prefix, so the shorter plan cannot
+            # go dry earlier.
+            self.allocator.free(reserved)
+            if _vr_state is not None:
+                self._victim_rng.setstate(_vr_state)
+            if _zr_state is not None:
+                self._zero_rng.setstate(_zr_state)
+            return self._try_plan(seqs, 1 << (k_done.bit_length() - 1),
+                                  resume)
         if k_done == 0 and reserved:
             self.allocator.free(reserved)
         if k_done > 0:

@@ -10,7 +10,8 @@ cd "$(dirname "$0")/.."
 STD="--bench-model llama-3.1-8b --quantization int4 --num-scheduler-steps 64"
 for dt in auto int8 fp8; do
   timeout 5400 python benchmarks/sweep_fp8_evict.py $STD \
-    --kv-dtype $dt --json-out /tmp/sweep_r05_std_$dt.json
+    --kv-dtype $dt --input-lens 1024 4096 16384 32768 \
+    --json-out /tmp/sweep_r05_std_$dt.json
 done
 for dt in int8 fp8; do
   timeout 7200 python benchmarks/sweep_fp8_evict.py $STD \

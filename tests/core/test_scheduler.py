@@ -132,6 +132,44 @@ class TestDecodeWindow:
         assert not pre
         s.commit_window(plans, k, [[-1]] * k)
 
+    def test_pool_dry_truncation_buckets_to_pow2(self):
+        # A pool-dry truncation is a compile-time window shape: K must
+        # floor to a power of two (arbitrary Ks were one fresh XLA
+        # compile each — the evict-off offered-load compile storm).
+        s = make_scheduler(num_blocks=5, block_size=4, watermark=0.01)
+        seq = self._prefilled(s, "a", prompt_len=7)   # 2 pages, 3 free
+        plans, k, pre = s.plan_decode_window(32)
+        assert 0 < k < 32
+        assert k & (k - 1) == 0, k
+        s.commit_window(plans, k, [[-1]] * k)
+
+    def test_pool_dry_replan_replays_random_victims(self):
+        # The pow2 re-plan must draw the SAME host victims as a direct
+        # plan at the floored K (RNG state restored before re-planning).
+        ev = PagedEvictConfig(evict_method="global", cache_budget=12,
+                              selection="random")
+        a = make_scheduler(num_blocks=7, block_size=4, evict=ev,
+                           watermark=0.01)
+        seq = make_seq("a", 12, max_tokens=64)
+        a.add_seq(seq)
+        a.schedule()
+        seq.prefill_pos = seq.num_prompt_tokens
+        seq.append_token(1)
+        plans, k, _ = a.plan_decode_window(32)   # truncates + re-plans
+        assert 0 < k < 32 and k & (k - 1) == 0
+        ev2 = PagedEvictConfig(evict_method="global", cache_budget=12,
+                               selection="random")
+        b = make_scheduler(num_blocks=7, block_size=4, evict=ev2,
+                           watermark=0.01)
+        seq2 = make_seq("a", 12, max_tokens=64)
+        b.add_seq(seq2)
+        b.schedule()
+        seq2.prefill_pos = seq2.num_prompt_tokens
+        seq2.append_token(1)
+        plans2, k2, _ = b.plan_decode_window(k)  # direct plan at K
+        assert k2 == k
+        assert plans[0].victims == plans2[0].victims
+
     def test_preemption_when_first_step_impossible(self):
         s = make_scheduler(num_blocks=5, block_size=4, watermark=0.01)
         a = self._prefilled(s, "a", prompt_len=8)   # 2 pages

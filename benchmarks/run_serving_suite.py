@@ -49,19 +49,26 @@ def main() -> None:
     ap.add_argument("--port", type=int, default=8731)
     ap.add_argument("--evict", nargs="+", default=["on", "off"])
     ap.add_argument("--stream-scheduler-steps", type=int, default=8)
+    ap.add_argument("--quantization", default="int4",
+                    help="'none' serves unquantized (CPU smoke)")
+    ap.add_argument("--cache-budget", type=int, default=512,
+                    help="evict-on rows' budget; must be BELOW "
+                         "input+output so eviction actually fires "
+                         "under load (512 prunes a 512-token prompt's "
+                         "working set and evicts through decode)")
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
     sys.path.insert(0, repo)
     import bench
-    arch_json = json.dumps(bench.ARCHS[args.bench_model])
+    arch_json = (os.environ.get("VPC_BENCH_ARCH_JSON")
+                 or json.dumps(bench.ARCHS[args.bench_model]))
 
     rows = []
     for ev in args.evict:
         cmd = [sys.executable, "-m", "vllm_paged_compression_tpu.cli",
                "serve", "--hf-config-json", arch_json,
-               "--quantization", "int4",
                "--max-model-len", str(args.input_len + args.output_len
                                       + 64),
                "--max-num-seqs", "64",
@@ -69,9 +76,12 @@ def main() -> None:
                "--stream-scheduler-steps",
                str(args.stream_scheduler_steps),
                "--port", str(args.port)]
+        if args.quantization and args.quantization != "none":
+            cmd += ["--quantization", args.quantization]
         if ev == "on":
             cmd += ["--enable-paged-eviction", "--evict-method", "global",
-                    "--evict-selection", "l2", "--cache-budget", "1024"]
+                    "--evict-selection", "l2",
+                    "--cache-budget", str(args.cache_budget)]
         srv = subprocess.Popen(cmd, cwd=repo,
                                stdout=subprocess.DEVNULL,
                                stderr=subprocess.DEVNULL,

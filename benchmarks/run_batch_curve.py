@@ -30,6 +30,9 @@ def main() -> None:
     ap.add_argument("--output-len", type=int, default=1024)
     ap.add_argument("--loads", nargs="+", type=int,
                     default=[1, 8, 64, 256])
+    ap.add_argument("--off-loads", nargs="+", type=int, default=None,
+                    help="offered loads for the evict-off column "
+                         "(default: same as --loads)")
     ap.add_argument("--cache-budget", type=int, default=1024)
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
@@ -37,7 +40,8 @@ def main() -> None:
 
     results = []
     for evict in (True, False):
-        for n in args.loads:
+        loads = args.loads if evict else (args.off_loads or args.loads)
+        for n in loads:
             cmd = [sys.executable, "benchmarks/benchmark_throughput.py",
                    "--bench-model", args.bench_model,
                    "--num-prompts", str(n),

@@ -12,15 +12,12 @@ OUT = sys.argv[1] if len(sys.argv) > 1 else "SWEEP_r05.json"
 cols: dict[str, list] = {}
 for dt, col in (("auto", "bf16"), ("int8", "int8"), ("fp8", "fp8")):
     pts = []
-    for kind in ("std", "long"):
-        p = os.path.join(TMP, f"sweep_r05_{kind}_{dt}.json")
-        if os.path.exists(p):
-            d = json.load(open(p))
-            for r in d["points"]:
-                r = dict(r)
-                if kind == "long":
-                    r["chunked_prefill"] = True
-                pts.append(r)
+    for path in ([os.path.join(TMP, f"sweep_r05_std_{dt}.json")]
+                 + [os.path.join(TMP, f"sweep_r05_long_{dt}_{il}.json")
+                    for il in (65536, 131072)]):
+        if os.path.exists(path):
+            d = json.load(open(path))
+            pts.extend(dict(r) for r in d["points"])
     if pts:
         cols[col] = pts
 
@@ -30,11 +27,21 @@ doc = {
     "config": ("single request, input N / output 256, eviction "
                "method=global selection=l2, cache_budget = N/2 (BASELINE "
                "config #3); 65k/128k rows (BASELINE config #5 stretch) "
-               "prefill via chunked prefill x eviction, 8192-token "
-               "chunks — the reference cannot run ANY of these rows "
-               "(no quantized-KV x eviction, torch_cuda_sdpa.py:769-772, "
-               "and chunked prefill asserted off with eviction, "
-               "scheduler.py:1307)"),
+               "prefill via the single-program evict-at-prefill path — "
+               "the reference cannot run ANY of these rows (no "
+               "quantized-KV x eviction, torch_cuda_sdpa.py:769-772)"),
+    "long_context_prefill_note": (
+        "The chunked-prefill x eviction strategy is functionally "
+        "correct at these lengths (token-identical tests incl. PP) but "
+        "was measured COMPILE-PROHIBITIVE for the 64k bench point on "
+        "this host: the per-context-bucket program ladder (4-5 distinct "
+        "8192-token chunk programs + the final-chunk whole-prompt prune "
+        "program) ran >70 min of XLA host compile for ONE point.  The "
+        "single-program evict-at-prefill path compiles in minutes and "
+        "serves the same budget, so the long rows use it; chunked "
+        "remains the right strategy on hosts with normal compile "
+        "throughput or a warmed program cache (honest negative "
+        "result, round 5)."),
     "hardware": "1x TPU v5e (16 GiB HBM)",
     "methodology": ("one subprocess per point; tok_s = steady-state "
                     "decode rate after 32-token warmup; kv state "

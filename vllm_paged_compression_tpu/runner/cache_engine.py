@@ -118,6 +118,17 @@ class CacheEngine:
             # their widest tables — tiny under eviction budgets).
             addressable = config.scheduler.max_num_seqs * max_pages_per_seq(
                 cache_config, config.scheduler.max_model_len) + 8
+            # Reserve the scheduler's admission watermark ON TOP of the
+            # addressable cap: a budget-bounded pool (budget pages + small
+            # margin) otherwise deadlocks admission once 1% of the pool
+            # exceeds the margin — at a 64k-token budget the watermark is
+            # 41 pages against a 10-page margin, so a prompt that prunes to
+            # exactly the budget waits forever (the 128k BASELINE-config-#5
+            # rows hit this; reference analog returns AllocStatus.NEVER
+            # and aborts, vllm/core/block_manager.py — here the pool is
+            # deliberately budget-sized, so growing it is the right fix).
+            wm = config.scheduler.watermark
+            addressable += max(1, int(wm * addressable)) + 2
             self.num_pages = max(min(budget // (2 * page_bytes),
                                      addressable), 16)
             logger.info(
